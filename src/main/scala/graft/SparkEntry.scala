@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import graft.retrieval.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the per-operator battery (one entry per implemented
+  * operator from SURVEY.md §2 plus the training-data ops); `oracleSql`
+  * carries the DuckDB-equivalent SQL for everything SQL-expressible.
+  * Non-SQL-expressible operators (chunker, extractors, LSH) are covered
+  * by golden-parity ScalaTest suites instead and get rows-only checks
+  * here.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: hybrid retrieval (vector-standin ∪ BM25 → weighted RRF
+    * funnel) over the sf0.001 documents table; driver smoke-checks
+    * rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents")
+    // deterministic stand-in for the external embedding scorer
+    // (SURVEY.md §7.3: external-model scores are pluggable columns)
+    val vectorScores = docs.select(col("doc_id"),
+      (pmod(xxhash64(col("text")), lit(10000)) / 10000.0).as("score"))
+    Retrieval.hybridSearch(vectorScores, docs, "doc_id", "text",
+      RetrievalQueries.KeywordQuery, topK = 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ RetrievalQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ RetrievalQueries.oracles
 }

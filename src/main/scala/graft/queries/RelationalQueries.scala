@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.queries.Tables.t
+import graft.retrieval.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator battery (SURVEY.md §2.1-2.6) over the driver's
+  * TPC-H-ish tables, each with a DuckDB-equivalent oracle. Every query
+  * carries a total deterministic ORDER BY and rounds doubles so the
+  * driver's hash compare is stable across engines.
+  */
+object RelationalQueries {
+
+  // --- aggregation (A1-A8): partial+final hash agg, no shuffle surprises
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1AggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |round(sum(l_quantity), 2) AS sum_qty,
+      |round(sum(l_extendedprice), 2) AS sum_price,
+      |round(avg(l_discount), 6) AS avg_disc,
+      |count(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- top-k (W1): planned as TakeOrderedAndProject, no full sort
+  private def qTopkDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select("doc_id", "n_chars")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(20)
+
+  private val qTopkDocsSql =
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
+
+  // --- first-occurrence dedup (P4/U2)
+  private def qWindowDedup(s: SparkSession, dir: String): DataFrame =
+    Retrieval.firstWinsDedup(
+      t(s, dir, "documents").select("lang", "source", "doc_id")
+        .withColumnRenamed("doc_id", "first_doc"),
+      "lang", col("source").asc, col("first_doc").asc)
+      .filter(col("source").isNotNull)
+      .select("lang", "first_doc")
+      .orderBy("lang")
+
+  private val qWindowDedupSql =
+    """SELECT lang, first_doc FROM (
+      |  SELECT lang, doc_id AS first_doc,
+      |    row_number() OVER (PARTITION BY lang ORDER BY source, doc_id) AS rn
+      |  FROM documents) WHERE rn = 1 ORDER BY lang""".stripMargin
+
+  // --- pagination (W6/S11)
+  private def qPagination(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select("doc_id", "n_chars")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .offset(10).limit(10)
+
+  private val qPaginationSql =
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 10"
+
+  // --- broadcast join (J3): small dim broadcast, no shuffle on the fact side
+  private def qBroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+
+  private val qBroadcastJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- anti join (S10 cascade-delete shape)
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enSources = docs.filter(col("lang") === "en" && col("n_chars") > 400)
+      .select("source").distinct()
+    docs.join(enSources, Seq("source"), "left_anti")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  private val qAntiJoinSql =
+    """SELECT doc_id, source FROM documents
+      |WHERE source NOT IN (
+      |  SELECT DISTINCT source FROM documents WHERE lang = 'en' AND n_chars > 400)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- catalog stats (A7/S11)
+  private def qCatalogStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("source")
+
+  private val qCatalogStatsSql =
+    """SELECT source, count(*) AS n_docs,
+      |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- min-max normalization per group (A5)
+  private def qMinmaxNorm(s: SparkSession, dir: String): DataFrame =
+    Retrieval.minMaxNormalize(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("score")),
+      "score", "norm", Seq("lang"))
+      .select(col("doc_id"), col("lang"), round(col("norm"), 6).as("norm"))
+      .orderBy("doc_id")
+
+  private val qMinmaxNormSql =
+    """SELECT doc_id, lang,
+      |round(CASE WHEN mx = mn THEN 1.0
+      |  ELSE (score - mn) / (mx - mn) END, 6) AS norm
+      |FROM (
+      |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS score,
+      |    min(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang) AS mn,
+      |    max(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang) AS mx
+      |  FROM documents) ORDER BY doc_id""".stripMargin
+
+  // --- tumbling time-window aggregation over the events stream table
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .orderBy("hour", "event_type")
+
+  private val qEventsWindowSql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- page-proximity range join (J4): |page_a - page_b| <= 1, executed
+  // as an expand-to-equi join (explode to p-1..p+1) so it scales as a
+  // hash join instead of a broadcast-nested-loop theta join
+  private def qPageRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("page"))
+    val images = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), pmod(col("vec_id"), lit(50)).as("ipage"))
+      .withColumn("page",
+        explode(array(col("ipage") - 1, col("ipage"), col("ipage") + 1)))
+    chunks.join(images, "page")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_imgs"))
+      .orderBy("doc_id")
+  }
+
+  private val qPageRangeJoinSql =
+    """SELECT c.doc_id, count(*) AS n_imgs
+      |FROM (SELECT doc_id, doc_id % 50 AS page FROM documents WHERE doc_id < 200) c
+      |JOIN (SELECT vec_id, vec_id % 50 AS page FROM embeddings WHERE vec_id < 200) i
+      |ON abs(c.page - i.page) <= 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_topk_docs" -> (qTopkDocs _),
+    "q_window_dedup" -> (qWindowDedup _),
+    "q_pagination" -> (qPagination _),
+    "q_broadcast_join" -> (qBroadcastJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_catalog_stats" -> (qCatalogStats _),
+    "q_minmax_norm" -> (qMinmaxNorm _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_page_range_join" -> (qPageRangeJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_topk_docs" -> qTopkDocsSql,
+    "q_window_dedup" -> qWindowDedupSql,
+    "q_pagination" -> qPaginationSql,
+    "q_broadcast_join" -> qBroadcastJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_catalog_stats" -> qCatalogStatsSql,
+    "q_minmax_norm" -> qMinmaxNormSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_page_range_join" -> qPageRangeJoinSql)
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.queries.Tables.t
+import graft.retrieval.Retrieval
+import graft.text.Tokenizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-layer queries over the `documents` table with DuckDB oracles.
+  * The oracle SQL is generated from the same constants (stoplist, BM25
+  * params, RRF weights) as the Spark plans so the two can never drift.
+  */
+object RetrievalQueries {
+
+  /** The fixed keyword query used by the BM25/hybrid battery. */
+  val KeywordQuery = "spark join table scan"
+
+  private val stopListSql =
+    Tokenizer.StopWords.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB expression computing the reference tokenizer (P1) with the
+    * all-filtered fallback, as a CTE body over `documents`.
+    */
+  private val tokensCte =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(
+       |      regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |      x -> x <> '') AS alltoks
+       |  FROM documents),
+       |kept AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_filter(alltoks,
+       |        x -> len(x) >= 2 AND NOT list_contains($stopListSql, x))) = 0
+       |      THEN alltoks
+       |      ELSE list_filter(alltoks,
+       |        x -> len(x) >= 2 AND NOT list_contains($stopListSql, x))
+       |    END AS tokens
+       |  FROM toks)""".stripMargin
+
+  // --- term frequencies across the corpus (P1 + A3 groundwork)
+  private def qTokenTf(s: SparkSession, dir: String): DataFrame =
+    Retrieval.tokenized(t(s, dir, "documents"), "doc_id", "text")
+      .select(explode(col("tokens")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(100)
+
+  private val qTokenTfSql =
+    s"""WITH $tokensCte
+       |SELECT token, count(*) AS tf
+       |FROM (SELECT unnest(tokens) AS token FROM kept)
+       |GROUP BY 1 ORDER BY tf DESC, token LIMIT 100""".stripMargin
+
+  // --- full BM25 scoring (A3) of KeywordQuery over documents. The gate
+  // query exposes raw scores (this corpus's tiny common vocabulary makes
+  // every idf negative, so the reference's `score > 0` filter — which
+  // hybridSearch keeps — would blank the comparison).
+  private def qBm25Docs(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25Scores(t(s, dir, "documents"), "doc_id", "text", KeywordQuery)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(100)
+
+  private def bm25OracleSql: String = {
+    val qTerms = Tokenizer.tokenize(KeywordQuery)
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+    val qValues = qTerms.map { case (t0, n) => s"('$t0', $n)" }.mkString(", ")
+    s"""WITH $tokensCte,
+       |stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM kept),
+       |posting AS (
+       |  SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM kept),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM posting GROUP BY 1, 2, 3),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df,
+       |    ln((SELECT n_docs FROM stats) - count(*) + 0.5) - ln(count(*) + 0.5) AS idf_raw
+       |  FROM tf GROUP BY 1),
+       |idf AS (
+       |  SELECT term,
+       |    CASE WHEN idf_raw < 0
+       |      THEN 0.25 * (SELECT avg(idf_raw) FROM dfreq)
+       |      ELSE idf_raw END AS idf
+       |  FROM dfreq),
+       |q(term, qn) AS (VALUES $qValues)
+       |SELECT tf.doc_id, round(sum(
+       |    q.qn * idf.idf * (tf.tf * (1.5 + 1)) /
+       |    (tf.tf + 1.5 * (1 - 0.75 + 0.75 * tf.dl / (SELECT avgdl FROM stats)))
+       |  ), 4) AS score
+       |FROM tf JOIN q ON tf.term = q.term JOIN idf ON tf.term = idf.term
+       |GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  // --- weighted RRF fusion (J1/W2/W3) of two deterministic rankings
+  private def qRrfDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val byChars = docs.select(col("doc_id"), col("n_chars").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(40)
+    val byLen = docs.select(col("doc_id"),
+      (-length(col("text"))).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(40)
+    Retrieval.rrfFuse(
+      Seq(byChars -> Retrieval.VectorWeight, byLen -> Retrieval.KeywordWeight),
+      "doc_id", "score")
+      .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
+  private val qRrfDocsSql =
+    """WITH a AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank
+      |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 40),
+      |b AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY len(text) ASC, doc_id) - 1 AS rank
+      |  FROM documents ORDER BY len(text) ASC, doc_id LIMIT 40),
+      |u AS (
+      |  SELECT doc_id, 0.7 / (60 + rank + 1) AS contrib FROM a
+      |  UNION ALL
+      |  SELECT doc_id, 0.3 / (60 + rank + 1) AS contrib FROM b)
+      |SELECT doc_id, round(sum(contrib), 6) AS rrf
+      |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_tf" -> (qTokenTf _),
+    "q_bm25_docs" -> (qBm25Docs _),
+    "q_rrf_docs" -> (qRrfDocs _))
+
+  val oracles: Map[String, String] = Map(
+    "q_token_tf" -> qTokenTfSql,
+    "q_bm25_docs" -> bm25OracleSql,
+    "q_rrf_docs" -> qRrfDocsSql)
+}

@@ -1,0 +1,278 @@
+package graft.text
+
+import graft.text.PyText._
+
+/** Sentence-preserving overlapped chunker — behavioral port of the
+  * reference's `SemanticChunker` (rafalpronko/pdf-parser,
+  * `app/processing/chunker.py:11-400`), extended with exact source-span
+  * tracking (the reference only *estimates* positions,
+  * `chunker.py:402-442`; the north rule requires real span offsets).
+  *
+  * Semantics pinned to the reference:
+  *  - sentence split: `re.split("(?<=[.!?])\s+(?=[A-Z])|(?<=[.!?])$")`,
+  *    blank pieces dropped, `" "` appended when a sentence does not end in
+  *    space/\n/\t, whole text as one sentence when nothing survives
+  *    (`chunker.py:272-303`)
+  *  - greedy packing: flush when `len(cur)+len(s) > size && cur != ""`;
+  *    next chunk starts `overlap_buffer + s` (`chunker.py:241-256`)
+  *  - safety: a chunk exceeding `2*size` is word-split, all but the last
+  *    piece emitted (`chunker.py:258-264,305-334`)
+  *  - overlap: last `overlap` chars, restarted after the max-position of
+  *    `". " "! " "? "` if found at index > 0, else after the first `" "`
+  *    at index > 0 (`chunker.py:336-368`)
+  *  - headings: `len<=100 && (ALLCAPS>3 || ^\d+\.?\s+[A-Z] ||
+  *    title-case ratio > 0.6)` (`chunker.py:370-400`)
+  *  - structure-aware mode: heading starts a new section; small sections
+  *    stay whole; large ones split with `"[Context: {heading}]\n\n"`
+  *    prefixed when absent (`chunker.py:106-221`)
+  *
+  * Exact for all BMP text (Python `len` counts code points; JVM strings
+  * count UTF-16 units — fixtures avoid astral-plane chars, documented
+  * limitation).
+  *
+  * Pure functions: usable in `flatMap`/`mapPartitions` and Catalyst
+  * expressions; no Spark imports here.
+  */
+object Chunker {
+
+  val DefaultChunkSize = 512
+  val DefaultOverlap = 50
+
+  /** A sentence piece: `text` as packed (possibly with a synthetic
+    * trailing space), `[start,end)` source offsets of the raw piece.
+    */
+  final case class Sentence(text: String, start: Int, end: Int)
+
+  /** An emitted chunk: `content` exactly as the reference builds it
+    * (unstripped), `[start,end)` covering the source sentences that
+    * contributed new (non-overlap) content.
+    */
+  final case class ChunkSpan(content: String, start: Int, end: Int)
+
+  private val SentencePattern =
+    pyPattern("(?<=[.!?])\\s+(?=[A-Z])|(?<=[.!?])$")
+  private val NumberedHeading = pyPattern("^\\d+\\.?\\s+[A-Z]")
+
+  /** `_split_into_sentences` (`chunker.py:272-303`) with source offsets. */
+  def splitIntoSentences(text: String): Vector[Sentence] = {
+    val m = SentencePattern.matcher(text)
+    val pieces = Vector.newBuilder[(String, Int, Int)]
+    var last = 0
+    var from = 0
+    var done = false
+    while (!done && from <= text.length && m.find(from)) {
+      pieces += ((text.substring(last, m.start), last, m.start))
+      last = m.end
+      from = if (m.end == m.start) m.end + 1 else m.end
+      if (from > text.length) done = true
+    }
+    pieces += ((text.substring(last), last, text.length))
+
+    val kept = pieces.result().flatMap { case (raw, s, e) =>
+      if (pyStrip(raw).nonEmpty) {
+        val t =
+          if (raw.endsWith(" ") || raw.endsWith("\n") || raw.endsWith("\t")) raw
+          else raw + " "
+        Some(Sentence(t, s, e))
+      } else None
+    }
+    if (kept.isEmpty && pyStrip(text).nonEmpty)
+      Vector(Sentence(text, 0, text.length))
+    else kept
+  }
+
+  /** `_split_long_text_by_words` (`chunker.py:305-334`). */
+  def splitLongTextByWords(text: String, chunkSize: Int): Vector[String] = {
+    val words = pySplit(text)
+    val chunks = Vector.newBuilder[String]
+    var cur = ""
+    var emitted = false
+    words.foreach { word =>
+      val test = if (cur.isEmpty) word else cur + " " + word
+      if (test.length > chunkSize && cur.nonEmpty) {
+        chunks += cur; emitted = true
+        cur = word
+      } else cur = test
+    }
+    if (cur.nonEmpty) { chunks += cur; emitted = true }
+    if (emitted) chunks.result() else Vector(text)
+  }
+
+  /** `_get_overlap_text` (`chunker.py:336-368`). Note the CPython slice
+    * quirk: `text[-0:]` is the whole string, so `overlap == 0` keeps the
+    * full text as the candidate tail (observed reference behavior).
+    */
+  def overlapText(text: String, overlap: Int): String = {
+    if (text.length <= overlap) return text
+    val tail = if (overlap == 0) text else text.substring(text.length - overlap)
+    val sentenceStart =
+      math.max(tail.indexOf(". "), math.max(tail.indexOf("! "), tail.indexOf("? ")))
+    if (sentenceStart > 0) tail.substring(sentenceStart + 2)
+    else {
+      val spacePos = tail.indexOf(" ")
+      if (spacePos > 0) tail.substring(spacePos + 1) else tail
+    }
+  }
+
+  /** `_split_text_with_overlap` (`chunker.py:223-270`) with spans.
+    * Content strings are byte-identical to the reference; spans cover the
+    * raw source range of the sentences packed into each chunk (word-split
+    * safety pieces share their parent accumulation's span).
+    */
+  def splitTextWithOverlap(
+      text: String,
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap): Vector[ChunkSpan] = {
+    require(chunkSize > 0, "chunk_size must be positive")
+    require(overlap >= 0, "chunk_overlap must be non-negative")
+    require(overlap < chunkSize, "chunk_overlap must be less than chunk_size")
+
+    if (text.isEmpty || pyStrip(text).isEmpty) return Vector.empty
+    val sentences = splitIntoSentences(text)
+    if (sentences.isEmpty) return Vector.empty
+
+    val chunks = Vector.newBuilder[ChunkSpan]
+    var cur = ""
+    var curStart = -1
+    var curEnd = -1
+    var overlapBuf = ""
+
+    sentences.foreach { s =>
+      if (cur.length + s.text.length > chunkSize && cur.nonEmpty) {
+        chunks += ChunkSpan(cur, curStart, curEnd)
+        cur = overlapBuf + s.text
+        curStart = s.start
+        curEnd = s.end
+        overlapBuf = overlapText(cur, overlap)
+      } else {
+        cur += s.text
+        if (curStart < 0) curStart = s.start
+        curEnd = s.end
+        overlapBuf = overlapText(cur, overlap)
+      }
+      if (cur.length > chunkSize * 2) {
+        val wordChunks = splitLongTextByWords(cur, chunkSize)
+        wordChunks.dropRight(1).foreach(w => chunks += ChunkSpan(w, curStart, curEnd))
+        cur = if (wordChunks.nonEmpty) wordChunks.last else ""
+        overlapBuf = overlapText(cur, overlap)
+      }
+    }
+    if (pyStrip(cur).nonEmpty) chunks += ChunkSpan(cur, curStart, curEnd)
+    chunks.result()
+  }
+
+  /** `_is_likely_heading` (`chunker.py:370-400`); font size unused by the
+    * reference implementation despite its signature.
+    */
+  def isLikelyHeading(text: String): Boolean = {
+    if (text.length > 100) return false
+    if (pyIsUpper(text) && text.length > 3) return true
+    if (NumberedHeading.matcher(text).lookingAt()) return true
+    val words = pySplit(text)
+    if (words.nonEmpty) {
+      val capitalized =
+        words.count(w => w.nonEmpty && Character.isUpperCase(w.codePointAt(0)))
+      if (capitalized.toDouble / words.length > 0.6) return true
+    }
+    false
+  }
+
+  /** One structured block: a text unit with a page (transcript turns map
+    * page := turn_idx when chunking a whole conversation).
+    */
+  final case class Block(text: String, page: Int)
+
+  /** A structure-aware chunk (`chunk_with_structure`,
+    * `chunker.py:106-221`): content stripped as the reference does at
+    * emission, sequential `chunkIndex`, section metadata.
+    */
+  final case class StructChunk(
+      content: String,
+      page: Int,
+      chunkIndex: Int,
+      sectionBoundary: Boolean,
+      sectionHeading: Option[String],
+      rawLength: Int)
+
+  /** `chunk_with_structure` (`chunker.py:106-221`). */
+  def chunkWithStructure(
+      blocks: Seq[Block],
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap): Vector[StructChunk] = {
+    // group blocks into sections on heading boundaries (chunker.py:137-159)
+    var curSection = ""
+    var curPage = 0
+    var curHeading = ""
+    val sections = Vector.newBuilder[(String, Int, String)]
+    blocks.foreach { b =>
+      val heading = isLikelyHeading(b.text)
+      if (heading && curSection.nonEmpty) {
+        sections += ((curSection, curPage, curHeading))
+        curHeading = b.text
+        curSection = b.text + "\n"
+        curPage = b.page
+      } else {
+        if (curSection.isEmpty) curPage = b.page
+        if (heading) curHeading = b.text
+        curSection += b.text + "\n"
+      }
+    }
+    if (curSection.nonEmpty) sections += ((curSection, curPage, curHeading))
+
+    val out = Vector.newBuilder[StructChunk]
+    var idx = 0
+    sections.result().foreach { case (sectionText, page, heading) =>
+      if (sectionText.length <= chunkSize) {
+        out += StructChunk(pyStrip(sectionText), page, idx,
+          sectionBoundary = true,
+          sectionHeading = if (heading.nonEmpty) Some(heading) else None,
+          rawLength = sectionText.length)
+        idx += 1
+      } else {
+        splitTextWithOverlap(sectionText, chunkSize, overlap).zipWithIndex.foreach {
+          case (sub, subIdx) =>
+            val stripped = pyStrip(sub.content)
+            val content =
+              if (heading.nonEmpty && !stripped.contains(heading))
+                s"[Context: $heading]\n\n$stripped"
+              else stripped
+            out += StructChunk(content, page, idx,
+              sectionBoundary = subIdx == 0,
+              sectionHeading = if (heading.nonEmpty) Some(heading) else None,
+              rawLength = sub.content.length)
+            idx += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Flat per-document chunking as `chunk_document` (`chunker.py:38-104`):
+    * blocks concatenated per page with `"\n"` after each, pages in sorted
+    * order, then overlap-split; emitted content is stripped. Page
+    * attribution via exact spans (reference estimates, `chunker.py:81-82`).
+    */
+  def chunkDocument(
+      blocks: Seq[Block],
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap): Vector[StructChunk] = {
+    val byPage = blocks.groupBy(_.page).toVector.sortBy(_._1)
+    val full = new StringBuilder
+    val boundaries = Vector.newBuilder[(Int, Int, Int)] // (page, start, end)
+    byPage.foreach { case (page, bs) =>
+      val start = full.length
+      bs.foreach(b => full.append(b.text).append('\n'))
+      boundaries += ((page, start, full.length))
+    }
+    val bounds = boundaries.result()
+    def pageFor(pos: Int): Int =
+      bounds.find(b => b._2 <= pos && pos < b._3).map(_._1)
+        .getOrElse(if (bounds.nonEmpty) bounds.head._1 else 0)
+    splitTextWithOverlap(full.toString, chunkSize, overlap).zipWithIndex.map {
+      case (c, i) =>
+        StructChunk(pyStrip(c.content), pageFor(c.start), i,
+          sectionBoundary = false, sectionHeading = None,
+          rawLength = c.content.length)
+    }
+  }
+}
