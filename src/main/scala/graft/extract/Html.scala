@@ -1,0 +1,393 @@
+package graft.extract
+
+import graft.text.PyText._
+
+import scala.collection.mutable
+
+/** Hand-built HTML tag tokenizer + main-content (boilerplate) stripper.
+  *
+  * The reference (rafalpronko/pdf-parser) delegates HTML handling to
+  * BeautifulSoup for table extraction only (`app/parsers/
+  * rag_anything_parser.py:169-202`); the north rule requires a native
+  * "tag tokenizer + text-density/link-density DOM heuristics a la
+  * Boilerpipe". This file implements both:
+  *
+  *  - a single-pass, allocation-light tag tokenizer (no DOM tree) emitting
+  *    (start-tag, end-tag, text) events with source offsets — raw-text
+  *    elements (`script/style/...`), comments, doctypes and entity
+  *    references handled;
+  *  - block segmentation at block-level tag boundaries, accumulating
+  *    per-block word and anchor-word counts;
+  *  - the published Boilerpipe `NumWordsRulesClassifier` decision rules
+  *    (Kohlschütter et al., WSDM 2010, "Boilerplate Detection using
+  *    Shallow Text Features") over (link density, word count) of the
+  *    previous/current/next block — public-paper heuristics, no code
+  *    reuse;
+  *  - structural overrides: `<article>/<main>` focus, container boilerplate
+  *    (`nav/header/footer/aside/...`) always stripped;
+  *  - `<table>` cell extraction with BeautifulSoup `get_text(strip=True)`
+  *    semantics (descendant strings stripped and joined with "",
+  *    `rag_anything_parser.py:188-195`), first row = header heuristic
+  *    (`:286-291`).
+  *
+  * Pure JVM function — runs inside `mapPartitions` on executors with zero
+  * external deps; deterministic for the golden-parity gate.
+  */
+object Html {
+
+  // --- tokenizer ------------------------------------------------------------
+
+  sealed trait Event
+  final case class StartTag(name: String, attrs: Map[String, String],
+      start: Int, end: Int, selfClosing: Boolean) extends Event
+  final case class EndTag(name: String, start: Int, end: Int) extends Event
+  /** Decoded text content; [start,end) are raw source offsets. */
+  final case class Text(text: String, start: Int, end: Int) extends Event
+
+  /** Elements whose content is raw text (no tag parsing until the matching
+    * close tag), per the HTML5 tokenizer states.
+    */
+  private val RawText = Set("script", "style", "textarea", "title", "xmp")
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "rsquo" -> "’", "lsquo" -> "‘", "ldquo" -> "“",
+    "rdquo" -> "”", "shy" -> "", "times" -> "×", "bull" -> "•")
+
+  /** Decode character references; unknown ones pass through verbatim. */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try { out.appendAll(Character.toChars(Integer.parseInt(body.substring(2), 16))); i = semi + 1 }
+            catch { case _: Exception => out.append(c); i += 1 }
+          } else if (body.startsWith("#")) {
+            try { out.appendAll(Character.toChars(Integer.parseInt(body.substring(1)))); i = semi + 1 }
+            catch { case _: Exception => out.append(c); i += 1 }
+          } else NamedEntities.get(body.toLowerCase) match {
+            case Some(rep) => out.append(rep); i = semi + 1
+            case None => out.append(c); i += 1
+          }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  @inline private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+
+  /** Single linear pass over `html`, invoking `f` per event. */
+  def tokenize(html: String)(f: Event => Unit): Unit = {
+    val n = html.length
+    var i = 0
+    var rawUntilClose: String = null
+    while (i < n) {
+      if (rawUntilClose != null) {
+        // inside <script>/<style>/...: scan for the matching close tag
+        val close = "</" + rawUntilClose
+        var j = html.indexOf(close, i)
+        // tolerate arbitrary case on the close tag
+        if (j < 0) {
+          val lower = html.toLowerCase
+          j = lower.indexOf(close, i)
+        }
+        // RCDATA elements (title/textarea) decode entities; script/style
+        // and friends stay raw, per the HTML5 tokenizer states
+        val rcdata = rawUntilClose == "title" || rawUntilClose == "textarea"
+        def payload(a: Int, b: Int): String = {
+          val s = html.substring(a, b)
+          if (rcdata) decodeEntities(s) else s
+        }
+        if (j < 0) {
+          f(Text(payload(i, n), i, n)); i = n; rawUntilClose = null
+        } else {
+          if (j > i) f(Text(payload(i, j), i, j))
+          val gt = html.indexOf('>', j)
+          val end = if (gt < 0) n else gt + 1
+          f(EndTag(rawUntilClose, j, end))
+          i = end
+          rawUntilClose = null
+        }
+      } else {
+        val lt = html.indexOf('<', i)
+        if (lt < 0) { f(Text(decodeEntities(html.substring(i)), i, n)); i = n }
+        else {
+          if (lt > i) f(Text(decodeEntities(html.substring(i, lt)), i, lt))
+          if (lt + 1 >= n) { i = n }
+          else html.charAt(lt + 1) match {
+            case '!' =>
+              if (html.startsWith("<!--", lt)) {
+                val close = html.indexOf("-->", lt + 4)
+                i = if (close < 0) n else close + 3
+              } else {
+                val gt = html.indexOf('>', lt)
+                i = if (gt < 0) n else gt + 1
+              }
+            case '?' =>
+              val gt = html.indexOf('>', lt)
+              i = if (gt < 0) n else gt + 1
+            case '/' =>
+              var j = lt + 2
+              val s = j
+              while (j < n && isNameChar(html.charAt(j))) j += 1
+              val name = html.substring(s, j).toLowerCase
+              val gt = html.indexOf('>', j)
+              val end = if (gt < 0) n else gt + 1
+              if (name.nonEmpty) f(EndTag(name, lt, end))
+              i = end
+            case c if isNameChar(c) =>
+              var j = lt + 1
+              while (j < n && isNameChar(html.charAt(j))) j += 1
+              val name = html.substring(lt + 1, j).toLowerCase
+              // attributes
+              val attrs = mutable.Map.empty[String, String]
+              var selfClosing = false
+              var done = false
+              while (!done && j < n) {
+                while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+                if (j < n && html.charAt(j) == '>') { j += 1; done = true }
+                else if (j + 1 < n && html.charAt(j) == '/' && html.charAt(j + 1) == '>') {
+                  selfClosing = true; j += 2; done = true
+                } else if (j >= n) done = true
+                else {
+                  val as = j
+                  while (j < n && !Character.isWhitespace(html.charAt(j)) &&
+                    html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+                  val aname = html.substring(as, j).toLowerCase
+                  while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+                  if (j < n && html.charAt(j) == '=') {
+                    j += 1
+                    while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+                    if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                      val q = html.charAt(j)
+                      val vs = j + 1
+                      val ve = html.indexOf(q, vs)
+                      if (ve < 0) { attrs(aname) = decodeEntities(html.substring(vs)); j = n }
+                      else { attrs(aname) = decodeEntities(html.substring(vs, ve)); j = ve + 1 }
+                    } else {
+                      val vs = j
+                      while (j < n && !Character.isWhitespace(html.charAt(j)) && html.charAt(j) != '>') j += 1
+                      attrs(aname) = decodeEntities(html.substring(vs, j))
+                    }
+                  } else if (aname.nonEmpty) attrs(aname) = ""
+                  else if (j < n && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+                }
+              }
+              f(StartTag(name, attrs.toMap, lt, j, selfClosing))
+              if (RawText.contains(name) && !selfClosing) rawUntilClose = name
+              i = j
+            case _ =>
+              f(Text("<", lt, lt + 1)); i = lt + 1
+          }
+        }
+      }
+    }
+  }
+
+  // --- block model ----------------------------------------------------------
+
+  /** One text block with shallow-text features and raw source span. */
+  final case class Block(
+      text: String,
+      kind: String, // "text" | "heading" | "table"
+      words: Int,
+      linkWords: Int,
+      start: Int,
+      end: Int,
+      inArticle: Boolean) {
+    def linkDensity: Double = if (words == 0) 0.0 else linkWords.toDouble / words
+  }
+
+  final case class Result(
+      blocks: Vector[Block],
+      content: Vector[Block],
+      tables: Vector[Vector[Vector[String]]],
+      title: String)
+
+  /** Tags that end/begin a text block (block-level content model). */
+  private val BlockTags = Set(
+    "p", "div", "article", "section", "main", "aside", "nav", "header",
+    "footer", "li", "ul", "ol", "dl", "dt", "dd", "h1", "h2", "h3", "h4",
+    "h5", "h6", "table", "tr", "td", "th", "thead", "tbody", "blockquote",
+    "pre", "br", "hr", "body", "html", "head", "title", "figure",
+    "figcaption", "form", "fieldset", "address", "center")
+
+  /** Containers whose entire subtree is boilerplate by structure. */
+  private val BoilerplateContainers = Set(
+    "nav", "header", "footer", "aside", "script", "style", "noscript",
+    "head", "form", "button", "select", "option", "iframe", "svg", "menu")
+
+  private val HeadingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Tokenize + segment + classify. Main entry point. */
+  def extract(html: String): Result = {
+    val blocks = Vector.newBuilder[Block]
+    val tables = Vector.newBuilder[Vector[Vector[String]]]
+    var title = ""
+
+    // segmentation state
+    val sb = new StringBuilder
+    var blkWords = 0
+    var blkLinkWords = 0
+    var blkStart = -1
+    var blkEnd = -1
+    var blkHeading = 0 // depth inside h1..h6
+    var anchorDepth = 0
+    var boilerDepth = 0
+    var articleDepth = 0
+    var inTitle = false
+
+    // table state
+    var tableDepth = 0
+    var curTable: mutable.ArrayBuffer[Vector[String]] = null
+    var curRow: mutable.ArrayBuffer[String] = null
+    var curCell: StringBuilder = null
+    var cellDepth = 0
+    var tableStart = -1
+    var sawCellText = false
+
+    def flush(): Unit = {
+      val t = pyStrip(collapseWs(sb.toString))
+      if (t.nonEmpty && boilerDepth == 0) {
+        blocks += Block(t, if (blkHeading > 0) "heading" else "text",
+          blkWords, blkLinkWords, blkStart, blkEnd, articleDepth > 0)
+      }
+      sb.clear(); blkWords = 0; blkLinkWords = 0; blkStart = -1; blkEnd = -1
+    }
+
+    tokenize(html) {
+      case StartTag(name, _, s, e, selfClosing) =>
+        if (BlockTags.contains(name)) flush()
+        if (name == "title") inTitle = true
+        if (BoilerplateContainers.contains(name) && !selfClosing) boilerDepth += 1
+        if ((name == "article" || name == "main") && !selfClosing) articleDepth += 1
+        if (name == "a" && !selfClosing) anchorDepth += 1
+        if (HeadingTags.contains(name) && !selfClosing) blkHeading += 1
+        if (name == "table") {
+          tableDepth += 1
+          if (tableDepth == 1) {
+            curTable = mutable.ArrayBuffer.empty; tableStart = s
+          }
+        }
+        if (tableDepth > 0) name match {
+          case "tr" => curRow = mutable.ArrayBuffer.empty
+          case "td" | "th" =>
+            if (curRow == null) curRow = mutable.ArrayBuffer.empty
+            curCell = new StringBuilder; cellDepth = 1; sawCellText = false
+          case _ => if (curCell != null) cellDepth += 1
+        }
+
+      case EndTag(name, s, e) =>
+        if (BlockTags.contains(name)) flush()
+        if (name == "title") inTitle = false
+        if (BoilerplateContainers.contains(name) && boilerDepth > 0) boilerDepth -= 1
+        if ((name == "article" || name == "main") && articleDepth > 0) articleDepth -= 1
+        if (name == "a" && anchorDepth > 0) anchorDepth -= 1
+        if (HeadingTags.contains(name) && blkHeading > 0) blkHeading -= 1
+        if (tableDepth > 0) name match {
+          case "td" | "th" =>
+            if (curCell != null) { curRow += curCell.toString; curCell = null; cellDepth = 0 }
+          case "tr" =>
+            if (curRow != null && curRow.nonEmpty) { curTable += curRow.toVector }
+            curRow = null
+          case "table" =>
+            tableDepth -= 1
+            if (tableDepth == 0 && curTable != null) {
+              if (curRow != null && curRow.nonEmpty) { curTable += curRow.toVector; curRow = null }
+              if (curTable.nonEmpty) {
+                tables += curTable.toVector
+                // table rendered into the block stream too (deterministic
+                // textual form: cells " | ", rows newline)
+                val rendered = curTable.map(_.mkString(" | ")).mkString("\n")
+                if (rendered.nonEmpty && boilerDepth == 0)
+                  blocks += Block(rendered, "table",
+                    pySplit(rendered).size, 0, tableStart, e, articleDepth > 0)
+              }
+              curTable = null
+            }
+          case _ => if (curCell != null && cellDepth > 0) cellDepth -= 1
+        }
+
+      case Text(t, s, e) =>
+        if (inTitle) title += t
+        if (curCell != null) {
+          // get_text(strip=True) semantics: strip each string, join with ""
+          val st = pyStrip(t)
+          if (st.nonEmpty) { curCell.append(st); sawCellText = true }
+        } else if (tableDepth == 0 && pyStrip(t).nonEmpty) {
+          if (blkStart < 0) blkStart = s
+          blkEnd = e
+          sb.append(t)
+          val ws = pySplit(t).size
+          blkWords += ws
+          if (anchorDepth > 0) blkLinkWords += ws
+        }
+    }
+    flush()
+
+    val all = blocks.result()
+    Result(all, classify(all), tables.result(), pyStrip(collapseWs(title)))
+  }
+
+  /** Collapse whitespace runs to single spaces (HTML rendering rule). */
+  def collapseWs(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var lastWs = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (pyIsSpace(c)) { if (!lastWs && out.nonEmpty) out.append(' '); lastWs = true }
+      else { out.append(c); lastWs = false }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Boilerpipe NumWordsRulesClassifier (public decision rules from the
+    * WSDM'10 paper's released decision tree), with two structural
+    * overrides: article/main focus and heading adjacency.
+    */
+  def classify(all: Vector[Block]): Vector[Block] = {
+    if (all.isEmpty) return all
+    val hasArticle = all.exists(_.inArticle)
+    val candidates = if (hasArticle) all.filter(_.inArticle) else all
+
+    def words(i: Int): Int =
+      if (i < 0 || i >= candidates.length) 0 else candidates(i).words
+    def ld(i: Int): Double =
+      if (i < 0 || i >= candidates.length) 0.0 else candidates(i).linkDensity
+
+    val isContent = Array.tabulate(candidates.length) { i =>
+      val c = candidates(i)
+      if (c.kind == "table") c.words > 0 && ld(i) <= 0.333333
+      else if (ld(i) > 0.333333) false
+      else if (ld(i - 1) <= 0.555556)
+        words(i) > 16 || words(i + 1) > 15 || words(i - 1) > 4
+      else
+        words(i) > 40 || words(i + 1) > 17
+    }
+    // headings adjacent to content survive (section titles are short but
+    // are main content when they head a kept block)
+    val keep = Array.tabulate(candidates.length) { i =>
+      isContent(i) ||
+        (candidates(i).kind == "heading" && ld(i) <= 0.333333 &&
+          (i + 1 < candidates.length) && isContent(i + 1))
+    }
+    candidates.zipWithIndex.collect { case (b, i) if keep(i) => b }
+  }
+
+  /** Main text: kept blocks joined by "\n". */
+  def mainText(html: String): String =
+    extract(html).content.map(_.text).mkString("\n")
+}

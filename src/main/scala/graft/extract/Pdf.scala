@@ -1,0 +1,450 @@
+package graft.extract
+
+import scala.collection.mutable
+
+/** Hand-built PDF text/layout extractor over raw content streams.
+  *
+  * The reference (rafalpronko/pdf-parser) delegates PDF parsing to external
+  * engines (MinerU/Adobe/GPT-4o — `app/parsers/` modules); the north rule
+  * requires a native "content-stream token parse, x-y cut reading-order
+  * reconstruction, header/footer suppression". Implemented from the public
+  * PDF 1.7 spec (ISO 32000-1 §9.4 text objects / §7.3 lexical conventions)
+  * and the classic recursive X-Y cut algorithm (Nagy & Seth, 1984):
+  *
+  *  - lexer: numbers, literal strings `(...)` with escapes, hex strings
+  *    `<...>`, arrays, names, operators; comments `%` to EOL; multi-page
+  *    streams delimited by `%%Page: N` comment lines;
+  *  - text state machine: `BT/ET`, `Td/TD/Tm/T*`, `TL`, `Tf`, `Tj/TJ/'/"`
+  *    — tracks the line-matrix origin (x, y) and font size; glyph widths
+  *    are approximated at 0.5 em (no font metrics in a bare stream);
+  *  - TJ kerning: adjustments ≤ -180/1000 em render as a space (standard
+  *    word-spacing heuristic used by every open-source text extractor);
+  *  - lines: items grouped by baseline y (±2pt), ordered by x, joined with
+  *    a space on gaps > 0.25 em;
+  *  - reading order: recursive X-Y cut over line bboxes — split on the
+  *    widest horizontal whitespace valley, then vertical (handles
+  *    multi-column layouts), recursing until atomic;
+  *  - header/footer suppression: on multi-page docs, lines in the top /
+  *    bottom 12% of the page whose digit-normalized text recurs on ≥ half
+  *    (and ≥ 2) of the pages are dropped.
+  *
+  * Pure JVM, deterministic; spans are [start,end) offsets into the source
+  * stream covering each emitted line's string tokens.
+  */
+object Pdf {
+
+  /** One positioned string draw. */
+  final case class TextItem(x: Double, y: Double, fontSize: Double,
+      text: String, start: Int, end: Int)
+
+  /** One reconstructed line on a page. */
+  final case class Line(page: Int, x0: Double, x1: Double, y: Double,
+      fontSize: Double, text: String, start: Int, end: Int)
+
+  // --- lexer ----------------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class TNum(v: Double) extends Tok
+  private final case class TStr(v: String, start: Int, end: Int) extends Tok
+  private final case class TName(v: String) extends Tok
+  private final case class TArr(items: Vector[Tok]) extends Tok
+  private final case class TOp(v: String) extends Tok
+
+  @inline private def isDelim(c: Char): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
+
+  /** Parse a literal string `(...)` starting at `i` (at the '('). Returns
+    * (decoded, endIndex).
+    */
+  private def literalString(s: String, i0: Int): (String, Int) = {
+    val out = new StringBuilder
+    var i = i0 + 1
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case '(' => out.append('('); i += 2
+          case ')' => out.append(')'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '\n' => i += 2 // line continuation
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1
+            var v = 0
+            while (j < s.length && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+              v = v * 8 + (s.charAt(j) - '0'); j += 1
+            }
+            out.append(v.toChar); i = j
+          case other => out.append(other); i += 2
+        }
+      } else if (c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) out.append(c); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    (out.toString, i)
+  }
+
+  private def hexString(s: String, i0: Int): (String, Int) = {
+    var i = i0 + 1
+    val hex = new StringBuilder
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (!isWs(c)) hex.append(c)
+      i += 1
+    }
+    if (hex.length % 2 == 1) hex.append('0')
+    val out = new StringBuilder
+    var j = 0
+    while (j + 1 < hex.length + 1 && j + 2 <= hex.length) {
+      try out.append(Integer.parseInt(hex.substring(j, j + 2), 16).toChar)
+      catch { case _: Exception => }
+      j += 2
+    }
+    (out.toString, if (i < s.length) i + 1 else i)
+  }
+
+  /** Run the text-object state machine over one page's stream slice.
+    * `base` is the offset of the slice in the full source.
+    */
+  private def runPage(src: String, base: Int): Vector[TextItem] = {
+    val items = Vector.newBuilder[TextItem]
+    val stack = mutable.ArrayBuffer.empty[Tok]
+
+    var inText = false
+    var fontSize = 12.0
+    var leading = 14.4
+    var lineX = 0.0
+    var lineY = 0.0
+    var curX = 0.0
+    var curY = 0.0
+
+    @inline def num(t: Tok): Double = t match { case TNum(v) => v; case _ => 0.0 }
+    @inline def widthOf(text: String): Double = text.length * 0.5 * fontSize
+
+    def emit(str: String, s0: Int, e0: Int): Unit = {
+      if (str.nonEmpty) items += TextItem(curX, curY, fontSize, str, s0, e0)
+      curX += widthOf(str)
+    }
+
+    def popN(k: Int): Vector[Tok] = {
+      val n = stack.length
+      val taken = stack.slice(math.max(0, n - k), n).toVector
+      stack.remove(math.max(0, n - k), math.min(k, n))
+      taken
+    }
+
+    def doOp(op: String): Unit = op match {
+      case "BT" => inText = true; lineX = 0; lineY = 0; curX = 0; curY = 0
+      case "ET" => inText = false
+      case "Tf" => val a = popN(2); fontSize = num(a.last); leading = if (leading == 0) fontSize * 1.2 else leading
+      case "TL" => val a = popN(1); leading = num(a.head)
+      case "Td" =>
+        val a = popN(2)
+        if (a.length == 2) { lineX += num(a(0)); lineY += num(a(1)) }
+        curX = lineX; curY = lineY
+      case "TD" =>
+        val a = popN(2)
+        if (a.length == 2) { leading = -num(a(1)); lineX += num(a(0)); lineY += num(a(1)) }
+        curX = lineX; curY = lineY
+      case "Tm" =>
+        val a = popN(6)
+        if (a.length == 6) {
+          lineX = num(a(4)); lineY = num(a(5))
+          val sc = math.abs(num(a(0)))
+          if (sc > 0) fontSize = fontSize // text matrix scale folded into estimates only
+        }
+        curX = lineX; curY = lineY
+      case "T*" => lineY -= leading; curX = lineX; curY = lineY
+      case "Tj" =>
+        popN(1) match {
+          case Vector(TStr(v, s0, e0)) if inText => emit(v, s0, e0)
+          case _ =>
+        }
+      case "'" =>
+        lineY -= leading; curX = lineX; curY = lineY
+        popN(1) match {
+          case Vector(TStr(v, s0, e0)) if inText => emit(v, s0, e0)
+          case _ =>
+        }
+      case "\"" =>
+        val a = popN(3)
+        lineY -= leading; curX = lineX; curY = lineY
+        a.lastOption match {
+          case Some(TStr(v, s0, e0)) if inText => emit(v, s0, e0)
+          case _ =>
+        }
+      case "TJ" =>
+        popN(1) match {
+          case Vector(TArr(elems)) if inText =>
+            var s0 = -1
+            var e0 = -1
+            val sb = new StringBuilder
+            val x0 = curX
+            elems.foreach {
+              case TStr(v, ss, ee) =>
+                if (s0 < 0) s0 = ss
+                e0 = ee; sb.append(v)
+              case TNum(adj) => if (adj <= -180) sb.append(' ')
+              case _ =>
+            }
+            if (sb.nonEmpty && s0 >= 0) {
+              items += TextItem(x0, curY, fontSize, sb.toString, s0, e0)
+              curX = x0 + widthOf(sb.toString)
+            }
+          case _ =>
+        }
+      case _ => stack.clear() // unknown operator: drop its operands
+    }
+
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (isWs(c)) i += 1
+      else if (c == '%') { val nl = src.indexOf('\n', i); i = if (nl < 0) n else nl + 1 }
+      else if (c == '(') {
+        val st = i
+        val (v, e) = literalString(src, i)
+        stack += TStr(v, base + st, base + e); i = e
+      } else if (c == '<' && i + 1 < n && src.charAt(i + 1) != '<') {
+        val st = i
+        val (v, e) = hexString(src, i)
+        stack += TStr(v, base + st, base + e); i = e
+      } else if (c == '<') { i += 2; stack += TOp("<<") }
+      else if (c == '>' ) { i += (if (i + 1 < n && src.charAt(i + 1) == '>') 2 else 1) }
+      else if (c == '[') {
+        // recursively lex the array body
+        var depth = 1
+        var j = i + 1
+        while (j < n && depth > 0) {
+          val cc = src.charAt(j)
+          if (cc == '(') j = literalString(src, j)._2
+          else { if (cc == '[') depth += 1 else if (cc == ']') depth -= 1; j += 1 }
+        }
+        val inner = src.substring(i + 1, math.max(i + 1, j - 1))
+        val elems = Vector.newBuilder[Tok]
+        var k = 0
+        val m = inner.length
+        while (k < m) {
+          val ic = inner.charAt(k)
+          if (isWs(ic)) k += 1
+          else if (ic == '(') {
+            val st = k
+            val (v, e) = literalString(inner, k)
+            elems += TStr(v, base + i + 1 + st, base + i + 1 + e); k = e
+          } else if (ic == '<') {
+            val st = k
+            val (v, e) = hexString(inner, k)
+            elems += TStr(v, base + i + 1 + st, base + i + 1 + e); k = e
+          } else {
+            val st = k
+            while (k < m && !isWs(inner.charAt(k)) && inner.charAt(k) != '(' && inner.charAt(k) != '<') k += 1
+            val tok = inner.substring(st, k)
+            try elems += TNum(tok.toDouble)
+            catch { case _: Exception => }
+          }
+        }
+        stack += TArr(elems.result()); i = j
+      } else if (c == '/') {
+        var j = i + 1
+        while (j < n && !isWs(src.charAt(j)) && !isDelim(src.charAt(j))) j += 1
+        stack += TName(src.substring(i + 1, j)); i = j
+      } else if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+        var j = i
+        while (j < n && ((src.charAt(j) >= '0' && src.charAt(j) <= '9') ||
+          src.charAt(j) == '-' || src.charAt(j) == '+' || src.charAt(j) == '.')) j += 1
+        try stack += TNum(src.substring(i, j).toDouble)
+        catch { case _: Exception => }
+        i = j
+      } else {
+        var j = i
+        while (j < n && !isWs(src.charAt(j)) && !isDelim(src.charAt(j))) j += 1
+        val op = src.substring(i, j)
+        if (op.nonEmpty) doOp(op)
+        i = math.max(j, i + 1)
+      }
+    }
+    items.result()
+  }
+
+  // --- line reconstruction --------------------------------------------------
+
+  private def toLines(items: Vector[TextItem], page: Int): Vector[Line] = {
+    if (items.isEmpty) return Vector.empty
+    val sorted = items.sortBy(it => (-it.y, it.x, it.start))
+    val lines = Vector.newBuilder[Line]
+    var group = mutable.ArrayBuffer(sorted.head)
+    def flush(): Unit = {
+      // same baseline; split into fragments on column-sized x-gaps
+      // (> 2 em) so multi-column rows stay separate lines for the X-Y cut
+      val g = group.sortBy(it => (it.x, it.start))
+      var frag = mutable.ArrayBuffer.empty[TextItem]
+      var prevEndX = Double.NaN
+
+      def emitFrag(): Unit = if (frag.nonEmpty) {
+        val sb = new StringBuilder
+        var endX = Double.NaN
+        var fs = 0.0
+        frag.foreach { it =>
+          if (sb.nonEmpty) {
+            val gap = it.x - endX
+            if (gap > 0.25 * it.fontSize && !sb.last.isWhitespace &&
+              !it.text.headOption.exists(_.isWhitespace)) sb.append(' ')
+          }
+          sb.append(it.text)
+          endX = it.x + it.text.length * 0.5 * it.fontSize
+          fs = math.max(fs, it.fontSize)
+        }
+        lines += Line(page, frag.head.x, endX, frag.head.y, fs,
+          sb.toString, frag.map(_.start).min, frag.map(_.end).max)
+        frag = mutable.ArrayBuffer.empty
+      }
+
+      g.foreach { it =>
+        if (frag.nonEmpty && it.x - prevEndX > 2.0 * it.fontSize) emitFrag()
+        frag += it
+        prevEndX = it.x + it.text.length * 0.5 * it.fontSize
+      }
+      emitFrag()
+      group = mutable.ArrayBuffer.empty
+    }
+    sorted.tail.foreach { it =>
+      if (math.abs(it.y - group.head.y) <= 2.0) group += it
+      else { flush(); group += it }
+    }
+    flush()
+    lines.result()
+  }
+
+  // --- recursive X-Y cut ----------------------------------------------------
+
+  /** Reading order via recursive X-Y cut: prefer the widest horizontal
+    * valley (row split, top first), else the widest vertical valley
+    * (column split, left first), else y-then-x order.
+    */
+  def xyCut(lines: Vector[Line]): Vector[Line] = {
+    if (lines.length <= 1) return lines
+    val medianFs = {
+      val fs = lines.map(_.fontSize).sorted
+      fs(fs.length / 2)
+    }
+    val hThresh = 1.8 * medianFs // horizontal valley: > ~1.5 line heights
+    val vThresh = 2.0 * medianFs // vertical valley (column gutter)
+
+    // horizontal split: project to y intervals [y, y+fs]
+    val byY = lines.sortBy(l => -l.y)
+    var bestGap = 0.0
+    var bestIdx = -1
+    var minY = byY.head.y
+    for (i <- 1 until byY.length) {
+      val gap = minY - (byY(i).y + byY(i).fontSize)
+      if (gap > bestGap) { bestGap = gap; bestIdx = i }
+      minY = math.min(minY, byY(i).y)
+    }
+    if (bestGap > hThresh && bestIdx > 0) {
+      return xyCut(byY.take(bestIdx)) ++ xyCut(byY.drop(bestIdx))
+    }
+
+    // vertical split: sweep x intervals
+    val byX = lines.sortBy(_.x0)
+    var maxX = byX.head.x1
+    bestGap = 0.0; bestIdx = -1
+    for (i <- 1 until byX.length) {
+      val gap = byX(i).x0 - maxX
+      if (gap > bestGap) { bestGap = gap; bestIdx = i }
+      maxX = math.max(maxX, byX(i).x1)
+    }
+    if (bestGap > vThresh && bestIdx > 0) {
+      return xyCut(byX.take(bestIdx)) ++ xyCut(byX.drop(bestIdx))
+    }
+
+    lines.sortBy(l => (-l.y, l.x0, l.start))
+  }
+
+  // --- header/footer suppression --------------------------------------------
+
+  private val DigitRun = "\\d+".r
+
+  /** Normalize a header/footer candidate: digits → '#' (catches
+    * "Page 3 of 12" patterns varying per page).
+    */
+  def normalizeHf(s: String): String = DigitRun.replaceAllIn(s.trim, "#")
+
+  /** Drop repeated top/bottom-zone lines on multi-page docs. */
+  def suppressHeadersFooters(pages: Vector[Vector[Line]]): Vector[Vector[Line]] = {
+    val nPages = pages.count(_.nonEmpty)
+    if (nPages < 2) return pages
+    def zoneKeys(pg: Vector[Line]): Set[(String, String)] = {
+      if (pg.isEmpty) return Set.empty
+      val ys = pg.map(_.y)
+      val top = ys.max
+      val bot = ys.min
+      val span = math.max(top - bot, 1.0)
+      pg.flatMap { l =>
+        val rel = (l.y - bot) / span
+        if (rel >= 0.88) Some(("top", normalizeHf(l.text)))
+        else if (rel <= 0.12) Some(("bot", normalizeHf(l.text)))
+        else None
+      }.toSet
+    }
+    val counts = mutable.Map.empty[(String, String), Int]
+    pages.foreach(pg => zoneKeys(pg).foreach(k => counts(k) = counts.getOrElse(k, 0) + 1))
+    val repeated = counts.filter { case (_, c) => c >= 2 && c * 2 >= nPages }.keySet
+    if (repeated.isEmpty) return pages
+    pages.map { pg =>
+      if (pg.isEmpty) pg
+      else {
+        val ys = pg.map(_.y)
+        val top = ys.max; val bot = ys.min
+        val span = math.max(top - bot, 1.0)
+        pg.filterNot { l =>
+          val rel = (l.y - bot) / span
+          val key = if (rel >= 0.88) Some(("top", normalizeHf(l.text)))
+            else if (rel <= 0.12) Some(("bot", normalizeHf(l.text)))
+            else None
+          key.exists(repeated.contains)
+        }
+      }
+    }
+  }
+
+  // --- top-level ------------------------------------------------------------
+
+  private val PageMarker = "(?m)^%%Page:.*$".r
+
+  /** Split a multi-page stream on `%%Page:` marker lines; a stream with no
+    * marker is one page. Returns [start,end) offsets into `src`.
+    */
+  def splitPages(src: String): Vector[(Int, Int)] = {
+    val ms = PageMarker.findAllMatchIn(src).toVector
+    if (ms.isEmpty) return Vector((0, src.length))
+    val bounds = ms.map(_.start) :+ src.length
+    val head =
+      if (src.substring(0, ms.head.start).trim.nonEmpty) Vector((0, ms.head.start))
+      else Vector.empty
+    head ++ ms.indices.map(i => (math.min(ms(i).end, src.length), bounds(i + 1)))
+  }
+
+  final case class PageText(page: Int, lines: Vector[Line])
+
+  /** Full pipeline: lex → lines → x-y cut → suppress headers/footers. */
+  def extract(src: String): Vector[PageText] = {
+    val pages = splitPages(src).zipWithIndex.map { case ((s, e), pg) =>
+      xyCut(toLines(runPage(src.substring(s, e), s), pg))
+    }
+    suppressHeadersFooters(pages).zipWithIndex.map { case (ls, i) => PageText(i, ls) }
+  }
+
+  /** Main text: pages in order, reading-order lines joined "\n". */
+  def mainText(src: String): String =
+    extract(src).flatMap(_.lines.map(_.text)).mkString("\n")
+}

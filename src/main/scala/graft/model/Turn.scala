@@ -1,0 +1,60 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** The input row shape from BASELINE.json `input_hint`:
+  * `(conv_id:string, turn_idx:int32, role:string, text:string,
+  * tool:string, ts:timestamp)`.
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
+/** Output of the extraction stage, one row per turn (north rule: extracted
+  * text + span offsets + lineage-friendly columns). `bucket` is the salted
+  * partition key the row was processed under — the checkpoint/lineage unit.
+  */
+final case class ExtractedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    tool: String,
+    kind: String,
+    text: String,
+    span_starts: Array[Int],
+    span_ends: Array[Int],
+    span_labels: Array[String],
+    bytes_parsed: Long,
+    skip_reason: String,
+    bucket: Int)
+
+/** One chunk of a turn's extracted text (reference chunker F4 semantics,
+  * `app/processing/chunker.py:223-270`), with exact source spans into the
+  * EXTRACTED text (the reference only estimates positions).
+  */
+final case class TurnChunk(
+    conv_id: String,
+    turn_idx: Int,
+    chunk_index: Int,
+    content: String,
+    start: Int,
+    end: Int,
+    bucket: Int)
+
+/** Per-partition lineage/metrics row (north rule: "per-partition lineage
+  * rows and metrics (turns/sec, bytes parsed, skip reasons)").
+  */
+final case class PartitionLineage(
+    bucket: Int,
+    partition_id: Int,
+    input_rows: Long,
+    output_rows: Long,
+    bytes_parsed: Long,
+    skipped_empty: Long,
+    skipped_blank: Long,
+    wall_ms: Long,
+    turns_per_sec: Double)

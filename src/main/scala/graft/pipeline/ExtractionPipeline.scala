@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import graft.extract.Extractor
+import graft.model._
+import graft.text.Chunker
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** The north-rule job: `Dataset[Turn]` → salted hash partitioning on
+  * conv_id (explicit skew handling for mega-conversations) → stable
+  * `(conv_id, turn_idx)` ordering within partitions → `mapPartitions`
+  * batched extraction (HTML boilerplate strip | PDF content-stream parse |
+  * passthrough) → extracted text + span offsets + chunks written back
+  * bucket-partitioned ("Iceberg-emulated", see [[TableIO]]) with
+  * per-partition lineage rows and metrics, resumable from the manifest
+  * checkpoint without reprocessing completed buckets.
+  *
+  * Scale design (for the 10^12-turn target, tested at local[32]):
+  *  - the only wide shuffle is the one salted `repartition` — extraction,
+  *    chunking and writes are narrow from there on;
+  *  - skew pre-pass finds mega-conversations (reference analog: none —
+  *    the reference is single-process; this is the Spark-native part) and
+  *    spreads them over `ceil(count / SaltTargetRows)` salt cells, so no
+  *    single task owns a whole mega-conversation;
+  *  - buckets are committed in `waves` groups; a crash mid-wave loses only
+  *    that wave's work (dynamic partition overwrite makes re-runs of a
+  *    half-written wave idempotent);
+  *  - extraction runs in `mapPartitions` with per-partition wall-clock
+  *    lineage accumulated executor-side (CollectionAccumulator) — no
+  *    `collect()` of data rows anywhere.
+  */
+object ExtractionPipeline {
+
+  /** Above this many turns a conversation is treated as skewed and salted
+    * across multiple cells of ~this size.
+    */
+  val SaltTargetRows = 128
+
+  final case class Config(
+      outDir: String,
+      nBuckets: Int = 64,
+      waves: Int = 4,
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      overlap: Int = Chunker.DefaultOverlap,
+      resume: Boolean = true)
+
+  final case class RunStats(
+      buckets: Int, skippedBuckets: Int, turns: Long, bytes: Long, wallMs: Long)
+
+  def extractedDir(outDir: String): String = s"$outDir/extracted"
+  def chunksDir(outDir: String): String = s"$outDir/chunks"
+  def lineageDir(outDir: String): String = s"$outDir/lineage"
+  def metricsDir(outDir: String): String = s"$outDir/metrics"
+
+  /** Salted bucket assignment: `bucket = xxhash64(conv_id, salt) % nBuckets`
+    * where `salt = turn_idx % saltFactor(conv)` and `saltFactor` > 1 only
+    * for mega-conversations (skew pre-pass, broadcast-joined — the skew
+    * table holds only outliers and stays tiny at any scale).
+    */
+  def withBucket(turns: Dataset[Turn], nBuckets: Int): DataFrame = {
+    val spark = turns.sparkSession
+    val counts = turns.groupBy("conv_id").count()
+    val skewed = counts.filter(col("count") > SaltTargetRows * 2)
+      .select(col("conv_id"),
+        ceil(col("count") / SaltTargetRows).cast("int").as("salt_factor"))
+    turns.toDF()
+      .join(broadcast(skewed), Seq("conv_id"), "left")
+      .withColumn("salt",
+        pmod(col("turn_idx"), coalesce(col("salt_factor"), lit(1))))
+      .withColumn("bucket",
+        pmod(xxhash64(col("conv_id"), col("salt")), lit(nBuckets)).cast("int"))
+      .drop("salt_factor", "salt")
+  }
+
+  /** Extraction of one ordered partition iterator; emits rows and records
+    * per-(partition, bucket) lineage into `acc`.
+    */
+  private def extractPartition(
+      rows: Iterator[TurnWithBucket],
+      acc: CollectionAccumulator[PartitionLineage]): Iterator[ExtractedTurn] = {
+    val pid = TaskContext.getPartitionId()
+    val t0 = System.nanoTime()
+    val perBucket = mutable.Map.empty[Int, (Long, Long, Long, Long, Long)]
+    val out = rows.map { t =>
+      val ex = Extractor.extract(t.text)
+      val (in, outc, bytes, se, sb) =
+        perBucket.getOrElse(t.bucket, (0L, 0L, 0L, 0L, 0L))
+      perBucket(t.bucket) = (
+        in + 1,
+        outc + (if (ex.skipReason.isEmpty) 1L else 0L),
+        bytes + ex.bytesParsed,
+        se + (if (ex.skipReason == "empty") 1L else 0L),
+        sb + (if (ex.skipReason == "blank") 1L else 0L))
+      ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.kind, ex.text,
+        ex.spans.map(_.start).toArray, ex.spans.map(_.end).toArray,
+        ex.spans.map(_.label).toArray, ex.bytesParsed, ex.skipReason, t.bucket)
+    }
+    // lineage rows flush after the data iterator is fully consumed
+    new Iterator[ExtractedTurn] {
+      def hasNext: Boolean = {
+        val h = out.hasNext
+        if (!h && perBucket.nonEmpty) {
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          perBucket.foreach { case (b, (in, outc, bytes, se, sbk)) =>
+            acc.add(PartitionLineage(b, pid, in, outc, bytes, se, sbk, wallMs,
+              if (wallMs > 0) in * 1000.0 / wallMs else 0.0))
+          }
+          perBucket.clear()
+        }
+        h
+      }
+      def next(): ExtractedTurn = out.next()
+    }
+  }
+
+  /** Run (or resume) the full job. Returns aggregate stats. */
+  def run(spark: SparkSession, turns: Dataset[Turn], cfg: Config): RunStats = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val manifest0 = if (cfg.resume) TableIO.read(cfg.outDir) else {
+      TableIO.clear(cfg.outDir); TableIO.Empty
+    }
+    val doneAtStart = manifest0.completed.keySet
+    val bucketed = withBucket(turns, cfg.nBuckets)
+
+    var manifest = manifest0
+    var totTurns = 0L
+    var totBytes = 0L
+    val t0 = System.nanoTime()
+
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    for (wave <- 0 until cfg.waves) {
+      val waveBuckets = (0 until cfg.nBuckets)
+        .filter(b => b % cfg.waves == wave && !manifest.isDone(b))
+      if (waveBuckets.nonEmpty) {
+        val acc = new CollectionAccumulator[PartitionLineage]
+        spark.sparkContext.register(acc, s"lineage-wave-$wave")
+
+        val waveDf = bucketed
+          .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
+          // ONE wide shuffle: co-locate each salted bucket, then order
+          // turns within partitions — deterministic extraction input order
+          // at any parallelism
+          .repartition(math.min(shufflePartitions, waveBuckets.size * 2).max(1),
+            col("bucket"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .as[TurnWithBucket]
+
+        val extracted = waveDf.mapPartitions(it => extractPartition(it, acc))
+
+        extracted.write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(extractedDir(cfg.outDir))
+
+        // chunk stage reads the just-committed parquet back (no recompute
+        // of extraction; columnar scan prunes to the 4 needed columns)
+        val waveExtracted = spark.read.parquet(extractedDir(cfg.outDir))
+          .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
+          .select("conv_id", "turn_idx", "text", "bucket")
+          .as[(String, Int, String, Int)]
+        val chunks = waveExtracted.flatMap { case (cid, tidx, text, bucket) =>
+          Chunker.splitTextWithOverlap(text, cfg.chunkSize, cfg.overlap)
+            .zipWithIndex.map { case (c, i) =>
+              TurnChunk(cid, tidx, i, c.content, c.start, c.end, bucket)
+            }
+        }
+        chunks.write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(chunksDir(cfg.outDir))
+
+        // lineage rows for this wave (executor-measured wall clock)
+        val lineageRows = acc.value.asScala.toSeq
+        if (lineageRows.nonEmpty) {
+          spark.createDataset(lineageRows)
+            .withColumn("wave", lit(wave))
+            .repartition(1)
+            .write.mode(SaveMode.Append).parquet(lineageDir(cfg.outDir))
+        }
+
+        val byBucket = lineageRows.groupBy(_.bucket)
+        val entries = waveBuckets.map { b =>
+          val ls = byBucket.getOrElse(b, Nil)
+          totTurns += ls.map(_.input_rows).sum
+          totBytes += ls.map(_.bytes_parsed).sum
+          TableIO.BucketEntry(b, ls.map(_.input_rows).sum,
+            ls.map(_.bytes_parsed).sum, ls.map(_.wall_ms).sum)
+        }
+        manifest = TableIO.commit(cfg.outDir, manifest, entries)
+      }
+    }
+
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    // metrics table: one snapshot row per run + per-bucket rollup
+    val metrics = spark.createDataset(Seq(
+      (manifest.snapshotId, totTurns, totBytes, wallMs,
+        if (wallMs > 0) totTurns * 1000.0 / wallMs else 0.0,
+        doneAtStart.size, cfg.nBuckets)))
+      .toDF("snapshot_id", "turns", "bytes_parsed", "wall_ms",
+        "turns_per_sec", "buckets_skipped", "n_buckets")
+    metrics.repartition(1).write.mode(SaveMode.Append).parquet(metricsDir(cfg.outDir))
+
+    RunStats(cfg.nBuckets, doneAtStart.size, totTurns, totBytes, wallMs)
+  }
+}
+
+/** Turn + its salted bucket (the mapPartitions input row). */
+final case class TurnWithBucket(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp,
+    bucket: Int)

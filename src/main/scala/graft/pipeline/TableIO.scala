@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-emulating table layout (SURVEY.md §1.3): no Iceberg runtime jar
+  * ships in this offline sandbox, so tables are bucket-partitioned Parquet
+  * plus an explicit JSON manifest recording committed buckets and
+  * snapshot lineage. The manifest IS the per-partition checkpoint ledger
+  * of the north rule: a bucket listed in the manifest is durably
+  * committed; restart = skip manifest buckets. Kept behind this narrow
+  * object so a real Iceberg catalog (`spark.table(...)` + `MERGE`) drops
+  * in unchanged on a real cluster.
+  *
+  * Commit protocol: write JSON to `manifest.json.tmp`, then atomic
+  * `Files.move(..., ATOMIC_MOVE)` over `manifest.json` — readers never see
+  * a torn manifest (same single-file-swap discipline Iceberg uses for its
+  * metadata pointer).
+  */
+object TableIO {
+
+  final case class BucketEntry(bucket: Int, rows: Long, bytes: Long, wallMs: Long)
+
+  final case class Manifest(
+      snapshotId: Long,
+      completed: Map[Int, BucketEntry]) {
+    def isDone(bucket: Int): Boolean = completed.contains(bucket)
+  }
+
+  val Empty: Manifest = Manifest(0L, Map.empty)
+
+  private def manifestPath(tableDir: String): Path =
+    Paths.get(tableDir, "manifest.json")
+
+  def read(tableDir: String): Manifest = {
+    val p = manifestPath(tableDir)
+    if (!Files.exists(p)) return Empty
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.mkString("\n")
+    parse(lines)
+  }
+
+  /** Append newly completed buckets and atomically swap the manifest. */
+  def commit(tableDir: String, prev: Manifest, done: Seq[BucketEntry]): Manifest = {
+    val next = Manifest(prev.snapshotId + 1,
+      prev.completed ++ done.map(e => e.bucket -> e))
+    Files.createDirectories(Paths.get(tableDir))
+    val tmp = Paths.get(tableDir, "manifest.json.tmp")
+    Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(tableDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  def clear(tableDir: String): Unit = {
+    val p = manifestPath(tableDir)
+    if (Files.exists(p)) Files.delete(p)
+  }
+
+  // -- tiny hand-rolled JSON (flat, numeric-only payload; no deps) ----------
+
+  private def render(m: Manifest): String = {
+    val entries = m.completed.values.toSeq.sortBy(_.bucket).map { e =>
+      s"""{"bucket":${e.bucket},"rows":${e.rows},"bytes":${e.bytes},"wall_ms":${e.wallMs}}"""
+    }.mkString("[", ",", "]")
+    s"""{"snapshot_id":${m.snapshotId},"completed":$entries}"""
+  }
+
+  private val EntryRe =
+    """\{"bucket":(\d+),"rows":(\d+),"bytes":(\d+),"wall_ms":(\d+)\}""".r
+  private val SnapRe = """"snapshot_id":(\d+)""".r
+
+  private def parse(s: String): Manifest = {
+    val snap = SnapRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    val entries = EntryRe.findAllMatchIn(s).map { m =>
+      val e = BucketEntry(m.group(1).toInt, m.group(2).toLong,
+        m.group(3).toLong, m.group(4).toLong)
+      e.bucket -> e
+    }.toMap
+    Manifest(snap, entries)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import graft.fixtures.TranscriptGen
+import graft.pipeline.{ExtractionPipeline, TableIO}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end checks of the north-rule job: per-turn equality independent
+  * of parallelism and input order, checkpoint resume with zero
+  * reprocessing, mega-conversation salting, lineage/metrics emission.
+  */
+class ExtractionPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-pipe").toString
+
+  test("per-turn extraction equality across parallelism and input order") {
+    import spark.implicits._
+    val turns = TranscriptGen.transcripts(spark, nConvs = 30, numPartitions = 4)
+
+    val out1 = tmp()
+    val out2 = tmp()
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out1, nBuckets = 8, waves = 2, resume = false))
+    // second run: different partitioning AND a different (reversed) row
+    // order — the salted shuffle + sortWithinPartitions must normalize both
+    val shuffled = turns.orderBy(desc("ts"), desc("conv_id")).repartition(13)
+    ExtractionPipeline.run(spark, shuffled.as[graft.model.Turn],
+      ExtractionPipeline.Config(out2, nBuckets = 8, waves = 2, resume = false))
+
+    val a = spark.read.parquet(ExtractionPipeline.extractedDir(out1))
+      .select("conv_id", "turn_idx", "kind", "text", "skip_reason")
+    val b = spark.read.parquet(ExtractionPipeline.extractedDir(out2))
+      .select("conv_id", "turn_idx", "kind", "text", "skip_reason")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    val ca = spark.read.parquet(ExtractionPipeline.chunksDir(out1))
+      .select("conv_id", "turn_idx", "chunk_index", "content", "start", "end")
+    val cb = spark.read.parquet(ExtractionPipeline.chunksDir(out2))
+      .select("conv_id", "turn_idx", "chunk_index", "content", "start", "end")
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty)
+  }
+
+  test("every input turn appears exactly once in the output") {
+    import spark.implicits._
+    val turns = TranscriptGen.transcripts(spark, nConvs = 20, numPartitions = 3)
+    val out = tmp()
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 8, waves = 2, resume = false))
+    val got = spark.read.parquet(ExtractionPipeline.extractedDir(out))
+      .select("conv_id", "turn_idx")
+    assert(got.count() == turns.count())
+    assert(got.distinct().count() == got.count())
+  }
+
+  test("resume skips completed buckets (zero reprocessing)") {
+    import spark.implicits._
+    val turns = TranscriptGen.transcripts(spark, nConvs = 15, numPartitions = 3)
+    val out = tmp()
+    val cfg = ExtractionPipeline.Config(out, nBuckets = 8, waves = 2)
+
+    val full = ExtractionPipeline.run(spark, turns, cfg.copy(resume = false))
+    assert(full.turns > 0)
+
+    // simulate a crash that lost the second wave's manifest entries:
+    // rewind the manifest to only wave-0 buckets (bucket % 2 == 0)
+    val m = TableIO.read(out)
+    val wave0 = m.completed.filter { case (b, _) => b % 2 == 0 }
+    TableIO.clear(out)
+    TableIO.commit(out, TableIO.Empty, wave0.values.toSeq)
+
+    val resumed = ExtractionPipeline.run(spark, turns, cfg)
+    // only the wave-1 buckets were reprocessed
+    assert(resumed.skippedBuckets == wave0.size)
+    val wave1Rows = m.completed.collect { case (b, e) if b % 2 == 1 => e.rows }.sum
+    assert(resumed.turns == wave1Rows)
+
+    // outputs still complete and unique per turn
+    val got = spark.read.parquet(ExtractionPipeline.extractedDir(out))
+      .select("conv_id", "turn_idx")
+    assert(got.count() == turns.count())
+    assert(got.distinct().count() == got.count())
+  }
+
+  test("mega-conversations are salted across multiple buckets") {
+    import spark.implicits._
+    // conv index 52 under the default seed draws the 1%-skew branch (~400+
+    // turns); verify deterministically then check bucket spread
+    val skewedIdx = (0L until 120L)
+      .find(i => TranscriptGen.turnCount(TranscriptGen.DefaultSeed, i) > 300)
+    assert(skewedIdx.nonEmpty, "fixture must contain a mega-conversation")
+
+    val turns = TranscriptGen.transcripts(spark, nConvs = 120, numPartitions = 4)
+    val bucketed = ExtractionPipeline.withBucket(turns, nBuckets = 16)
+    val megaConv = f"conv-${skewedIdx.get}%06d"
+    val spread = bucketed.filter(col("conv_id") === megaConv)
+      .select("bucket").distinct().count()
+    assert(spread > 1, s"mega conversation $megaConv must span > 1 bucket, got $spread")
+
+    // non-skewed conversations stay in exactly one bucket
+    val normal = bucketed.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), countDistinct("bucket").as("nb"))
+      .filter(col("n") <= ExtractionPipeline.SaltTargetRows * 2)
+    assert(normal.filter(col("nb") > 1).count() == 0)
+  }
+
+  test("lineage and metrics tables are written with real counters") {
+    import spark.implicits._
+    val turns = TranscriptGen.transcripts(spark, nConvs = 12, numPartitions = 2)
+    val out = tmp()
+    val stats = ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 4, waves = 1, resume = false))
+
+    val lineage = spark.read.parquet(ExtractionPipeline.lineageDir(out))
+    assert(lineage.agg(sum("input_rows")).as[Long].head() == turns.count())
+    assert(lineage.agg(sum("bytes_parsed")).as[Long].head() > 0)
+    assert(lineage.select("bucket").distinct().count() > 1)
+
+    val metrics = spark.read.parquet(ExtractionPipeline.metricsDir(out))
+    assert(metrics.agg(sum("turns")).as[Long].head() == turns.count())
+    assert(stats.turns == turns.count())
+  }
+
+  test("extraction output is non-trivial for each payload kind") {
+    import spark.implicits._
+    val turns = TranscriptGen.transcripts(spark, nConvs = 40, numPartitions = 4)
+    val out = tmp()
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 8, waves = 1, resume = false))
+    val kinds = spark.read.parquet(ExtractionPipeline.extractedDir(out))
+      .groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(kinds.keySet == Set("plain", "html", "pdf"))
+    // html extraction must strip boilerplate: extracted text shorter than raw
+    val htmlRows = spark.read.parquet(ExtractionPipeline.extractedDir(out))
+      .filter(col("kind") === "html" && col("skip_reason") === "")
+    assert(htmlRows.count() > 0)
+    assert(htmlRows.filter(length(col("text")) >= col("bytes_parsed")).count() == 0,
+      "html main text must be shorter than the raw payload")
+    // the generator's fixed footer/nav chrome must be stripped everywhere
+    assert(htmlRows.filter(col("text").contains("example corp") ||
+      col("text").contains("privacy")).count() == 0,
+      "footer/nav boilerplate must not survive extraction")
+    // pdf: headers/footers suppressed → no 'Page N of M' lines survive
+    val pdfRows = spark.read.parquet(ExtractionPipeline.extractedDir(out))
+      .filter(col("kind") === "pdf")
+    assert(pdfRows.filter(col("text").rlike("Page \\d+ of \\d+")).count() == 0)
+  }
+}
