@@ -1,24 +1,108 @@
 package graft
+
+import graft.fixtures.TranscriptGen
+import graft.pipeline.ExtractionPipeline
 import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+
+/** Benchmark main. Prints ONE JSON line.
+  *
+  * Headline metric (per BASELINE.json): extraction throughput in
+  * turns/sec over the synthetic transcripts table, evidenced at TWO
+  * parallelism levels — `local[N/4]` and `local[N]` on identical input —
+  * with per-core scaling efficiency `(thr_hi / thr_lo) / 4` (the
+  * sandbox stand-in for the north rule's N vs 4N executors criterion;
+  * no real cluster offline). The relational/retrieval query battery
+  * times are reported alongside under "queries".
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(1, cpus / 4)
+    // transcripts sized so the low-parallelism leg runs tens of seconds
+    // (sf0.1 → ~4k convs ≈ ~40k turns incl. mega-conversations)
+    val nConvs = sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong).getOrElse {
+      if (sfDir.contains("sf0.1")) 50000L
+      else if (sfDir.contains("sf0.01")) 5000L
+      else 500L
+    }
+
+    // ---- phase 1: query battery at full parallelism ----
+    var spark = session(cpus)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase 2: extraction scaling (identical input, two sizes) ----
+    val base = Files.createTempDirectory("graft-bench").toString
+    val inputDir = s"$base/transcripts"
+    TranscriptGen.transcripts(spark, nConvs, numPartitions = cpus * 2)
+      .write.mode("overwrite").parquet(inputDir)
     spark.stop()
+
+    def extractionLeg(cores: Int, warmup: Boolean = false): (Long, Double) = {
+      val s = session(cores)
+      import s.implicits._
+      val turns = s.read.parquet(inputDir).as[graft.model.Turn]
+      if (warmup) {
+        // JIT-warm the extractor paths before the timed legs
+        turns.limit(2000).mapPartitions(_.map(t =>
+          graft.extract.Extractor.extract(t.text).text.length.toLong)).reduce(_ + _)
+      }
+      val out = s"$base/out-$cores"
+      val t0 = System.nanoTime()
+      // nBuckets is a DATA-size knob (output-partition granularity), not a
+      // parallelism knob — identical across legs so the comparison is fair
+      val stats = ExtractionPipeline.run(s, turns,
+        ExtractionPipeline.Config(out, nBuckets = 64, waves = 1,
+          resume = false))
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      (stats.turns, stats.turns / wallSec)
+    }
+
+    // best-of-2 per leg: the sandbox host shows heavy run-to-run variance,
+    // best-of cuts the noise floor without favoring either leg
+    val (nTurns, thrLow) = {
+      val a = extractionLeg(lowCpus, warmup = true)
+      val b = extractionLeg(lowCpus)
+      if (a._2 >= b._2) a else b
+    }
+    val thrHigh = {
+      val a = extractionLeg(cpus)._2
+      val b = extractionLeg(cpus)._2
+      math.max(a, b)
+    }
+    val efficiency = (thrHigh / thrLow) / (cpus.toDouble / lowCpus)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val queriesSec = results.values.sum
+    println(
+      s"""{"metric":"turns_per_sec_extraction","value":${f"$thrHigh%.1f"},""" +
+      s""""unit":"turns/sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""extraction":{"turns":$nTurns,"convs":$nConvs,""" +
+      s""""cores_low":$lowCpus,"turns_per_sec_low":${f"$thrLow%.1f"},""" +
+      s""""cores_high":$cpus,"turns_per_sec_high":${f"$thrHigh%.1f"},""" +
+      s""""scaling_efficiency":${f"$efficiency%.3f"}},""" +
+      s""""queries_total_sec":${f"$queriesSec%.2f"}}""")
   }
 }

@@ -32,8 +32,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ RetrievalQueries.queries
+    RelationalQueries.queries ++ RetrievalQueries.queries ++
+      TrainingDataQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ RetrievalQueries.oracles
+    RelationalQueries.oracles ++ RetrievalQueries.oracles ++
+      TrainingDataQueries.oracles
 }

@@ -154,32 +154,39 @@ object ExtractionPipeline {
           .sortWithinPartitions("conv_id", "turn_idx")
           .as[TurnWithBucket]
 
+        // persist the wave's extraction so the chunk stage is a NARROW
+        // flatMap over the same bucket-aligned partitions (each write task
+        // touches only its own buckets' directories — a bucket-unaligned
+        // second pass would emit tasks×buckets small files and serialize
+        // the dynamic-overwrite commit)
         val extracted = waveDf.mapPartitions(it => extractPartition(it, acc))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         extracted.write
           .mode(SaveMode.Overwrite)
           .partitionBy("bucket")
           .parquet(extractedDir(cfg.outDir))
 
-        // chunk stage reads the just-committed parquet back (no recompute
-        // of extraction; columnar scan prunes to the 4 needed columns)
-        val waveExtracted = spark.read.parquet(extractedDir(cfg.outDir))
-          .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
-          .select("conv_id", "turn_idx", "text", "bucket")
-          .as[(String, Int, String, Int)]
-        val chunks = waveExtracted.flatMap { case (cid, tidx, text, bucket) =>
-          Chunker.splitTextWithOverlap(text, cfg.chunkSize, cfg.overlap)
+        val chunkSize = cfg.chunkSize
+        val overlap = cfg.overlap
+        val chunks = extracted.flatMap { e =>
+          Chunker.splitTextWithOverlap(e.text, chunkSize, overlap)
             .zipWithIndex.map { case (c, i) =>
-              TurnChunk(cid, tidx, i, c.content, c.start, c.end, bucket)
+              TurnChunk(e.conv_id, e.turn_idx, i, c.content, c.start, c.end, e.bucket)
             }
         }
         chunks.write
           .mode(SaveMode.Overwrite)
           .partitionBy("bucket")
           .parquet(chunksDir(cfg.outDir))
+        extracted.unpersist(blocking = false)
 
-        // lineage rows for this wave (executor-measured wall clock)
+        // lineage rows for this wave (executor-measured wall clock);
+        // dedupe by (bucket, partition) — task retries/speculation could
+        // add a row twice, keep the max-wall observation
         val lineageRows = acc.value.asScala.toSeq
+          .groupBy(l => (l.bucket, l.partition_id))
+          .map { case (_, ls) => ls.maxBy(_.wall_ms) }.toSeq
         if (lineageRows.nonEmpty) {
           spark.createDataset(lineageRows)
             .withColumn("wave", lit(wave))

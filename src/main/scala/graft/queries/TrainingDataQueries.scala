@@ -1,0 +1,567 @@
+package graft.queries
+
+import graft.queries.Tables.t
+import graft.text.Tokenizer
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents`/`embeddings`
+  * tables — the large-scale-corpus ops a 100 TB pretraining pipeline
+  * needs (deduplication, similarity search, text analysis, fingerprints),
+  * each as a Catalyst-only plan with a DuckDB oracle.
+  *
+  * Design notes for scale (tested at sf, designed for 100 TB):
+  *  - exact dedup is a hash aggregation (map-side partial agg);
+  *  - MinHash-LSH is the standard shingle→minhash→band→bucket-join
+  *    pipeline: every stage is an equi-join or hash agg, the band
+  *    self-join only materializes CANDIDATE pairs (docs sharing a band
+  *    bucket), never the O(N²) pair space;
+  *  - n-gram Jaccard self-joins on the shingle (the classic
+  *    inverted-index join), so cost is Σ df(shingle)² not N²;
+  *  - the vocabulary dictionary uses a global row_number window — fine
+  *    while |vocab| ≪ |corpus| (true for natural text); swap for
+  *    zipWithIndex on a real 100 TB run;
+  *  - ANN: brute-force cosine against a broadcast query vector is the
+  *    exact baseline (one narrow pass, no shuffle); the LSH variant
+  *    buckets by random-hyperplane signs (integer hyperplanes so both
+  *    engines agree bit-for-bit) and searches only the query's bucket.
+  */
+object TrainingDataQueries {
+
+  private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime modulus)
+
+  /** Simple whitespace tokenizer used by the dedup family (column form). */
+  private def simpleTokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  private val TokensCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  /** Distinct-token vocabulary with dense ids, shared by minhash/simhash/
+    * fingerprint oracles.
+    */
+  private val DictCte =
+    """dict AS (
+      |  SELECT tok, row_number() OVER (ORDER BY tok) AS sid
+      |  FROM (SELECT DISTINCT unnest(ts) AS tok FROM toks))""".stripMargin
+
+  private def sparkToks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), simpleTokens(col("text")).as("ts"))
+
+  /** (doc_id, tok) distinct + (tok, sid) dictionary. */
+  private def sparkDictTokens(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val toks = sparkToks(s, dir)
+    val dt = toks.select(col("doc_id"), explode(col("ts")).as("tok")).distinct()
+    val dict = dt.select("tok").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
+    (dt, dict)
+  }
+
+  // --- exact dedup (hash-groupBy on content digest) -------------------------
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+      .select("keep_doc", "n_copies")
+      .orderBy("keep_doc")
+
+  private val qDedupExactSql =
+    """SELECT min(doc_id) AS keep_doc, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY 1""".stripMargin
+
+  // --- n-gram (bigram) Jaccard near-dup pairs -------------------------------
+
+  /** Bigram shingles per doc (shared by the jaccard and minhash plans) —
+    * shingling keeps pairwise similarity low enough that LSH bands only
+    * surface genuine near-dups instead of the whole pair space.
+    */
+  private def bigramShingles(s: SparkSession, dir: String): DataFrame =
+    sparkToks(s, dir)
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
+        .as("tok"))
+
+  private val ShinglesCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
+      |  FROM toks WHERE len(ts) >= 2)""".stripMargin
+
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = bigramShingles(s, dir)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+      .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+      .withColumn("jacc",
+        round(col("inter") / (col("ca") + col("cb") - col("inter")), 5))
+      .filter(col("jacc") >= 0.01)
+      .select("doc_a", "doc_b", "jacc")
+      .orderBy(desc("jacc"), col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  private val qNgramJaccardSql =
+    s"""WITH $TokensCte,
+       |$ShinglesCte,
+       |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(inter / (na.c + nb.c - inter), 5) AS jacc
+       |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+       |WHERE round(inter / (na.c + nb.c - inter), 5) >= 0.01
+       |ORDER BY jacc DESC, doc_a, doc_b LIMIT 200""".stripMargin
+
+  // --- MinHash + LSH banding (token-level) ----------------------------------
+
+  private val HashA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  private val HashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = bigramShingles(s, dir)
+    val dict = dt.select("tok").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
+    val withSid = dt.join(dict, "tok")
+    val params = HashA.indices.map(i => (i, HashA(i), HashB(i))).toDF("i", "a", "b")
+    val mh = withSid.crossJoin(broadcast(params))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("sid") + col("b")) % P31).as("mh"))
+    // 4 bands × 2 rows
+    val bands = mh.withColumn("band", (col("i") / 2).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
+        min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
+          col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify stage: exact shingle-set jaccard on the candidates only
+    val n = dt.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    cand
+      .join(dt.toDF("doc_a", "tok"), "doc_a")
+      .join(dt.toDF("doc_b", "tok"), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(n.toDF("doc_a", "ca"), "doc_a")
+      .join(n.toDF("doc_b", "cb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("ca") + col("cb") - col("inter")), 5).as("jacc"))
+      .orderBy(desc("jacc"), col("doc_a"), col("doc_b"))
+  }
+
+  private def qMinhashLshSql: String = {
+    val values = HashA.indices
+      .map(i => s"(${i}, ${HashA(i)}, ${HashB(i)})").mkString(", ")
+    s"""WITH $TokensCte,
+       |$ShinglesCte,
+       |dict AS (
+       |  SELECT tok, row_number() OVER (ORDER BY tok) AS sid
+       |  FROM (SELECT DISTINCT tok FROM sh)),
+       |dt AS (SELECT doc_id, tok FROM sh),
+       |ws AS (SELECT dt.doc_id, dict.sid FROM dt JOIN dict ON dt.tok = dict.tok),
+       |params(i, a, b) AS (VALUES $values),
+       |mh AS (
+       |  SELECT doc_id, i, min((a * sid + b) % $P31) AS mh
+       |  FROM ws CROSS JOIN params GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, (i // 2) AS band,
+       |    min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+       |    min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+       |    AND x.doc_id < y.doc_id),
+       |n AS (SELECT doc_id, count(*) AS c FROM dt GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN dt ta ON ta.doc_id = c.doc_a
+       |  JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  round(i.inter / (na.c + nb.c - i.inter), 5) AS jacc
+       |FROM inter i JOIN n na ON i.doc_a = na.doc_id
+       |JOIN n nb ON i.doc_b = nb.doc_id
+       |ORDER BY jacc DESC, doc_a, doc_b""".stripMargin
+  }
+
+  // --- SimHash (31-bit, token tf-weighted) ----------------------------------
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = sparkToks(s, dir)
+    val tf = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dict = tf.select("tok").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
+    val hashed = tf.join(dict, "tok")
+      .withColumn("h", (col("sid") * 2654435761L) % 2147483648L)
+    val bits = (0 until 31).toDF("j")
+    hashed.crossJoin(broadcast(bits))
+      .withColumn("bit", expr("CAST(floor(h / power(2, j)) AS BIGINT) % 2"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("w"))
+      .filter(col("w") > 0)
+      .groupBy("doc_id")
+      .agg(sum(expr("CAST(power(2, j) AS BIGINT)")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val qSimhashSql =
+    s"""WITH $TokensCte,
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+       |  GROUP BY 1, 2),
+       |dict AS (
+       |  SELECT tok, row_number() OVER (ORDER BY tok) AS sid
+       |  FROM (SELECT DISTINCT tok FROM tf)),
+       |hashed AS (
+       |  SELECT tf.doc_id, tf.tf, (dict.sid * 2654435761) % 2147483648 AS h
+       |  FROM tf JOIN dict ON tf.tok = dict.tok),
+       |w AS (
+       |  SELECT doc_id, j, sum(tf * (((h // (1::BIGINT << j)) % 2) * 2 - 1)) AS w
+       |  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS j)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, sum(1::BIGINT << j) AS simhash
+       |FROM w WHERE w > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- ANN: brute-force cosine top-k ----------------------------------------
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+
+  private def qAnnCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("na", expr("sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v))"))
+      .withColumn("nb", expr("sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))"))
+      .select(col("vec_id"), round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val qAnnCosineTopkSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
+      |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
+      |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+      |FROM e, q WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  // --- ANN: LSH-bucketed cosine (random-hyperplane signs) -------------------
+
+  /** Integer hyperplanes so Spark and DuckDB agree exactly on signs:
+    * h_j[i] = ((i * (j + 2)) % 7) - 3, i 0-based.
+    */
+  private def hyperplane(j: Int, dim: Int = 64): Seq[Double] =
+    (0 until dim).map(i => (((i * (j + 2)) % 7) - 3).toDouble)
+
+  private def qAnnLshBucket(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(s, dir)
+    val withBits = (0 until 4).foldLeft(emb) { (df, j) =>
+      df.withColumn(s"bit$j",
+        when(expr(s"aggregate(zip_with(e, array(${hyperplane(j).mkString(", ")}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0, 1)
+          .otherwise(0))
+    }.withColumn("bucket",
+      col("bit0") * 8 + col("bit1") * 4 + col("bit2") * 2 + col("bit3"))
+    val q = withBits.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("bucket").as("qbucket"))
+    withBits.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("na", expr("sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v))"))
+      .withColumn("nb", expr("sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))"))
+      .select(col("vec_id"), col("bucket"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(5)
+  }
+
+  private val qAnnLshBucketSql = {
+    def dotSql(j: Int) =
+      s"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * (((i - 1) * ${j + 2}) % 7 - 3)))"
+    def bitSql(j: Int) = s"(CASE WHEN ${dotSql(j)} > 0 THEN 1 ELSE 0 END)"
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |eb AS (
+       |  SELECT vec_id, e,
+       |    ${bitSql(0)} * 8 + ${bitSql(1)} * 4 + ${bitSql(2)} * 2 + ${bitSql(3)} AS bucket
+       |  FROM e0),
+       |q AS (SELECT e AS qe, bucket AS qbucket FROM eb WHERE vec_id = 0)
+       |SELECT vec_id, bucket,
+       |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
+       |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
+       |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+       |FROM eb, q WHERE bucket = qbucket AND vec_id <> 0
+       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  // --- language ID (stopword-ratio heuristic) -------------------------------
+
+  private val stopListSql =
+    Tokenizer.StopWords.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val stopArray = typedLit(Tokenizer.StopWords.toSeq.sorted)
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    sparkToks(s, dir)
+      .withColumn("ratio", round(
+        size(filter(col("ts"), x => array_contains(stopArray, x))) /
+          greatest(size(col("ts")), lit(1)).cast("double"), 5))
+      .withColumn("predicted",
+        when(col("ratio") >= 0.12, lit("en_like")).otherwise(lit("other")))
+      .select("doc_id", "ratio", "predicted")
+      .orderBy("doc_id")
+
+  private val qLangIdSql =
+    s"""WITH $TokensCte
+       |SELECT doc_id,
+       |  round(len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |    greatest(len(ts), 1)::DOUBLE, 5) AS ratio,
+       |  CASE WHEN round(len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |    greatest(len(ts), 1)::DOUBLE, 5) >= 0.12
+       |    THEN 'en_like' ELSE 'other' END AS predicted
+       |FROM toks ORDER BY doc_id""".stripMargin
+
+  // --- quality score (diversity / stopword / length components) ------------
+
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    sparkToks(s, dir)
+      .withColumn("n_toks", size(col("ts")))
+      .withColumn("diversity",
+        size(array_distinct(col("ts"))) / greatest(col("n_toks"), lit(1)).cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(col("ts"), x => array_contains(stopArray, x))) /
+          greatest(col("n_toks"), lit(1)).cast("double"))
+      .withColumn("mean_len",
+        expr("aggregate(ts, 0L, (acc, x) -> acc + length(x))") /
+          greatest(col("n_toks"), lit(1)).cast("double"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("diversity") * 0.4 + col("stop_ratio") * 0.3 +
+          least(col("mean_len") / 10.0, lit(1.0)) * 0.3, 4).as("quality"))
+      .orderBy("doc_id")
+
+  private val qQualityScoreSql =
+    s"""WITH $TokensCte,
+       |m AS (
+       |  SELECT doc_id, len(ts) AS n_toks,
+       |    len(list_distinct(ts)) / greatest(len(ts), 1)::DOUBLE AS diversity,
+       |    len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |      greatest(len(ts), 1)::DOUBLE AS stop_ratio,
+       |    list_sum(list_transform(ts, x -> len(x))) /
+       |      greatest(len(ts), 1)::DOUBLE AS mean_len
+       |  FROM toks)
+       |SELECT doc_id, n_toks,
+       |  round(diversity * 0.4 + stop_ratio * 0.3 +
+       |    least(mean_len / 10.0, 1.0) * 0.3, 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // --- token counting (whitespace + BPE-ish regex) --------------------------
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws_toks", size(simpleTokens(col("text"))))
+      .withColumn("bpe_toks",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")))
+      .groupBy("lang")
+      .agg(sum("ws_toks").as("ws_tokens"), sum("bpe_toks").as("bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  private val qTokenCountSql =
+    """SELECT lang,
+      |  sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS ws_tokens,
+      |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_tokens,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- document fingerprint (rolling 4-gram hash, min-sampled) --------------
+
+  private def qDocFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = sparkToks(s, dir)
+    val (_, dict) = sparkDictTokens(s, dir)
+    val pos = toks.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+      .join(dict, "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    pos
+      .withColumn("s1", lead("sid", 1).over(w))
+      .withColumn("s2", lead("sid", 2).over(w))
+      .withColumn("s3", lead("sid", 3).over(w))
+      .filter(col("s3").isNotNull)
+      .withColumn("h",
+        (col("sid") + col("s1") * 31L + col("s2") * 961L + col("s3") * 29791L) % P31)
+      .groupBy("doc_id")
+      .agg(min("h").as("fingerprint"), count(lit(1)).as("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val qDocFingerprintSql =
+    s"""WITH $TokensCte,
+       |$DictCte,
+       |pos AS (
+       |  SELECT doc_id, u.p AS pos, dict.sid
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, len(ts)),
+       |        i -> {'p': i, 'tk': ts[i]})) AS u
+       |    FROM toks) x
+       |  JOIN dict ON x.u.tk = dict.tok),
+       |grams AS (
+       |  SELECT doc_id, sid,
+       |    lead(sid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS s1,
+       |    lead(sid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS s2,
+       |    lead(sid, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS s3
+       |  FROM pos)
+       |SELECT doc_id,
+       |  min((sid + s1 * 31 + s2 * 961 + s3 * 29791) % $P31) AS fingerprint,
+       |  count(*) AS n_grams
+       |FROM grams WHERE s3 IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- cumulative char offsets per source (A2 analog) -----------------------
+
+  private def qPageOffsets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("end_off", sum("n_chars").over(w))
+      .withColumn("start_off", col("end_off") - col("n_chars"))
+      .select("doc_id", "source", "start_off", "end_off")
+      .orderBy("doc_id")
+  }
+
+  private val qPageOffsetsSql =
+    """SELECT doc_id, source,
+      |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) - n_chars AS start_off,
+      |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS end_off
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- context formatting (F14) ---------------------------------------------
+
+  private def qContextFormat(s: SparkSession, dir: String): DataFrame = {
+    val top = t(s, dir, "documents")
+      .orderBy(desc("n_chars"), col("doc_id")).limit(5)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("n_chars"), col("doc_id"))))
+      .withColumn("line", format_string("[Source %d] (Page %d, Relevance: %d)\n%s",
+        col("rn"), pmod(col("doc_id"), lit(50)), pmod(col("n_chars"), lit(100)),
+        substring(col("text"), 1, 80)))
+    top.agg(expr(
+      "array_join(transform(array_sort(collect_list(struct(rn, line))), x -> x.line), '\n\n')")
+      .as("context"))
+  }
+
+  private val qContextFormatSql =
+    """SELECT string_agg(line, e'\n\n' ORDER BY rn) AS context FROM (
+      |  SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+      |    printf('[Source %d] (Page %d, Relevance: %d)',
+      |      row_number() OVER (ORDER BY n_chars DESC, doc_id),
+      |      doc_id % 50, n_chars % 100) || e'\n' || substr(text, 1, 80) AS line
+      |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5)""".stripMargin
+
+  // --- scalar hash/encode functions (F10-F12, F15) --------------------------
+
+  private def qHashFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        // Spark's base64 emits MIME 76-char line chunking; normalize to
+        // the unchunked canonical form DuckDB produces
+        regexp_replace(base64(encode(col("text"), "UTF-8")), "[\\r\\n]", "").as("b64"),
+        round(greatest(lit(0.0),
+          least(lit(1.0), lit(1.0) - col("n_chars") / 1000.0)), 5).as("similarity"))
+      .orderBy("doc_id")
+
+  private val qHashFuncsSql =
+    """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+      |  base64(encode(text)) AS b64,
+      |  round(greatest(0.0, least(1.0, 1.0 - n_chars / 1000.0)), 5) AS similarity
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  // --- multimodal plumbing (binary payload + batched decode stub) -----------
+
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val kinds = Seq("image", "audio", "video")
+    val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRow(id, kinds((id % 3).toInt),
+          text.getBytes("UTF-8"), Map("src" -> "documents"))
+      }
+    Multimodal.extractFeatures(media).toDF()
+      .select("doc_id", "media_type", "n_bytes", "sig", "width", "height", "n_frames")
+      .orderBy("doc_id")
+  }
+
+  private val qMultimodalFeaturesSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  lower(substr(hex(encode(text)), 1, 16)) AS sig,
+      |  CAST(1 + octet_length(encode(text)) % 1024 AS INT) AS width,
+      |  CAST(1 + (octet_length(encode(text)) * 31) % 768 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 2
+      |    THEN octet_length(encode(text)) % 7 + 1 ELSE 1 END AS INT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_ann_cosine_topk" -> (qAnnCosineTopk _),
+    "q_ann_lsh_bucket" -> (qAnnLshBucket _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count" -> (qTokenCount _),
+    "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_page_offsets" -> (qPageOffsets _),
+    "q_context_format" -> (qContextFormat _),
+    "q_hash_funcs" -> (qHashFuncs _))
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_features" -> qMultimodalFeaturesSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_minhash_lsh" -> qMinhashLshSql,
+    "q_simhash" -> qSimhashSql,
+    "q_ann_cosine_topk" -> qAnnCosineTopkSql,
+    "q_ann_lsh_bucket" -> qAnnLshBucketSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_doc_fingerprint" -> qDocFingerprintSql,
+    "q_page_offsets" -> qPageOffsetsSql,
+    "q_context_format" -> qContextFormatSql,
+    "q_hash_funcs" -> qHashFuncsSql)
+}
