@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput collector: extraction is allocation-heavy batch work, G1's
+  // pause goals just cost bandwidth here
+  "-XX:+UseParallelGC",
 )

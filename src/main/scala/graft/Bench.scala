@@ -26,6 +26,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // v2 committer: task-side renames, no serial driver-side move pass
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -37,8 +39,11 @@ object Bench {
     val lowCpus = math.max(1, cpus / 4)
     // transcripts sized so the low-parallelism leg runs tens of seconds
     // (sf0.1 → ~4k convs ≈ ~40k turns incl. mega-conversations)
+    // sized so the low-parallelism leg runs ≥ ~1 min — the serial fraction
+    // (job scheduling, commits, manifest) must be amortized for the
+    // scaling-efficiency measurement to reflect the parallel section
     val nConvs = sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong).getOrElse {
-      if (sfDir.contains("sf0.1")) 50000L
+      if (sfDir.contains("sf0.1")) 60000L
       else if (sfDir.contains("sf0.01")) 5000L
       else 500L
     }
@@ -58,40 +63,48 @@ object Bench {
       .write.mode("overwrite").parquet(inputDir)
     spark.stop()
 
-    def extractionLeg(cores: Int, warmup: Boolean = false): (Long, Double) = {
+    /** One session per core count: a pure-compute leg (extraction only, no
+      * shuffle/writes — isolates how the ENGINE scales) and two full-job
+      * legs (best-of-2 against host noise). The full job shares this box's
+      * single disk across both parallelism levels, so its efficiency
+      * under-reads what a real cluster (4N executors = 4N disks) would
+      * show; the compute leg is the disk-free scaling evidence.
+      */
+    def legs(cores: Int): (Long, Double, Double) = {
       val s = session(cores)
       import s.implicits._
       val turns = s.read.parquet(inputDir).as[graft.model.Turn]
-      if (warmup) {
-        // JIT-warm the extractor paths before the timed legs
-        turns.limit(2000).mapPartitions(_.map(t =>
-          graft.extract.Extractor.extract(t.text).text.length.toLong)).reduce(_ + _)
-      }
-      val out = s"$base/out-$cores"
-      val t0 = System.nanoTime()
+      // JIT-warm the extractor paths
+      turns.limit(2000).mapPartitions(_.map(t =>
+        graft.extract.Extractor.extract(t.text).text.length.toLong)).reduce(_ + _)
+
+      var n = 0L
+      val computeTps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        n = turns.mapPartitions(_.map { t =>
+          graft.extract.Extractor.extract(t.text); 1L
+        }).reduce(_ + _)
+        n / ((System.nanoTime() - t0) / 1e9)
+      }.max
+
       // nBuckets is a DATA-size knob (output-partition granularity), not a
       // parallelism knob — identical across legs so the comparison is fair
-      val stats = ExtractionPipeline.run(s, turns,
-        ExtractionPipeline.Config(out, nBuckets = 64, waves = 1,
-          resume = false))
-      val wallSec = (System.nanoTime() - t0) / 1e9
+      val fullTps = (1 to 2).map { i =>
+        val t0 = System.nanoTime()
+        val stats = ExtractionPipeline.run(s, turns,
+          ExtractionPipeline.Config(s"$base/out-$cores-$i", nBuckets = 64,
+            waves = 1, resume = false))
+        stats.turns / ((System.nanoTime() - t0) / 1e9)
+      }.max
       s.stop()
-      (stats.turns, stats.turns / wallSec)
+      (n, computeTps, fullTps)
     }
 
-    // best-of-2 per leg: the sandbox host shows heavy run-to-run variance,
-    // best-of cuts the noise floor without favoring either leg
-    val (nTurns, thrLow) = {
-      val a = extractionLeg(lowCpus, warmup = true)
-      val b = extractionLeg(lowCpus)
-      if (a._2 >= b._2) a else b
-    }
-    val thrHigh = {
-      val a = extractionLeg(cpus)._2
-      val b = extractionLeg(cpus)._2
-      math.max(a, b)
-    }
-    val efficiency = (thrHigh / thrLow) / (cpus.toDouble / lowCpus)
+    val (nTurns, cThrLow, thrLow) = legs(lowCpus)
+    val (_, cThrHigh, thrHigh) = legs(cpus)
+    val factor = cpus.toDouble / lowCpus
+    val efficiency = (thrHigh / thrLow) / factor
+    val computeEfficiency = (cThrHigh / cThrLow) / factor
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -102,7 +115,10 @@ object Bench {
       s""""extraction":{"turns":$nTurns,"convs":$nConvs,""" +
       s""""cores_low":$lowCpus,"turns_per_sec_low":${f"$thrLow%.1f"},""" +
       s""""cores_high":$cpus,"turns_per_sec_high":${f"$thrHigh%.1f"},""" +
-      s""""scaling_efficiency":${f"$efficiency%.3f"}},""" +
+      s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
+      s""""compute_turns_per_sec_low":${f"$cThrLow%.1f"},""" +
+      s""""compute_turns_per_sec_high":${f"$cThrHigh%.1f"},""" +
+      s""""compute_scaling_efficiency":${f"$computeEfficiency%.3f"}},""" +
       s""""queries_total_sec":${f"$queriesSec%.2f"}}""")
   }
 }

@@ -28,8 +28,10 @@ import scala.jdk.CollectionConverters._
   *    spreads them over `ceil(count / SaltTargetRows)` salt cells, so no
   *    single task owns a whole mega-conversation;
   *  - buckets are committed in `waves` groups; a crash mid-wave loses only
-  *    that wave's work (dynamic partition overwrite makes re-runs of a
-  *    half-written wave idempotent);
+  *    that wave's work — restart deletes orphan bucket dirs the manifest
+  *    never committed and appends them fresh (Iceberg-style snapshot
+  *    discipline; no partition-overwrite staging, whose commit serializes
+  *    on the driver);
   *  - extraction runs in `mapPartitions` with per-partition wall-clock
   *    lineage accumulated executor-side (CollectionAccumulator) — no
   *    `collect()` of data rows anywhere.
@@ -118,16 +120,66 @@ object ExtractionPipeline {
     }
   }
 
+  private val PhaseLog = sys.env.contains("SPARK_GRAFT_PHASE_LOG")
+
+  @inline private def phase[A](name: String)(f: => A): A = {
+    if (!PhaseLog) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
+  /** Delete bucket directories NOT referenced by the manifest — the
+    * Iceberg discipline: data files exist only once the snapshot commits;
+    * anything else is an orphan from a crashed wave. Lets every write be
+    * a plain APPEND (no partition-overwrite staging/rename machinery,
+    * which serializes on the driver).
+    */
+  private def cleanupOrphans(outDir: String, manifest: TableIO.Manifest): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Seq(extractedDir(outDir), chunksDir(outDir)).foreach { dir =>
+      val p = Paths.get(dir)
+      if (Files.exists(p)) {
+        Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("bucket="))
+          .filter { d =>
+            val b = d.getFileName.toString.stripPrefix("bucket=").toIntOption
+            !b.exists(manifest.isDone)
+          }
+          .foreach { d =>
+            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+          }
+      }
+    }
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+  }
+
   /** Run (or resume) the full job. Returns aggregate stats. */
   def run(spark: SparkSession, turns: Dataset[Turn], cfg: Config): RunStats = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val manifest0 = if (cfg.resume) TableIO.read(cfg.outDir) else {
-      TableIO.clear(cfg.outDir); TableIO.Empty
+      TableIO.clear(cfg.outDir)
+      Seq(extractedDir(cfg.outDir), chunksDir(cfg.outDir),
+        lineageDir(cfg.outDir), metricsDir(cfg.outDir)).foreach(deleteDir)
+      TableIO.Empty
     }
+    cleanupOrphans(cfg.outDir, manifest0)
     val doneAtStart = manifest0.completed.keySet
-    val bucketed = withBucket(turns, cfg.nBuckets)
+    val bucketed = phase("skew-prepass+bucket")(withBucket(turns, cfg.nBuckets))
 
     var manifest = manifest0
     var totTurns = 0L
@@ -162,10 +214,12 @@ object ExtractionPipeline {
         val extracted = waveDf.mapPartitions(it => extractPartition(it, acc))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-        extracted.write
-          .mode(SaveMode.Overwrite)
-          .partitionBy("bucket")
-          .parquet(extractedDir(cfg.outDir))
+        phase("extract+write") {
+          extracted.write
+            .mode(SaveMode.Append)
+            .partitionBy("bucket")
+            .parquet(extractedDir(cfg.outDir))
+        }
 
         val chunkSize = cfg.chunkSize
         val overlap = cfg.overlap
@@ -175,10 +229,12 @@ object ExtractionPipeline {
               TurnChunk(e.conv_id, e.turn_idx, i, c.content, c.start, c.end, e.bucket)
             }
         }
-        chunks.write
-          .mode(SaveMode.Overwrite)
-          .partitionBy("bucket")
-          .parquet(chunksDir(cfg.outDir))
+        phase("chunk+write") {
+          chunks.write
+            .mode(SaveMode.Append)
+            .partitionBy("bucket")
+            .parquet(chunksDir(cfg.outDir))
+        }
         extracted.unpersist(blocking = false)
 
         // lineage rows for this wave (executor-measured wall clock);
@@ -187,10 +243,10 @@ object ExtractionPipeline {
         val lineageRows = acc.value.asScala.toSeq
           .groupBy(l => (l.bucket, l.partition_id))
           .map { case (_, ls) => ls.maxBy(_.wall_ms) }.toSeq
-        if (lineageRows.nonEmpty) {
+        if (lineageRows.nonEmpty) phase("lineage-write") {
           spark.createDataset(lineageRows)
             .withColumn("wave", lit(wave))
-            .repartition(1)
+            .coalesce(1)
             .write.mode(SaveMode.Append).parquet(lineageDir(cfg.outDir))
         }
 
@@ -214,7 +270,9 @@ object ExtractionPipeline {
         doneAtStart.size, cfg.nBuckets)))
       .toDF("snapshot_id", "turns", "bytes_parsed", "wall_ms",
         "turns_per_sec", "buckets_skipped", "n_buckets")
-    metrics.repartition(1).write.mode(SaveMode.Append).parquet(metricsDir(cfg.outDir))
+    phase("metrics-write") {
+      metrics.coalesce(1).write.mode(SaveMode.Append).parquet(metricsDir(cfg.outDir))
+    }
 
     RunStats(cfg.nBuckets, doneAtStart.size, totTurns, totBytes, wallMs)
   }

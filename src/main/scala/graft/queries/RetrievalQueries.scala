@@ -3,7 +3,8 @@ package graft.queries
 import graft.queries.Tables.t
 import graft.retrieval.Retrieval
 import graft.text.Tokenizer
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval-layer queries over the `documents` table with DuckDB oracles.
@@ -123,13 +124,164 @@ object RetrievalQueries {
       |SELECT doc_id, round(sum(contrib), 6) AS rrf
       |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id""".stripMargin
 
+  // --- full retrieval funnel (query lifecycle §3.2 of SURVEY.md) ------------
+  //
+  // variations (fixed expansions, the reference mocks the LLM in tests) →
+  // per-variation hybrid search (vector-standin ∪ BM25 → weighted RRF) →
+  // first-wins dedup across variations → per-variation deterministic
+  // "cross-encoder" (query-term tf overlap) rankings → unweighted RRF
+  // re-fusion → final top-10. Mirrors query_service.py:149-358.
+
+  private[queries] val Variations =
+    Seq(KeywordQuery, "partition shuffle stream batch", "filter index merge sort")
+
+  private val PerSourceFetch = 40 // 2 × retrieval_k per source
+  private val PerVariationCut = 20 // rerank_k * 2
+  private val FinalTopK = 10
+
+  /** Deterministic vector-score standin: pure integer arithmetic so the
+    * oracle reproduces it exactly (external embeddings are pluggable
+    * columns per SURVEY §7.3).
+    */
+  private def vecScore(v: Int): Column =
+    pmod(col("doc_id") * (97 + v), lit(1009)) / 1009.0
+
+  private def qHybridFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+
+    // per-variation hybrid ranking (rank within variation by rrf)
+    val hybrids = Variations.zipWithIndex.map { case (q, v) =>
+      val vec = docs.select(col("doc_id"), vecScore(v).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(PerSourceFetch)
+      val kw = Retrieval.bm25Scores(docs, "doc_id", "text", q)
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(PerSourceFetch)
+      Retrieval.rrfFuse(Seq(vec -> Retrieval.VectorWeight, kw -> Retrieval.KeywordWeight),
+          "doc_id", "score")
+        .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(PerVariationCut)
+        .withColumn("v", lit(v))
+        .withColumn("vrank",
+          row_number().over(Window.partitionBy(lit(1))
+            .orderBy(col("rrf_score").desc, col("doc_id").asc)))
+    }
+    val all = hybrids.reduce(_ unionByName _)
+    // first-wins dedup in (variation, rank) arrival order (P4/U2)
+    val deduped = Retrieval.firstWinsDedup(all.select("doc_id", "v", "vrank"),
+      "doc_id", col("v").asc, col("vrank").asc)
+
+    // deterministic cross-encoder standin: tf-overlap of variation terms
+    val post = Retrieval.postings(docs, "doc_id", "text")
+    val rankings = Variations.zipWithIndex.map { case (q, v) =>
+      val qTerms = graft.text.Tokenizer.tokenize(q).distinct
+      val ce = post.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id").agg(sum("tf").as("ce"))
+      deduped.join(ce, Seq("doc_id"), "left")
+        .na.fill(0, Seq("ce"))
+        .select(col("doc_id"), col("ce").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(FinalTopK)
+    }
+    // unweighted RRF re-fusion of the per-variation reranks
+    Retrieval.rrfFuse(rankings.map(_ -> 1.0), "doc_id", "score")
+      .select(col("doc_id"), round(col("rrf_score"), 6).as("fused"))
+      .orderBy(col("fused").desc, col("doc_id").asc)
+      .limit(FinalTopK)
+  }
+
+  /** BM25 score CTEs for one query, suffixed to avoid collisions. */
+  private def bm25Ctes(query: String, sfx: String): String = {
+    val qTerms = Tokenizer.tokenize(query)
+      .groupBy(identity).map { case (t0, n) => (t0, n.size) }
+    val qValues = qTerms.map { case (t0, n) => s"('$t0', $n)" }.mkString(", ")
+    s"""q$sfx(term, qn) AS (VALUES $qValues),
+       |scores$sfx AS (
+       |  SELECT tf.doc_id, sum(
+       |    q$sfx.qn * idf.idf * (tf.tf * (1.5 + 1)) /
+       |    (tf.tf + 1.5 * (1 - 0.75 + 0.75 * tf.dl / (SELECT avgdl FROM stats)))
+       |  ) AS score
+       |  FROM tf JOIN q$sfx ON tf.term = q$sfx.term
+       |  JOIN idf ON tf.term = idf.term
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private def qHybridFunnelSql: String = {
+    val sharedCtes =
+      s"""$tokensCte,
+         |stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM kept),
+         |posting AS (
+         |  SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM kept),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM posting GROUP BY 1, 2, 3),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df,
+         |    ln((SELECT n_docs FROM stats) - count(*) + 0.5) - ln(count(*) + 0.5) AS idf_raw
+         |  FROM tf GROUP BY 1),
+         |idf AS (
+         |  SELECT term,
+         |    CASE WHEN idf_raw < 0
+         |      THEN 0.25 * (SELECT avg(idf_raw) FROM dfreq)
+         |      ELSE idf_raw END AS idf
+         |  FROM dfreq)""".stripMargin
+
+    val perVariation = Variations.zipWithIndex.map { case (q, v) =>
+      s"""${bm25Ctes(q, s"_$v")},
+         |vec_$v AS (
+         |  SELECT doc_id, ((doc_id * ${97 + v}) % 1009) / 1009.0 AS score
+         |  FROM documents ORDER BY score DESC, doc_id LIMIT $PerSourceFetch),
+         |kw_$v AS (
+         |  SELECT doc_id, score FROM scores_$v WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT $PerSourceFetch),
+         |ranked_$v AS (
+         |  SELECT doc_id, contrib FROM (
+         |    SELECT doc_id, 0.7 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM vec_$v
+         |    UNION ALL
+         |    SELECT doc_id, 0.3 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM kw_$v)),
+         |hyb_$v AS (
+         |  SELECT doc_id, $v AS v,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS vrank
+         |  FROM (SELECT doc_id, sum(contrib) AS rrf FROM ranked_$v GROUP BY 1)
+         |  ORDER BY rrf DESC, doc_id LIMIT $PerVariationCut)""".stripMargin
+    }.mkString(",\n")
+
+    val dedupCte =
+      s"""allv AS (${Variations.indices.map(v => s"SELECT * FROM hyb_$v").mkString(" UNION ALL ")}),
+         |deduped AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY v, vrank) AS rn
+         |    FROM allv) WHERE rn = 1)""".stripMargin
+
+    val rerankCtes = Variations.zipWithIndex.map { case (q, v) =>
+      val terms = Tokenizer.tokenize(q).distinct.map(t0 => s"'$t0'").mkString(", ")
+      s"""ce_$v AS (
+         |  SELECT d.doc_id, coalesce(sum(tf.tf), 0)::DOUBLE AS score
+         |  FROM deduped d LEFT JOIN tf ON d.doc_id = tf.doc_id AND tf.term IN ($terms)
+         |  GROUP BY 1),
+         |rr_$v AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM ce_$v ORDER BY score DESC, doc_id LIMIT $FinalTopK)""".stripMargin
+    }.mkString(",\n")
+
+    s"""WITH $sharedCtes,
+       |$perVariation,
+       |$dedupCte,
+       |$rerankCtes,
+       |refused AS (
+       |  SELECT doc_id, sum(1.0 / (60 + rank)) AS fused
+       |  FROM (${Variations.indices.map(v => s"SELECT * FROM rr_$v").mkString(" UNION ALL ")})
+       |  GROUP BY 1)
+       |SELECT doc_id, round(fused, 6) AS fused
+       |FROM refused ORDER BY fused DESC, doc_id LIMIT $FinalTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_tf" -> (qTokenTf _),
     "q_bm25_docs" -> (qBm25Docs _),
-    "q_rrf_docs" -> (qRrfDocs _))
+    "q_rrf_docs" -> (qRrfDocs _),
+    "q_hybrid_funnel" -> (qHybridFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q_token_tf" -> qTokenTfSql,
     "q_bm25_docs" -> bm25OracleSql,
-    "q_rrf_docs" -> qRrfDocsSql)
+    "q_rrf_docs" -> qRrfDocsSql,
+    "q_hybrid_funnel" -> qHybridFunnelSql)
 }

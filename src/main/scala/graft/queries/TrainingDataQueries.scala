@@ -93,11 +93,25 @@ object TrainingDataQueries {
       |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
       |  FROM toks WHERE len(ts) >= 2)""".stripMargin
 
+  /** Near-dup blocking: only docs in the same (lang, length-decile) block
+    * are compared — the standard trick that keeps the inverted-index
+    * self-join sub-quadratic (near-dups rarely cross language or differ
+    * 10× in length).
+    */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = bigramShingles(s, dir)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), simpleTokens(col("text")).as("ts"),
+        col("lang"), floor(col("n_chars") / lit(200)).cast("int").as("lb"))
+    val sh = docs
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), col("lb"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
+          .as("tok"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+          col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -112,12 +126,19 @@ object TrainingDataQueries {
   }
 
   private val qNgramJaccardSql =
-    s"""WITH $TokensCte,
-       |$ShinglesCte,
+    s"""WITH toksb AS (
+       |  SELECT doc_id, lang, CAST(n_chars // 200 AS INT) AS lb,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, lb, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
+       |  FROM toksb WHERE len(ts) >= 2),
        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.lang = b.lang
+       |    AND a.lb = b.lb AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(inter / (na.c + nb.c - inter), 5) AS jacc
