@@ -149,11 +149,17 @@ object RetrievalQueries {
   private def qHybridFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
 
+    // ALL variations' BM25 scores from ONE corpus pass (postings/idf built
+    // once — one wide shuffle, not one per variation), cached for the
+    // three per-variation funnels below
+    val kwAll = Retrieval.bm25ScoresMulti(docs, "doc_id", "text",
+      Variations.zipWithIndex.map(_.swap)).persist()
+
     // per-variation hybrid ranking (rank within variation by rrf)
-    val hybrids = Variations.zipWithIndex.map { case (q, v) =>
+    val hybrids = Variations.indices.map { v =>
       val vec = docs.select(col("doc_id"), vecScore(v).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc).limit(PerSourceFetch)
-      val kw = Retrieval.bm25Scores(docs, "doc_id", "text", q)
+      val kw = kwAll.filter(col("v") === v).select("doc_id", "score")
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id").asc).limit(PerSourceFetch)
       Retrieval.rrfFuse(Seq(vec -> Retrieval.VectorWeight, kw -> Retrieval.KeywordWeight),
@@ -169,13 +175,19 @@ object RetrievalQueries {
     val deduped = Retrieval.firstWinsDedup(all.select("doc_id", "v", "vrank"),
       "doc_id", col("v").asc, col("vrank").asc)
 
-    // deterministic cross-encoder standin: tf-overlap of variation terms
+    // deterministic cross-encoder standin: tf-overlap of variation terms —
+    // again one postings pass for all variations via a broadcast terms table
     val post = Retrieval.postings(docs, "doc_id", "text")
-    val rankings = Variations.zipWithIndex.map { case (q, v) =>
-      val qTerms = graft.text.Tokenizer.tokenize(q).distinct
-      val ce = post.filter(col("term").isin(qTerms: _*))
-        .groupBy("doc_id").agg(sum("tf").as("ce"))
-      deduped.join(ce, Seq("doc_id"), "left")
+    val termRows = Variations.zipWithIndex.flatMap { case (q, v) =>
+      graft.text.Tokenizer.tokenize(q).distinct.map(t0 => (v, t0))
+    }
+    val termsDf = s.createDataFrame(termRows).toDF("v", "term")
+    val ceAll = post.join(broadcast(termsDf), "term")
+      .groupBy("v", "doc_id").agg(sum("tf").as("ce"))
+
+    val rankings = Variations.indices.map { v =>
+      deduped.select("doc_id")
+        .join(ceAll.filter(col("v") === v).select("doc_id", "ce"), Seq("doc_id"), "left")
         .na.fill(0, Seq("ce"))
         .select(col("doc_id"), col("ce").cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id").asc).limit(FinalTopK)

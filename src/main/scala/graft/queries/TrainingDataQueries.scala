@@ -526,6 +526,48 @@ object TrainingDataQueries {
       |  round(greatest(0.0, least(1.0, 1.0 - n_chars / 1000.0)), 5) AS similarity
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // --- gap-based sessionization (batch twin of streaming/Sessionize) --------
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev", lag("ts", 1).over(w))
+      // ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so the
+      // NTZ→LTZ cast is identity, and LTZ→double gives epoch seconds
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          (col("ts").cast("timestamp_ltz").cast("double") -
+            col("prev").cast("timestamp_ltz").cast("double")) > 1800.0, 1)
+          .otherwise(0))
+      .withColumn("sess", sum("brk").over(w))
+      .groupBy("user_id", "sess")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .drop("sess")
+      .orderBy("user_id", "session_start")
+  }
+
+  private val qSessionizeSql =
+    """SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS total_value
+      |FROM (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      |  FROM (
+      |    SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+      |      THEN 1 ELSE 0 END AS brk
+      |    FROM (
+      |      SELECT event_id, ts, user_id, value,
+      |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM events)))
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
   // --- multimodal plumbing (binary payload + batched decode stub) -----------
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -556,6 +598,7 @@ object TrainingDataQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_sessionize" -> (qSessionize _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -572,6 +615,7 @@ object TrainingDataQueries {
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" -> qMultimodalFeaturesSql,
+    "q_sessionize" -> qSessionizeSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,

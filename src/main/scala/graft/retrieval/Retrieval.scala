@@ -124,6 +124,55 @@ object Retrieval {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /** BM25 scores for SEVERAL queries in ONE pass over the corpus:
+    * postings/stats/idf are built once and joined against a broadcast
+    * (variation, term, multiplicity) table — at scale this is one shuffle
+    * instead of one per query variation. Output: (v, idCol, score).
+    */
+  def bm25ScoresMulti(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Int, String)],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val post = toks.select(col(idCol), col("dl"), explode(col("tokens")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfTable = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_raw",
+        log(col("n_docs") - col("df") + lit(0.5)) - log(col("df") + lit(0.5)))
+    val idfStats = dfTable.agg(avg(col("idf_raw")).as("avg_idf"))
+    val idf = dfTable.crossJoin(broadcast(idfStats))
+      .withColumn("idf",
+        when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf"))
+          .otherwise(col("idf_raw")))
+      .select(col("term"), col("idf"))
+    val qRows = queries.flatMap { case (v, q) =>
+      Tokenizer.tokenize(q).groupBy(identity)
+        .map { case (t, os) => (v, t, os.size) }
+    }
+    val spark = docs.sparkSession
+    if (qRows.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("v", lit(0))
+        .withColumn(idCol, lit(null))
+        .withColumn("score", lit(0.0))
+    val qDf = spark.createDataFrame(qRows).toDF("v", "term", "qn")
+    post
+      .join(broadcast(qDf), "term")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        col("qn") * col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("v"), col(idCol))
+      .agg(sum(col("contrib")).as("score"))
+  }
+
   /** 0-based rank column over a ranked list, deterministic tie-break
     * `(score desc, id asc)` (W2/W3 in SURVEY §2.5).
     */
