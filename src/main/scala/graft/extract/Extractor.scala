@@ -28,18 +28,79 @@ object Extractor {
       bytesParsed: Long,
       skipReason: String)
 
-  // PDF content streams: a text object with at least one show-text op.
-  private val PdfSniff =
-    java.util.regex.Pattern.compile("(?s)\\bBT\\b.*\\b(Tj|TJ)\\b.*\\bET\\b")
-  // HTML: a structural tag early in the payload.
-  private val HtmlSniff = java.util.regex.Pattern.compile(
-    "(?is)<\\s*(!doctype|html|head|body|div|p\\b|br\\b|table|article|section|main|nav|header|footer|span|h[1-6]|ul|ol|li|a\\s)")
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Index just past the next standalone occurrence of `tok` (word
+    * boundaries both sides) at or after `from`; -1 if none.
+    */
+  private def tokenAfter(text: String, tok: String, from: Int): Int = {
+    var i = from
+    val n = text.length
+    val m = tok.length
+    while (i >= 0 && i + m <= n) {
+      i = text.indexOf(tok, i)
+      if (i < 0) return -1
+      val okL = i == 0 || !isWordChar(text.charAt(i - 1))
+      val okR = i + m == n || !isWordChar(text.charAt(i + m))
+      if (okL && okR) return i + m
+      i += 1
+    }
+    -1
+  }
+
+  /** PDF content stream: a standalone `BT` … show-text op (`Tj`/`TJ`) …
+    * `ET` sequence (hand-rolled — the equivalent `(?s)\bBT\b.*\b(Tj|TJ)
+    * \b.*\bET\b` regex costs ~20µs/turn, which dominates plain turns).
+    */
+  private def looksPdf(text: String): Boolean = {
+    val afterBt = tokenAfter(text, "BT", 0)
+    if (afterBt < 0) return false
+    val tj = tokenAfter(text, "Tj", afterBt)
+    val tJ = tokenAfter(text, "TJ", afterBt)
+    val afterShow = if (tj < 0) tJ else if (tJ < 0) tj else math.min(tj, tJ)
+    if (afterShow < 0) return false
+    tokenAfter(text, "ET", afterShow) > 0
+  }
+
+  private val HtmlTagNames = Set(
+    "html", "head", "body", "div", "p", "br", "table", "article",
+    "section", "main", "nav", "header", "footer", "span",
+    "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li")
+
+  /** Structural HTML tag anywhere in the payload. Mirrors the regex
+    * `(?is)<\s*(!doctype|html|...|h[1-6]|ul|ol|li|a\s)` semantics.
+    */
+  private def looksHtml(text: String): Boolean = {
+    var i = text.indexOf('<')
+    val n = text.length
+    while (i >= 0) {
+      var j = i + 1
+      while (j < n && Character.isWhitespace(text.charAt(j))) j += 1
+      if (j < n) {
+        if (text.charAt(j) == '!' && text.regionMatches(true, j + 1, "doctype", 0, 7))
+          return true
+        val s = j
+        while (j < n && j - s < 8 &&
+          (Character.isLetterOrDigit(text.charAt(j)))) j += 1
+        val name = text.substring(s, j).toLowerCase
+        // `a` only counts when followed by whitespace (attribute follows),
+        // like the reference regex's `a\s`
+        if (name == "a") {
+          if (j < n && Character.isWhitespace(text.charAt(j))) return true
+        } else if (HtmlTagNames.contains(name) &&
+          (j >= n || !isWordChar(text.charAt(j)))) return true
+      }
+      i = text.indexOf('<', i + 1)
+    }
+    false
+  }
 
   /** Classify a turn payload: "pdf" | "html" | "plain". */
   def sniff(text: String): String = {
     if (text == null || text.isEmpty) "plain"
-    else if (PdfSniff.matcher(text).find()) "pdf"
-    else if (HtmlSniff.matcher(text).find()) "html"
+    else if (looksPdf(text)) "pdf"
+    else if (looksHtml(text)) "html"
     else "plain"
   }
 

@@ -50,6 +50,41 @@ object Pdf {
   private final case class TArr(items: Vector[Tok]) extends Tok
   private final case class TOp(v: String) extends Tok
 
+  /** Allocation-free parse of a PDF numeric operand (sign, digits, one
+    * dot — the full grammar, PDF has no exponents). NaN on malformed.
+    * Numbers dominate content streams (6 per `Tm`), so this avoids a
+    * substring + toDouble per operand.
+    */
+  private def parseNum(s: String, from: Int, until: Int): Double = {
+    var i = from
+    if (i >= until) return Double.NaN
+    var neg = false
+    s.charAt(i) match {
+      case '-' => neg = true; i += 1
+      case '+' => i += 1
+      case _ =>
+    }
+    var intPart = 0L
+    var frac = 0L
+    var fracDigits = 0
+    var sawDigit = false
+    var sawDot = false
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        sawDigit = true
+        if (sawDot) { frac = frac * 10 + (c - '0'); fracDigits += 1 }
+        else intPart = intPart * 10 + (c - '0')
+      } else if (c == '.' && !sawDot) sawDot = true
+      else return Double.NaN // second dot or stray sign
+      i += 1
+    }
+    if (!sawDigit) return Double.NaN
+    var v = intPart.toDouble
+    if (fracDigits > 0) v += frac / math.pow(10, fracDigits)
+    if (neg) -v else v
+  }
+
   @inline private def isDelim(c: Char): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
       c == '{' || c == '}' || c == '/' || c == '%'
@@ -248,9 +283,8 @@ object Pdf {
           } else {
             val st = k
             while (k < m && !isWs(inner.charAt(k)) && inner.charAt(k) != '(' && inner.charAt(k) != '<') k += 1
-            val tok = inner.substring(st, k)
-            try elems += TNum(tok.toDouble)
-            catch { case _: Exception => }
+            val v = parseNum(inner, st, k)
+            if (!v.isNaN) elems += TNum(v)
           }
         }
         stack += TArr(elems.result()); i = j
@@ -262,8 +296,8 @@ object Pdf {
         var j = i
         while (j < n && ((src.charAt(j) >= '0' && src.charAt(j) <= '9') ||
           src.charAt(j) == '-' || src.charAt(j) == '+' || src.charAt(j) == '.')) j += 1
-        try stack += TNum(src.substring(i, j).toDouble)
-        catch { case _: Exception => }
+        val v = parseNum(src, i, j)
+        if (!v.isNaN) stack += TNum(v)
         i = j
       } else {
         var j = i
@@ -419,19 +453,31 @@ object Pdf {
 
   // --- top-level ------------------------------------------------------------
 
-  private val PageMarker = "(?m)^%%Page:.*$".r
+  private val PageMarkerPrefix = "%%Page:"
 
   /** Split a multi-page stream on `%%Page:` marker lines; a stream with no
     * marker is one page. Returns [start,end) offsets into `src`.
+    * Hand-rolled line scan (a `(?m)^%%Page:.*$` regex costs ~20µs/stream).
     */
   def splitPages(src: String): Vector[(Int, Int)] = {
-    val ms = PageMarker.findAllMatchIn(src).toVector
-    if (ms.isEmpty) return Vector((0, src.length))
-    val bounds = ms.map(_.start) :+ src.length
+    // (markerStart, markerEnd) per marker line
+    val ms = Vector.newBuilder[(Int, Int)]
+    var i = src.indexOf(PageMarkerPrefix)
+    while (i >= 0) {
+      if (i == 0 || src.charAt(i - 1) == '\n') {
+        val nl = src.indexOf('\n', i)
+        ms += ((i, if (nl < 0) src.length else nl))
+      }
+      i = src.indexOf(PageMarkerPrefix, i + 1)
+    }
+    val markers = ms.result()
+    if (markers.isEmpty) return Vector((0, src.length))
+    val bounds = markers.map(_._1) :+ src.length
     val head =
-      if (src.substring(0, ms.head.start).trim.nonEmpty) Vector((0, ms.head.start))
+      if (src.substring(0, markers.head._1).trim.nonEmpty)
+        Vector((0, markers.head._1))
       else Vector.empty
-    head ++ ms.indices.map(i => (math.min(ms(i).end, src.length), bounds(i + 1)))
+    head ++ markers.indices.map(i => (markers(i)._2, bounds(i + 1)))
   }
 
   final case class PageText(page: Int, lines: Vector[Line])

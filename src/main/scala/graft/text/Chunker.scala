@@ -49,24 +49,49 @@ object Chunker {
     */
   final case class ChunkSpan(content: String, start: Int, end: Int)
 
-  private val SentencePattern =
-    pyPattern("(?<=[.!?])\\s+(?=[A-Z])|(?<=[.!?])$")
   private val NumberedHeading = pyPattern("^\\d+\\.?\\s+[A-Z]")
 
-  /** `_split_into_sentences` (`chunker.py:272-303`) with source offsets. */
+  @inline private def isSentPunct(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?'
+
+  /** `_split_into_sentences` (`chunker.py:272-303`) with source offsets.
+    *
+    * Hand-rolled scan with the exact semantics of
+    * `(?<=[.!?])\s+(?=[A-Z])|(?<=[.!?])$` under UNICODE_CHARACTER_CLASS
+    * + UNIX_LINES (the lookaround regex costs ~40% of chunking time):
+    *  - split on a whitespace run after sentence punctuation when the
+    *    first non-whitespace char is ASCII A-Z (no backtracked shorter
+    *    runs can match — the lookahead would land on whitespace);
+    *  - the zero-width `$` branch fires at end-of-input, and before a
+    *    single trailing `\n`, when the preceding char is punctuation.
+    */
   def splitIntoSentences(text: String): Vector[Sentence] = {
-    val m = SentencePattern.matcher(text)
+    val n = text.length
     val pieces = Vector.newBuilder[(String, Int, Int)]
     var last = 0
-    var from = 0
-    var done = false
-    while (!done && from <= text.length && m.find(from)) {
-      pieces += ((text.substring(last, m.start), last, m.start))
-      last = m.end
-      from = if (m.end == m.start) m.end + 1 else m.end
-      if (from > text.length) done = true
+    var i = 1
+    while (i < n) {
+      if (isSentPunct(text.charAt(i - 1)) && pyIsSpace(text.charAt(i))) {
+        var j = i + 1
+        while (j < n && pyIsSpace(text.charAt(j))) j += 1
+        if (j < n && text.charAt(j) >= 'A' && text.charAt(j) <= 'Z') {
+          pieces += ((text.substring(last, i), last, i))
+          last = j
+        }
+        i = j + 1
+      } else i += 1
     }
-    pieces += ((text.substring(last), last, text.length))
+    // `$` branch: end-of-input after punctuation…
+    if (n > 0 && isSentPunct(text.charAt(n - 1)) && last < n) {
+      pieces += ((text.substring(last, n), last, n))
+      last = n
+    } else if (n > 1 && text.charAt(n - 1) == '\n' &&
+      isSentPunct(text.charAt(n - 2)) && last < n - 1) {
+      // …or before a single trailing \n (UNIX_LINES `$`)
+      pieces += ((text.substring(last, n - 1), last, n - 1))
+      last = n - 1
+    }
+    pieces += ((text.substring(last), last, n))
 
     val kept = pieces.result().flatMap { case (raw, s, e) =>
       if (pyStrip(raw).nonEmpty) {
