@@ -526,6 +526,73 @@ object TrainingDataQueries {
       |  round(greatest(0.0, least(1.0, 1.0 - n_chars / 1000.0)), 5) AS similarity
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // --- LLM-expansion output parser (F13, query_expansion.py:229-267) --------
+  //
+  // Parses "Alternative N: ..." / "N. ..." / bare lines out of a response
+  // blob, entirely with Catalyst array/string built-ins. The responses are
+  // synthesized deterministically from document text (the reference mocks
+  // the LLM in its tests too).
+
+  private def qExpandParse(s: SparkSession, dir: String): DataFrame = {
+    val resp = concat(
+      lit("Alternative 1: "), substring(col("text"), 1, 25), lit("\n"),
+      lit("2. "), substring(col("text"), 26, 25), lit("\n"),
+      lit("   \n"), // blank line → skipped
+      substring(col("text"), 51, 25), lit("\n"),
+      lit("9: "), substring(col("text"), 76, 25),
+      lit("\nAlternative 2:"), lit("\nAlternative x: keep me"))
+    val parsed = expr(
+      """filter(transform(split(resp, '\n'), l ->
+        |  CASE
+        |    WHEN trim(l) = '' THEN NULL
+        |    WHEN trim(l) LIKE 'Alternative%' THEN
+        |      CASE WHEN instr(trim(l), ':') > 0
+        |             AND trim(substring(trim(l), instr(trim(l), ':') + 1)) <> ''
+        |        THEN trim(substring(trim(l), instr(trim(l), ':') + 1))
+        |        ELSE NULL END
+        |    WHEN substring(trim(l), 1, 1) RLIKE '^[0-9]$' AND length(trim(l)) > 2
+        |         AND substring(trim(l), 2, 2) IN ('. ', ': ')
+        |      THEN nullif(trim(substring(trim(l), 4)), '')
+        |    ELSE trim(l)
+        |  END), x -> x IS NOT NULL)""".stripMargin)
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .withColumn("resp", resp)
+      .withColumn("vars", parsed)
+      .select(col("doc_id"), posexplode(col("vars")).as(Seq("vidx", "variation")))
+      .orderBy("doc_id", "vidx")
+  }
+
+  private val qExpandParseSql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    'Alternative 1: ' || substr(text, 1, 25) || chr(10) ||
+      |    '2. ' || substr(text, 26, 25) || chr(10) ||
+      |    '   ' || chr(10) ||
+      |    substr(text, 51, 25) || chr(10) ||
+      |    '9: ' || substr(text, 76, 25) ||
+      |    chr(10) || 'Alternative 2:' || chr(10) || 'Alternative x: keep me' AS resp
+      |  FROM documents WHERE doc_id < 50),
+      |parsed AS (
+      |  SELECT doc_id, list_filter(list_transform(string_split(resp, chr(10)), l ->
+      |    CASE
+      |      WHEN trim(l) = '' THEN NULL
+      |      WHEN trim(l) LIKE 'Alternative%' THEN
+      |        CASE WHEN strpos(trim(l), ':') > 0
+      |               AND trim(substr(trim(l), strpos(trim(l), ':') + 1)) <> ''
+      |          THEN trim(substr(trim(l), strpos(trim(l), ':') + 1))
+      |          ELSE NULL END
+      |      WHEN regexp_matches(substr(trim(l), 1, 1), '^[0-9]$') AND len(trim(l)) > 2
+      |           AND substr(trim(l), 2, 2) IN ('. ', ': ')
+      |        THEN nullif(trim(substr(trim(l), 4)), '')
+      |      ELSE trim(l)
+      |    END), x -> x IS NOT NULL) AS vars
+      |  FROM r)
+      |SELECT doc_id, u.i - 1 AS vidx, u.v AS variation FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(vars)),
+      |    i -> {'i': i, 'v': vars[i]})) AS u
+      |  FROM parsed)
+      |ORDER BY doc_id, vidx""".stripMargin
+
   // --- gap-based sessionization (batch twin of streaming/Sessionize) --------
 
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -599,6 +666,7 @@ object TrainingDataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_sessionize" -> (qSessionize _),
+    "q_expand_parse" -> (qExpandParse _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -616,6 +684,7 @@ object TrainingDataQueries {
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_expand_parse" -> qExpandParseSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
