@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main: validates `local-cluster[n,cores,mem]` mode — real
+  * separate executor JVMs, the honest sandbox stand-in for the north
+  * rule's "N vs 4N executors" — and times the extraction compute pass on
+  * it. Args: nWorkers coresPerWorker [nConvs].
+  */
+object ClusterProbe {
+  def main(args: Array[String]): Unit = {
+    val nWorkers = args.headOption.map(_.toInt).getOrElse(2)
+    val cores = args.lift(1).map(_.toInt).getOrElse(4)
+    val nConvs = args.lift(2).map(_.toLong).getOrElse(20000L)
+    val memMb = args.lift(3).map(_.toInt).getOrElse(4096)
+    val nRuns = args.lift(4).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local-cluster[$nWorkers,$cores,$memMb]")
+      .appName("cluster-probe")
+      .config("spark.executor.memory", s"${memMb}m")
+      .config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
+      // each executor JVM must size JIT/GC pools for ITS cores, not the
+      // host's 32 — real-cluster semantics, and without it co-located
+      // JVMs oversubscribe the box with 32 GC threads apiece
+      .config("spark.executor.extraJavaOptions",
+        s"-XX:ActiveProcessorCount=$cores -XX:+UseParallelGC")
+      .config("spark.sql.shuffle.partitions", (nWorkers * cores).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = "/dev/shm/cluster-probe-transcripts"
+    graft.fixtures.TranscriptGen.transcripts(spark, nConvs,
+      numPartitions = nWorkers * cores * 2)
+      .write.mode("overwrite").parquet(dir)
+
+    val turns = spark.read.parquet(dir).as[graft.model.Turn]
+    turns.limit(2000).mapPartitions(_.map(t =>
+      graft.extract.Extractor.extract(t.text).text.length.toLong)).reduce(_ + _)
+
+    (1 to nRuns).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = turns.mapPartitions(_.map { t =>
+        graft.extract.Extractor.extract(t.text); 1L
+      }).reduce(_ + _)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[cluster-probe] run$i workers=$nWorkers cores=$cores turns=$n " +
+        f"sec=$sec%.2f tps=${n / sec}%.0f")
+    }
+    spark.stop()
+  }
+}

@@ -42,13 +42,13 @@ object Pdf {
       fontSize: Double, text: String, start: Int, end: Int)
 
   // --- lexer ----------------------------------------------------------------
-
-  private sealed trait Tok
-  private final case class TNum(v: Double) extends Tok
-  private final case class TStr(v: String, start: Int, end: Int) extends Tok
-  private final case class TName(v: String) extends Tok
-  private final case class TArr(items: Vector[Tok]) extends Tok
-  private final case class TOp(v: String) extends Tok
+  //
+  // Token representation: a TAGGED PARALLEL-ARRAY operand stack instead of
+  // a sealed-trait ADT. Extraction runs inside executor mapPartitions over
+  // millions of turns; one case-class allocation per token (6 numbers per
+  // `Tm` alone) made GC the scaling bottleneck across co-located executor
+  // JVMs. Tags: 0 = number, 1 = string, 2 = name, 3 = dict-open, 4 =
+  // pre-assembled TJ array.
 
   /** Allocation-free parse of a PDF numeric operand (sign, digits, one
     * dot — the full grammar, PDF has no exponents). NaN on malformed.
@@ -92,16 +92,18 @@ object Pdf {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
 
-  /** Parse a literal string `(...)` starting at `i` (at the '('). Returns
-    * (decoded, endIndex).
+  /** Decode a literal string `(...)` starting at `i0` (at the '(') into
+    * `out` (cleared first). Returns the end index. Bounded by `until` so
+    * the lexer runs in place over the full source (no per-page substring).
     */
-  private def literalString(s: String, i0: Int): (String, Int) = {
-    val out = new StringBuilder
+  private def literalStringInto(out: java.lang.StringBuilder, s: String,
+      i0: Int, until: Int): Int = {
+    out.setLength(0)
     var i = i0 + 1
     var depth = 1
-    while (i < s.length && depth > 0) {
+    while (i < until && depth > 0) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
+      if (c == '\\' && i + 1 < until) {
         s.charAt(i + 1) match {
           case 'n' => out.append('\n'); i += 2
           case 'r' => out.append('\r'); i += 2
@@ -115,7 +117,7 @@ object Pdf {
           case d if d >= '0' && d <= '7' =>
             var j = i + 1
             var v = 0
-            while (j < s.length && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+            while (j < until && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
               v = v * 8 + (s.charAt(j) - '0'); j += 1
             }
             out.append(v.toChar); i = j
@@ -125,34 +127,84 @@ object Pdf {
       else if (c == ')') { depth -= 1; if (depth > 0) out.append(c); i += 1 }
       else { out.append(c); i += 1 }
     }
-    (out.toString, i)
+    i
   }
 
-  private def hexString(s: String, i0: Int): (String, Int) = {
+  @inline private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Decode a hex string `<...>` starting at `i0` into `out` (cleared
+    * first). Returns the end index. Invalid digit pairs are dropped, as
+    * the previous `Integer.parseInt`-based decoder did via its catch.
+    */
+  private def hexStringInto(out: java.lang.StringBuilder, s: String,
+      i0: Int, until: Int): Int = {
+    out.setLength(0)
     var i = i0 + 1
-    val hex = new StringBuilder
-    while (i < s.length && s.charAt(i) != '>') {
+    var have = 0 // pending nibble count
+    var pend = 0
+    var pendOk = true
+    while (i < until && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (!isWs(c)) hex.append(c)
+      if (!isWs(c)) {
+        val v = hexVal(c)
+        if (have == 0) { pend = v; pendOk = v >= 0; have = 1 }
+        else {
+          if (pendOk && v >= 0) out.append(((pend << 4) | v).toChar)
+          have = 0
+        }
+      }
       i += 1
     }
-    if (hex.length % 2 == 1) hex.append('0')
-    val out = new StringBuilder
-    var j = 0
-    while (j + 1 < hex.length + 1 && j + 2 <= hex.length) {
-      try out.append(Integer.parseInt(hex.substring(j, j + 2), 16).toChar)
-      catch { case _: Exception => }
-      j += 2
-    }
-    (out.toString, if (i < s.length) i + 1 else i)
+    if (have == 1 && pendOk) out.append((pend << 4).toChar) // odd → pad '0'
+    if (i < until) i + 1 else i
   }
 
-  /** Run the text-object state machine over one page's stream slice.
-    * `base` is the offset of the slice in the full source.
+  /** Run the text-object state machine over `src[from, until)` in place.
+    * Span offsets are absolute indices into `src`.
     */
-  private def runPage(src: String, base: Int): Vector[TextItem] = {
+  private def runPage(src: String, from: Int, until: Int): Vector[TextItem] = {
     val items = Vector.newBuilder[TextItem]
-    val stack = mutable.ArrayBuffer.empty[Tok]
+
+    // tagged parallel-array operand stack (see lexer note above)
+    var cap = 16
+    var tags = new Array[Byte](cap)
+    var nums = new Array[Double](cap)
+    var strs = new Array[String](cap)
+    var sts = new Array[Int](cap)
+    var ens = new Array[Int](cap)
+    var sp = 0
+    @inline def grown(): Unit = if (sp == cap) {
+      cap *= 2
+      tags = java.util.Arrays.copyOf(tags, cap)
+      nums = java.util.Arrays.copyOf(nums, cap)
+      strs = java.util.Arrays.copyOf(strs, cap)
+      sts = java.util.Arrays.copyOf(sts, cap)
+      ens = java.util.Arrays.copyOf(ens, cap)
+    }
+    @inline def pushNum(v: Double): Unit = { grown(); tags(sp) = 0; nums(sp) = v; sp += 1 }
+    @inline def pushStr(v: String, s0: Int, e0: Int): Unit = {
+      grown(); tags(sp) = 1; strs(sp) = v; sts(sp) = s0; ens(sp) = e0; sp += 1
+    }
+    @inline def pushTag(t: Byte): Unit = { grown(); tags(sp) = t; sp += 1 }
+    // numeric view of a stack slot, 0.0 for non-numbers (as `num` did on
+    // the ADT stack)
+    @inline def numAt(idx: Int): Double = if (tags(idx) == 0) nums(idx) else 0.0
+    /** Pop up to k entries; returns how many were popped. The popped
+      * entries remain readable at indices [sp, sp+returned) in stack
+      * order, matching the old popN's Vector order.
+      */
+    @inline def popUpTo(k: Int): Int = {
+      val take = if (k < sp) k else sp
+      sp -= take
+      take
+    }
+
+    val strSb = new java.lang.StringBuilder(64)
+    val tjSb = new java.lang.StringBuilder(64)
 
     var inText = false
     var fontSize = 12.0
@@ -162,7 +214,6 @@ object Pdf {
     var curX = 0.0
     var curY = 0.0
 
-    @inline def num(t: Tok): Double = t match { case TNum(v) => v; case _ => 0.0 }
     @inline def widthOf(text: String): Double = text.length * 0.5 * fontSize
 
     def emit(str: String, s0: Int, e0: Int): Unit = {
@@ -170,140 +221,139 @@ object Pdf {
       curX += widthOf(str)
     }
 
-    def popN(k: Int): Vector[Tok] = {
-      val n = stack.length
-      val taken = stack.slice(math.max(0, n - k), n).toVector
-      stack.remove(math.max(0, n - k), math.min(k, n))
-      taken
+    @inline def popTjLike(): Unit = { // shared by Tj and '
+      val take = popUpTo(1)
+      if (take == 1 && tags(sp) == 1 && inText) emit(strs(sp), sts(sp), ens(sp))
     }
 
-    def doOp(op: String): Unit = op match {
-      case "BT" => inText = true; lineX = 0; lineY = 0; curX = 0; curY = 0
-      case "ET" => inText = false
-      case "Tf" => val a = popN(2); fontSize = num(a.last); leading = if (leading == 0) fontSize * 1.2 else leading
-      case "TL" => val a = popN(1); leading = num(a.head)
-      case "Td" =>
-        val a = popN(2)
-        if (a.length == 2) { lineX += num(a(0)); lineY += num(a(1)) }
-        curX = lineX; curY = lineY
-      case "TD" =>
-        val a = popN(2)
-        if (a.length == 2) { leading = -num(a(1)); lineX += num(a(0)); lineY += num(a(1)) }
-        curX = lineX; curY = lineY
-      case "Tm" =>
-        val a = popN(6)
-        if (a.length == 6) {
-          lineX = num(a(4)); lineY = num(a(5))
-          val sc = math.abs(num(a(0)))
-          if (sc > 0) fontSize = fontSize // text matrix scale folded into estimates only
-        }
-        curX = lineX; curY = lineY
-      case "T*" => lineY -= leading; curX = lineX; curY = lineY
-      case "Tj" =>
-        popN(1) match {
-          case Vector(TStr(v, s0, e0)) if inText => emit(v, s0, e0)
-          case _ =>
-        }
-      case "'" =>
-        lineY -= leading; curX = lineX; curY = lineY
-        popN(1) match {
-          case Vector(TStr(v, s0, e0)) if inText => emit(v, s0, e0)
-          case _ =>
-        }
-      case "\"" =>
-        val a = popN(3)
-        lineY -= leading; curX = lineX; curY = lineY
-        a.lastOption match {
-          case Some(TStr(v, s0, e0)) if inText => emit(v, s0, e0)
-          case _ =>
-        }
-      case "TJ" =>
-        popN(1) match {
-          case Vector(TArr(elems)) if inText =>
-            var s0 = -1
-            var e0 = -1
-            val sb = new StringBuilder
-            val x0 = curX
-            elems.foreach {
-              case TStr(v, ss, ee) =>
-                if (s0 < 0) s0 = ss
-                e0 = ee; sb.append(v)
-              case TNum(adj) => if (adj <= -180) sb.append(' ')
-              case _ =>
+    // 2-char operator dispatch; `sp = 0` = the old `stack.clear()` on
+    // unknown operators. Tf/TL on an empty stack threw (`.last`/`.head` of
+    // empty Vector) in the ADT version and the thrown path is part of the
+    // golden-locked behavior — kept.
+    def doOp2(c0: Char, c1: Char): Unit = (c0: @inline) match {
+      case 'B' => if (c1 == 'T') { inText = true; lineX = 0; lineY = 0; curX = 0; curY = 0 } else sp = 0
+      case 'E' => if (c1 == 'T') inText = false else sp = 0
+      case 'T' => c1 match {
+        case 'f' =>
+          val n0 = sp
+          popUpTo(2)
+          if (n0 == 0) throw new NoSuchElementException("Tf on empty operand stack")
+          fontSize = numAt(n0 - 1)
+          leading = if (leading == 0) fontSize * 1.2 else leading
+        case 'L' =>
+          if (sp == 0) throw new NoSuchElementException("TL on empty operand stack")
+          popUpTo(1); leading = numAt(sp)
+        case 'd' =>
+          if (popUpTo(2) == 2) { lineX += numAt(sp); lineY += numAt(sp + 1) }
+          curX = lineX; curY = lineY
+        case 'D' =>
+          if (popUpTo(2) == 2) {
+            leading = -numAt(sp + 1); lineX += numAt(sp); lineY += numAt(sp + 1)
+          }
+          curX = lineX; curY = lineY
+        case 'm' =>
+          if (popUpTo(6) == 6) { lineX = numAt(sp + 4); lineY = numAt(sp + 5) }
+          curX = lineX; curY = lineY
+        case '*' => lineY -= leading; curX = lineX; curY = lineY
+        case 'j' => popTjLike()
+        case 'J' =>
+          val take = popUpTo(1)
+          if (take == 1 && tags(sp) == 4 && inText) {
+            val s = strs(sp)
+            if (s.nonEmpty && sts(sp) >= 0) {
+              items += TextItem(curX, curY, fontSize, s, sts(sp), ens(sp))
+              curX += widthOf(s)
             }
-            if (sb.nonEmpty && s0 >= 0) {
-              items += TextItem(x0, curY, fontSize, sb.toString, s0, e0)
-              curX = x0 + widthOf(sb.toString)
-            }
-          case _ =>
-        }
-      case _ => stack.clear() // unknown operator: drop its operands
+          }
+        case _ => sp = 0
+      }
+      case _ => sp = 0
     }
 
-    var i = 0
-    val n = src.length
-    while (i < n) {
+    var i = from
+    while (i < until) {
       val c = src.charAt(i)
       if (isWs(c)) i += 1
-      else if (c == '%') { val nl = src.indexOf('\n', i); i = if (nl < 0) n else nl + 1 }
-      else if (c == '(') {
+      else if (c == '%') {
+        val nl = src.indexOf('\n', i)
+        i = if (nl < 0 || nl >= until) until else nl + 1
+      } else if (c == '(') {
         val st = i
-        val (v, e) = literalString(src, i)
-        stack += TStr(v, base + st, base + e); i = e
-      } else if (c == '<' && i + 1 < n && src.charAt(i + 1) != '<') {
+        val e = literalStringInto(strSb, src, i, until)
+        pushStr(strSb.toString, st, e); i = e
+      } else if (c == '<' && i + 1 < until && src.charAt(i + 1) != '<') {
         val st = i
-        val (v, e) = hexString(src, i)
-        stack += TStr(v, base + st, base + e); i = e
-      } else if (c == '<') { i += 2; stack += TOp("<<") }
-      else if (c == '>' ) { i += (if (i + 1 < n && src.charAt(i + 1) == '>') 2 else 1) }
+        val e = hexStringInto(strSb, src, i, until)
+        pushStr(strSb.toString, st, e); i = e
+      } else if (c == '<') { i += 2; pushTag(3) }
+      else if (c == '>') { i += (if (i + 1 < until && src.charAt(i + 1) == '>') 2 else 1) }
       else if (c == '[') {
-        // recursively lex the array body
+        // lex the array body in place, assembling the TJ string directly
+        // (string concat + space for kerning adjustments ≤ -180/1000 em);
+        // the assembly has no dependence on exec-time text state, so
+        // lex-time assembly is observationally identical to the old
+        // TArr-then-TJ two-step
         var depth = 1
         var j = i + 1
-        while (j < n && depth > 0) {
+        while (j < until && depth > 0) {
           val cc = src.charAt(j)
-          if (cc == '(') j = literalString(src, j)._2
+          if (cc == '(') j = literalStringInto(strSb, src, j, until)
           else { if (cc == '[') depth += 1 else if (cc == ']') depth -= 1; j += 1 }
         }
-        val inner = src.substring(i + 1, math.max(i + 1, j - 1))
-        val elems = Vector.newBuilder[Tok]
-        var k = 0
-        val m = inner.length
+        val m = math.max(i + 1, j - 1)
+        tjSb.setLength(0)
+        var s0 = -1
+        var e0 = -1
+        var k = i + 1
         while (k < m) {
-          val ic = inner.charAt(k)
+          val ic = src.charAt(k)
           if (isWs(ic)) k += 1
           else if (ic == '(') {
             val st = k
-            val (v, e) = literalString(inner, k)
-            elems += TStr(v, base + i + 1 + st, base + i + 1 + e); k = e
+            val e = literalStringInto(strSb, src, k, m)
+            if (s0 < 0) s0 = st
+            e0 = e; tjSb.append(strSb); k = e
           } else if (ic == '<') {
             val st = k
-            val (v, e) = hexString(inner, k)
-            elems += TStr(v, base + i + 1 + st, base + i + 1 + e); k = e
+            val e = hexStringInto(strSb, src, k, m)
+            if (s0 < 0) s0 = st
+            e0 = e; tjSb.append(strSb); k = e
           } else {
             val st = k
-            while (k < m && !isWs(inner.charAt(k)) && inner.charAt(k) != '(' && inner.charAt(k) != '<') k += 1
-            val v = parseNum(inner, st, k)
-            if (!v.isNaN) elems += TNum(v)
+            while (k < m && !isWs(src.charAt(k)) && src.charAt(k) != '(' && src.charAt(k) != '<') k += 1
+            val v = parseNum(src, st, k)
+            if (!v.isNaN && v <= -180) tjSb.append(' ')
           }
         }
-        stack += TArr(elems.result()); i = j
+        grown(); tags(sp) = 4; strs(sp) = tjSb.toString; sts(sp) = s0; ens(sp) = e0; sp += 1
+        i = j
       } else if (c == '/') {
         var j = i + 1
-        while (j < n && !isWs(src.charAt(j)) && !isDelim(src.charAt(j))) j += 1
-        stack += TName(src.substring(i + 1, j)); i = j
+        while (j < until && !isWs(src.charAt(j)) && !isDelim(src.charAt(j))) j += 1
+        pushTag(2); i = j // name content is never consumed — no substring
       } else if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
         var j = i
-        while (j < n && ((src.charAt(j) >= '0' && src.charAt(j) <= '9') ||
+        while (j < until && ((src.charAt(j) >= '0' && src.charAt(j) <= '9') ||
           src.charAt(j) == '-' || src.charAt(j) == '+' || src.charAt(j) == '.')) j += 1
         val v = parseNum(src, i, j)
-        if (!v.isNaN) stack += TNum(v)
+        if (!v.isNaN) pushNum(v)
         i = j
       } else {
         var j = i
-        while (j < n && !isWs(src.charAt(j)) && !isDelim(src.charAt(j))) j += 1
-        val op = src.substring(i, j)
-        if (op.nonEmpty) doOp(op)
+        while (j < until && !isWs(src.charAt(j)) && !isDelim(src.charAt(j))) j += 1
+        val len = j - i
+        if (len == 1) {
+          if (c == '\'') { lineY -= leading; curX = lineX; curY = lineY; popTjLike() }
+          else if (c == '"') {
+            val take = popUpTo(3)
+            lineY -= leading; curX = lineX; curY = lineY
+            if (take >= 1) {
+              val top = sp + take - 1
+              if (tags(top) == 1 && inText) emit(strs(top), sts(top), ens(top))
+            }
+          } else sp = 0
+        } else if (len == 2) doOp2(c, src.charAt(i + 1))
+        else if (len > 2) sp = 0
         i = math.max(j, i + 1)
       }
     }
@@ -485,7 +535,7 @@ object Pdf {
   /** Full pipeline: lex → lines → x-y cut → suppress headers/footers. */
   def extract(src: String): Vector[PageText] = {
     val pages = splitPages(src).zipWithIndex.map { case ((s, e), pg) =>
-      xyCut(toLines(runPage(src.substring(s, e), s), pg))
+      xyCut(toLines(runPage(src, s, e), pg))
     }
     suppressHeadersFooters(pages).zipWithIndex.map { case (ls, i) => PageText(i, ls) }
   }

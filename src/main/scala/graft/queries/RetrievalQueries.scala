@@ -171,9 +171,11 @@ object RetrievalQueries {
             .orderBy(col("rrf_score").desc, col("doc_id").asc)))
     }
     val all = hybrids.reduce(_ unionByName _)
-    // first-wins dedup in (variation, rank) arrival order (P4/U2)
+    // first-wins dedup in (variation, rank) arrival order (P4/U2);
+    // persisted — it is re-read once per variation below, and without the
+    // cache each read re-executes the WHOLE per-variation funnel above
     val deduped = Retrieval.firstWinsDedup(all.select("doc_id", "v", "vrank"),
-      "doc_id", col("v").asc, col("vrank").asc)
+      "doc_id", col("v").asc, col("vrank").asc).persist()
 
     // deterministic cross-encoder standin: tf-overlap of variation terms —
     // again one postings pass for all variations via a broadcast terms table
@@ -182,8 +184,10 @@ object RetrievalQueries {
       graft.text.Tokenizer.tokenize(q).distinct.map(t0 => (v, t0))
     }
     val termsDf = s.createDataFrame(termRows).toDF("v", "term")
+    // persisted for the same reason: three downstream reads, and its
+    // lineage holds the full postings pass over the corpus
     val ceAll = post.join(broadcast(termsDf), "term")
-      .groupBy("v", "doc_id").agg(sum("tf").as("ce"))
+      .groupBy("v", "doc_id").agg(sum("tf").as("ce")).persist()
 
     val rankings = Variations.indices.map { v =>
       deduped.select("doc_id")

@@ -56,6 +56,7 @@ object TrainingDataQueries {
   private def sparkDictTokens(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toks = sparkToks(s, dir)
     val dt = toks.select(col("doc_id"), explode(col("ts")).as("tok")).distinct()
+      .persist() // dict derives from it and callers join back against it
     val dict = dt.select("tok").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
     (dt, dict)
@@ -102,12 +103,15 @@ object TrainingDataQueries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), simpleTokens(col("text")).as("ts"),
         col("lang"), floor(col("n_chars") / lit(200)).cast("int").as("lb"))
+    // persisted: consumed by both sides of the self-join AND the size agg —
+    // without the cache the shingling explode runs three times
     val sh = docs
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"), col("lb"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
           .as("tok"))
+      .persist()
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
@@ -153,7 +157,9 @@ object TrainingDataQueries {
 
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dt = bigramShingles(s, dir)
+    // persisted: read by the sid join, the per-doc size agg, and both
+    // sides of the candidate-verify join (4 consumers)
+    val dt = bigramShingles(s, dir).persist()
     val dict = dt.select("tok").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
     val withSid = dt.join(dict, "tok")
@@ -229,6 +235,7 @@ object TrainingDataQueries {
     val toks = sparkToks(s, dir)
     val tf = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist() // read by the dict build and the hash join
     val dict = tf.select("tok").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
     val hashed = tf.join(dict, "tok")
@@ -342,6 +349,118 @@ object TrainingDataQueries {
        |FROM eb, q WHERE bucket = qbucket AND vec_id <> 0
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
   }
+
+  // --- embedding-cosine near-dup (LSH-blocked pairwise) ---------------------
+  //
+  // The dedup-flavored twin of the ANN queries: candidate pairs are
+  // generated ONLY within an LSH bucket (same 4 hyperplanes as
+  // q_ann_lsh_bucket), then verified with exact cosine ≥ threshold. At
+  // scale the bucket equi-join replaces the quadratic cross join — the
+  // shuffle key IS the bucket, so each task sees one bucket's block.
+
+  private def withLshBucket(emb: DataFrame): DataFrame =
+    (0 until 4).foldLeft(emb) { (df, j) =>
+      df.withColumn(s"bit$j",
+        when(expr(s"aggregate(zip_with(e, array(${hyperplane(j).mkString(", ")}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0, 1)
+          .otherwise(0))
+    }.withColumn("bucket",
+      col("bit0") * 8 + col("bit1") * 4 + col("bit2") * 2 + col("bit3"))
+      .drop("bit0", "bit1", "bit2", "bit3")
+
+  private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val eb = withLshBucket(embDouble(s, dir))
+    val a = eb.select(col("vec_id").as("id_a"), col("e").as("ea"), col("bucket"))
+    val b = eb.select(col("vec_id").as("id_b"), col("e").as("eb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("na", expr("sqrt(aggregate(ea, 0D, (acc, v) -> acc + v * v))"))
+      .withColumn("nb", expr("sqrt(aggregate(eb, 0D, (acc, v) -> acc + v * v))"))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") > 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val qEmbedNeardupSql = {
+    def dotSql(j: Int) =
+      s"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * (((i - 1) * ${j + 2}) % 7 - 3)))"
+    def bitSql(j: Int) = s"(CASE WHEN ${dotSql(j)} > 0 THEN 1 ELSE 0 END)"
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |eb AS (
+       |  SELECT vec_id, e,
+       |    ${bitSql(0)} * 8 + ${bitSql(1)} * 4 + ${bitSql(2)} * 2 + ${bitSql(3)} AS bucket
+       |  FROM e0),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) /
+       |      (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+       |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cos, 4) AS cos FROM p
+       |WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // --- ANN: IVF-style cell-probed search ------------------------------------
+  //
+  // Deterministic "trained" centroids = vectors 0..7; every other vector is
+  // assigned to its max-cosine centroid cell (broadcast argmax — the
+  // centroid table is tiny at any scale); the query probes only its own
+  // cell and ranks candidates by exact cosine. The scale path for ANN when
+  // hyperplane buckets are too coarse: cells shrink as k grows, and
+  // assignment is a narrow broadcast pass, never a shuffle.
+
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(s, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    def cosAgainst(ecol: String, ccol: String) =
+      expr(s"aggregate(zip_with($ecol, $ccol, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+        (expr(s"sqrt(aggregate($ecol, 0D, (acc, v) -> acc + v * v))") *
+         expr(s"sqrt(aggregate($ccol, 0D, (acc, v) -> acc + v * v))"))
+    val assigned = emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosAgainst("e", "ce"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(desc("ccos"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") === 8)
+      .select(col("e").as("qe"), col("cell").as("qcell"))
+    assigned.join(broadcast(q), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= 8)
+      .withColumn("cos", cosAgainst("e", "qe"))
+      .select(col("vec_id"), col("cell"), round(col("cos"), 4).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(5)
+  }
+
+  private val qAnnIvfSql =
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, e AS ce FROM e0 WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT e0.vec_id, e0.e, cents.cid,
+      |    list_sum(list_transform(generate_series(1, len(e0.e)), i -> e0.e[i] * cents.ce[i])) /
+      |      (sqrt(list_sum(list_transform(e0.e, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(cents.ce, x -> x * x)))) AS ccos,
+      |    row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, len(e0.e)), i -> e0.e[i] * cents.ce[i])) /
+      |        (sqrt(list_sum(list_transform(e0.e, x -> x * x))) *
+      |         sqrt(list_sum(list_transform(cents.ce, x -> x * x)))) DESC, cents.cid) AS rn
+      |  FROM e0 CROSS JOIN cents WHERE e0.vec_id >= 8),
+      |assigned AS (SELECT vec_id, e, cid AS cell FROM scored WHERE rn = 1),
+      |q AS (SELECT e AS qe, cell AS qcell FROM assigned WHERE vec_id = 8)
+      |SELECT vec_id, cell,
+      |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
+      |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
+      |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+      |FROM assigned, q WHERE cell = qcell AND vec_id <> 8
+      |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
   // --- language ID (stopword-ratio heuristic) -------------------------------
 
@@ -673,6 +792,8 @@ object TrainingDataQueries {
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -691,6 +812,8 @@ object TrainingDataQueries {
     "q_simhash" -> qSimhashSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,
+    "q_ann_ivf" -> qAnnIvfSql,
+    "q_embed_neardup" -> qEmbedNeardupSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,
