@@ -30,4 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput collector: extraction is allocation-heavy batch work, G1's
   // pause goals just cost bandwidth here
   "-XX:+UseParallelGC",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq ++
+  sys.env.get("SPARK_GRAFT_XMN").map(v => s"-Xmn$v").toSeq

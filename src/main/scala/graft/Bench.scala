@@ -59,6 +59,12 @@ object Bench {
     // sized so the low-parallelism leg runs ≥ ~1 min — the serial fraction
     // (job scheduling, commits, manifest) must be amortized for the
     // scaling-efficiency measurement to reflect the parallel section
+    // ~600k turns: large enough that the ~1-2s fixed per-job floor
+    // (scheduling, scan setup, commit) stays ≤ 25% of the low leg, small
+    // enough that 3 interleaved reps × 2 legs finish in ~4 min. A 4×
+    // input was tried and did NOT improve measured efficiency — the
+    // residual non-scaling component is hypervisor steal, not fixed cost
+    // (see BASELINE.md calibration)
     val nConvs = sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong).getOrElse {
       if (sfDir.contains("sf0.1")) 60000L
       else if (sfDir.contains("sf0.01")) 5000L

@@ -88,7 +88,15 @@ object Html {
       (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 
   /** Single linear pass over `html`, invoking `f` per event. */
-  def tokenize(html: String)(f: Event => Unit): Unit = {
+  def tokenize(html: String)(f: Event => Unit): Unit =
+    tokenize(html, keepAttrs = true)(f)
+
+  /** As `tokenize`, with attribute capture optional: `extract` never reads
+    * attributes, and skipping the per-tag Map + entity decode of every
+    * attribute value removes the tokenizer's dominant allocations. Values
+    * are still scanned (quote-aware) to find the true tag end.
+    */
+  def tokenize(html: String, keepAttrs: Boolean)(f: Event => Unit): Unit = {
     val n = html.length
     var i = 0
     var rawUntilClose: String = null
@@ -151,7 +159,8 @@ object Html {
               while (j < n && isNameChar(html.charAt(j))) j += 1
               val name = html.substring(lt + 1, j).toLowerCase
               // attributes
-              val attrs = mutable.Map.empty[String, String]
+              val attrs: mutable.Map[String, String] =
+                if (keepAttrs) mutable.Map.empty else null
               var selfClosing = false
               var done = false
               while (!done && j < n) {
@@ -164,7 +173,8 @@ object Html {
                   val as = j
                   while (j < n && !Character.isWhitespace(html.charAt(j)) &&
                     html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-                  val aname = html.substring(as, j).toLowerCase
+                  val anameEmpty = j == as
+                  val aname = if (keepAttrs) html.substring(as, j).toLowerCase else null
                   while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
                   if (j < n && html.charAt(j) == '=') {
                     j += 1
@@ -173,18 +183,23 @@ object Html {
                       val q = html.charAt(j)
                       val vs = j + 1
                       val ve = html.indexOf(q, vs)
-                      if (ve < 0) { attrs(aname) = decodeEntities(html.substring(vs)); j = n }
-                      else { attrs(aname) = decodeEntities(html.substring(vs, ve)); j = ve + 1 }
+                      if (ve < 0) {
+                        if (keepAttrs) attrs(aname) = decodeEntities(html.substring(vs))
+                        j = n
+                      } else {
+                        if (keepAttrs) attrs(aname) = decodeEntities(html.substring(vs, ve))
+                        j = ve + 1
+                      }
                     } else {
                       val vs = j
                       while (j < n && !Character.isWhitespace(html.charAt(j)) && html.charAt(j) != '>') j += 1
-                      attrs(aname) = decodeEntities(html.substring(vs, j))
+                      if (keepAttrs) attrs(aname) = decodeEntities(html.substring(vs, j))
                     }
-                  } else if (aname.nonEmpty) attrs(aname) = ""
+                  } else if (!anameEmpty) { if (keepAttrs) attrs(aname) = "" }
                   else if (j < n && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
                 }
               }
-              f(StartTag(name, attrs.toMap, lt, j, selfClosing))
+              f(StartTag(name, if (keepAttrs) attrs.toMap else Map.empty, lt, j, selfClosing))
               if (RawText.contains(name) && !selfClosing) rawUntilClose = name
               i = j
             case _ =>
@@ -266,7 +281,7 @@ object Html {
       sb.clear(); blkWords = 0; blkLinkWords = 0; blkStart = -1; blkEnd = -1
     }
 
-    tokenize(html) {
+    tokenize(html, keepAttrs = false) {
       case StartTag(name, _, s, e, selfClosing) =>
         if (BlockTags.contains(name)) flush()
         if (name == "title") inTitle = true
@@ -312,7 +327,7 @@ object Html {
                 val rendered = curTable.map(_.mkString(" | ")).mkString("\n")
                 if (rendered.nonEmpty && boilerDepth == 0)
                   blocks += Block(rendered, "table",
-                    pySplit(rendered).size, 0, tableStart, e, articleDepth > 0)
+                    pyWordCount(rendered), 0, tableStart, e, articleDepth > 0)
               }
               curTable = null
             }
@@ -325,11 +340,11 @@ object Html {
           // get_text(strip=True) semantics: strip each string, join with ""
           val st = pyStrip(t)
           if (st.nonEmpty) { curCell.append(st); sawCellText = true }
-        } else if (tableDepth == 0 && pyStrip(t).nonEmpty) {
+        } else if (tableDepth == 0 && !pyIsBlank(t)) {
           if (blkStart < 0) blkStart = s
           blkEnd = e
           sb.append(t)
-          val ws = pySplit(t).size
+          val ws = pyWordCount(t)
           blkWords += ws
           if (anchorDepth > 0) blkLinkWords += ws
         }

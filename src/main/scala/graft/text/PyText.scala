@@ -54,6 +54,27 @@ object PyText {
     out.result()
   }
 
+  /** `pyStrip(s).isEmpty` without the substring allocation. */
+  def pyIsBlank(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n && pyIsSpace(s.charAt(i))) i += 1
+    i == n
+  }
+
+  /** `pySplit(s).size` without materializing the tokens. */
+  def pyWordCount(s: String): Int = {
+    var i = 0
+    var c = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && pyIsSpace(s.charAt(i))) i += 1
+      if (i < n) c += 1
+      while (i < n && !pyIsSpace(s.charAt(i))) i += 1
+    }
+    c
+  }
+
   /** Python `str.isupper()`: at least one cased char and no cased char is
     * lower/title-case.
     */
