@@ -59,6 +59,21 @@ object ExtractionPipeline {
   def lineageDir(outDir: String): String = s"$outDir/lineage"
   def metricsDir(outDir: String): String = s"$outDir/metrics"
 
+  /** Row-level twin of the SQL bucket expression below — same xxhash64
+    * chain (seed 42 → conv_id → salt), same pmod. Used by the streaming
+    * path so streamed and batch outputs land in the SAME partition
+    * layout; equality with the SQL expression is asserted in
+    * `ExtractionPipelineSpec`.
+    */
+  def bucketOf(convId: String, salt: Int, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val h1 = XxHash64Function.hash(UTF8String.fromString(convId), StringType, 42L)
+    val h2 = XxHash64Function.hash(salt, IntegerType, h1)
+    math.floorMod(h2, nBuckets.toLong).toInt
+  }
+
   /** Salted bucket assignment: `bucket = xxhash64(conv_id, salt) % nBuckets`
     * where `salt = turn_idx % saltFactor(conv)` and `saltFactor` > 1 only
     * for mega-conversations (skew pre-pass, broadcast-joined — the skew

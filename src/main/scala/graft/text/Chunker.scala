@@ -160,26 +160,26 @@ object Chunker {
     var cur = ""
     var curStart = -1
     var curEnd = -1
-    var overlapBuf = ""
 
+    // the reference recomputes the overlap tail after every sentence
+    // (`chunker.py:254-257`) but only CONSUMES it on flush; the invariant
+    // "buffer == overlap_text(cur)" holds at every flush, so computing it
+    // there is observationally identical and drops a per-sentence scan
     sentences.foreach { s =>
       if (cur.length + s.text.length > chunkSize && cur.nonEmpty) {
         chunks += ChunkSpan(cur, curStart, curEnd)
-        cur = overlapBuf + s.text
+        cur = overlapText(cur, overlap) + s.text
         curStart = s.start
         curEnd = s.end
-        overlapBuf = overlapText(cur, overlap)
       } else {
         cur += s.text
         if (curStart < 0) curStart = s.start
         curEnd = s.end
-        overlapBuf = overlapText(cur, overlap)
       }
       if (cur.length > chunkSize * 2) {
         val wordChunks = splitLongTextByWords(cur, chunkSize)
         wordChunks.dropRight(1).foreach(w => chunks += ChunkSpan(w, curStart, curEnd))
         cur = if (wordChunks.nonEmpty) wordChunks.last else ""
-        overlapBuf = overlapText(cur, overlap)
       }
     }
     if (pyStrip(cur).nonEmpty) chunks += ChunkSpan(cur, curStart, curEnd)
