@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    bucket), never the O(N²) pair space;
   *  - n-gram Jaccard self-joins on the shingle (the classic
   *    inverted-index join), so cost is Σ df(shingle)² not N²;
-  *  - the vocabulary dictionary uses a global row_number window — fine
-  *    while |vocab| ≪ |corpus| (true for natural text); swap for
-  *    zipWithIndex on a real 100 TB run;
+  *  - token/shingle ids are md5-prefix hashes (`md5Sid`) — a narrow
+  *    per-row projection identical in Spark and DuckDB; no vocabulary
+  *    dictionary, no global window, no dictionary shuffle join at any
+  *    corpus size;
   *  - ANN: brute-force cosine against a broadcast query vector is the
   *    exact baseline (one narrow pass, no shuffle); the LSH variant
   *    buckets by random-hyperplane signs (integer hyperplanes so both
@@ -41,26 +42,24 @@ object TrainingDataQueries {
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
       |  FROM documents)""".stripMargin
 
-  /** Distinct-token vocabulary with dense ids, shared by minhash/simhash/
-    * fingerprint oracles.
+  /** Deterministic token id shared by the minhash/simhash/fingerprint
+    * plans: the first `hexLen` hex chars of md5 as int64 — identical in
+    * Spark (`conv`) and DuckDB (`'0x' || substr` cast). Replaces the
+    * earlier dense-dictionary approach, whose global `row_number()`
+    * window funneled the whole distinct vocabulary through ONE partition
+    * (the classic scale killer) and forced a dictionary shuffle join;
+    * the hash id is a narrow per-row projection at any corpus size.
+    * `hexLen` bounds the id below 2^(4·hexLen) so downstream arithmetic
+    * (`a·sid + b`, `sid·2654435761`) stays inside int64.
     */
-  private val DictCte =
-    """dict AS (
-      |  SELECT tok, row_number() OVER (ORDER BY tok) AS sid
-      |  FROM (SELECT DISTINCT unnest(ts) AS tok FROM toks))""".stripMargin
+  private def md5Sid(c: Column, hexLen: Int): Column =
+    conv(substring(md5(c), 1, hexLen), 16, 10).cast("long")
+
+  private def md5SidSql(expr0: String, hexLen: Int): String =
+    s"('0x' || substr(md5($expr0), 1, $hexLen))::BIGINT"
 
   private def sparkToks(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), simpleTokens(col("text")).as("ts"))
-
-  /** (doc_id, tok) distinct + (tok, sid) dictionary. */
-  private def sparkDictTokens(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val toks = sparkToks(s, dir)
-    val dt = toks.select(col("doc_id"), explode(col("ts")).as("tok")).distinct()
-      .persist() // dict derives from it and callers join back against it
-    val dict = dt.select("tok").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
-    (dt, dict)
-  }
 
   // --- exact dedup (hash-groupBy on content digest) -------------------------
 
@@ -157,12 +156,10 @@ object TrainingDataQueries {
 
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // persisted: read by the sid join, the per-doc size agg, and both
+    // persisted: read by the minhash pass, the per-doc size agg, and both
     // sides of the candidate-verify join (4 consumers)
     val dt = bigramShingles(s, dir).persist()
-    val dict = dt.select("tok").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
-    val withSid = dt.join(dict, "tok")
+    val withSid = dt.withColumn("sid", md5Sid(col("tok"), 10))
     val params = HashA.indices.map(i => (i, HashA(i), HashB(i))).toDF("i", "a", "b")
     val mh = withSid.crossJoin(broadcast(params))
       .groupBy(col("doc_id"), col("i"))
@@ -195,11 +192,8 @@ object TrainingDataQueries {
       .map(i => s"(${i}, ${HashA(i)}, ${HashB(i)})").mkString(", ")
     s"""WITH $TokensCte,
        |$ShinglesCte,
-       |dict AS (
-       |  SELECT tok, row_number() OVER (ORDER BY tok) AS sid
-       |  FROM (SELECT DISTINCT tok FROM sh)),
        |dt AS (SELECT doc_id, tok FROM sh),
-       |ws AS (SELECT dt.doc_id, dict.sid FROM dt JOIN dict ON dt.tok = dict.tok),
+       |ws AS (SELECT doc_id, ${md5SidSql("tok", 10)} AS sid FROM dt),
        |params(i, a, b) AS (VALUES $values),
        |mh AS (
        |  SELECT doc_id, i, min((a * sid + b) % $P31) AS mh
@@ -235,11 +229,9 @@ object TrainingDataQueries {
     val toks = sparkToks(s, dir)
     val tf = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist() // read by the dict build and the hash join
-    val dict = tf.select("tok").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("tok")).cast("long"))
-    val hashed = tf.join(dict, "tok")
-      .withColumn("h", (col("sid") * 2654435761L) % 2147483648L)
+    // 7 hex chars: sid < 2^28 keeps sid·2654435761 inside int64
+    val hashed = tf
+      .withColumn("h", (md5Sid(col("tok"), 7) * 2654435761L) % 2147483648L)
     val bits = (0 until 31).toDF("j")
     hashed.crossJoin(broadcast(bits))
       .withColumn("bit", expr("CAST(floor(h / power(2, j)) AS BIGINT) % 2"))
@@ -257,12 +249,9 @@ object TrainingDataQueries {
        |  SELECT doc_id, tok, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
        |  GROUP BY 1, 2),
-       |dict AS (
-       |  SELECT tok, row_number() OVER (ORDER BY tok) AS sid
-       |  FROM (SELECT DISTINCT tok FROM tf)),
        |hashed AS (
-       |  SELECT tf.doc_id, tf.tf, (dict.sid * 2654435761) % 2147483648 AS h
-       |  FROM tf JOIN dict ON tf.tok = dict.tok),
+       |  SELECT doc_id, tf, (${md5SidSql("tok", 7)} * 2654435761) % 2147483648 AS h
+       |  FROM tf),
        |w AS (
        |  SELECT doc_id, j, sum(tf * (((h // (1::BIGINT << j)) % 2) * 2 - 1)) AS w
        |  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS j)
@@ -544,9 +533,8 @@ object TrainingDataQueries {
 
   private def qDocFingerprint(s: SparkSession, dir: String): DataFrame = {
     val toks = sparkToks(s, dir)
-    val (_, dict) = sparkDictTokens(s, dir)
     val pos = toks.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
-      .join(dict, "tok")
+      .withColumn("sid", md5Sid(col("tok"), 10))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     pos
       .withColumn("s1", lead("sid", 1).over(w))
@@ -562,15 +550,13 @@ object TrainingDataQueries {
 
   private val qDocFingerprintSql =
     s"""WITH $TokensCte,
-       |$DictCte,
        |pos AS (
-       |  SELECT doc_id, u.p AS pos, dict.sid
+       |  SELECT doc_id, u.p AS pos, ${md5SidSql("u.tk", 10)} AS sid
        |  FROM (
        |    SELECT doc_id,
        |      unnest(list_transform(generate_series(1, len(ts)),
        |        i -> {'p': i, 'tk': ts[i]})) AS u
-       |    FROM toks) x
-       |  JOIN dict ON x.u.tk = dict.tok),
+       |    FROM toks) x),
        |grams AS (
        |  SELECT doc_id, sid,
        |    lead(sid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS s1,
