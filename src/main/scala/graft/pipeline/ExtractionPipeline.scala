@@ -221,13 +221,7 @@ object ExtractionPipeline {
           .sortWithinPartitions("conv_id", "turn_idx")
           .as[TurnWithBucket]
 
-        // persist the wave's extraction so the chunk stage is a NARROW
-        // flatMap over the same bucket-aligned partitions (each write task
-        // touches only its own buckets' directories — a bucket-unaligned
-        // second pass would emit tasks×buckets small files and serialize
-        // the dynamic-overwrite commit)
         val extracted = waveDf.mapPartitions(it => extractPartition(it, acc))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         phase("extract+write") {
           extracted.write
@@ -236,12 +230,25 @@ object ExtractionPipeline {
             .parquet(extractedDir(cfg.outDir))
         }
 
+        // chunk stage feeds off a COLUMN-PRUNED read-back of the files
+        // just written (only conv_id/turn_idx/text/bucket are decoded) —
+        // cheaper than caching the full wave in memory, zero cache
+        // pressure on the executors, and the per-bucket file layout keeps
+        // each chunk-write task touching only its own buckets' dirs. The
+        // bucket filter partition-prunes previously-committed buckets on
+        // a resumed run. Crash-safety is unchanged: neither table's
+        // buckets are in the manifest until this wave commits below.
         val chunkSize = cfg.chunkSize
         val overlap = cfg.overlap
-        val chunks = extracted.flatMap { e =>
-          Chunker.splitTextWithOverlap(e.text, chunkSize, overlap)
+        val extractedBack = spark.read.parquet(extractedDir(cfg.outDir))
+          .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
+          .select(col("conv_id"), col("turn_idx"), col("text"),
+            col("bucket").cast("int").as("bucket"))
+          .as[(String, Int, String, Int)]
+        val chunks = extractedBack.flatMap { case (cid, tidx, text, bucket) =>
+          Chunker.splitTextWithOverlap(text, chunkSize, overlap)
             .zipWithIndex.map { case (c, i) =>
-              TurnChunk(e.conv_id, e.turn_idx, i, c.content, c.start, c.end, e.bucket)
+              TurnChunk(cid, tidx, i, c.content, c.start, c.end, bucket)
             }
         }
         phase("chunk+write") {
@@ -250,7 +257,6 @@ object ExtractionPipeline {
             .partitionBy("bucket")
             .parquet(chunksDir(cfg.outDir))
         }
-        extracted.unpersist(blocking = false)
 
         // lineage rows for this wave (executor-measured wall clock);
         // dedupe by (bucket, partition) — task retries/speculation could
