@@ -81,10 +81,16 @@ object ExtractionPipeline {
     */
   def withBucket(turns: Dataset[Turn], nBuckets: Int): DataFrame = {
     val spark = turns.sparkSession
+    import spark.implicits._
+    // the skew table holds only outlier conversations (tiny at any scale)
+    // — materialize it ONCE on the driver so multi-wave runs don't re-run
+    // the counting scan on every wave's action
     val counts = turns.groupBy("conv_id").count()
-    val skewed = counts.filter(col("count") > SaltTargetRows * 2)
+    val skewedRows = counts.filter(col("count") > SaltTargetRows * 2)
       .select(col("conv_id"),
         ceil(col("count") / SaltTargetRows).cast("int").as("salt_factor"))
+      .as[(String, Int)].collect().toSeq
+    val skewed = skewedRows.toDF("conv_id", "salt_factor")
     turns.toDF()
       .join(broadcast(skewed), Seq("conv_id"), "left")
       .withColumn("salt",
