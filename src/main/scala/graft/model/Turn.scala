@@ -45,6 +45,19 @@ final case class TurnChunk(
     end: Int,
     bucket: Int)
 
+/** One embedded chunk (reference `EmbeddedChunk`, `app/models/chunk.py:
+  * 44-49`: chunk + embedding + modality). The embedding column is the
+  * pluggable-scorer stand-in of SURVEY.md §7.3: deterministic hashed
+  * features in tests, a real model's vectors in production.
+  */
+final case class ChunkEmbedding(
+    conv_id: String,
+    turn_idx: Int,
+    chunk_index: Int,
+    modality: String,
+    embedding: Array[Float],
+    bucket: Int)
+
 /** Per-partition lineage/metrics row (north rule: "per-partition lineage
   * rows and metrics (turns/sec, bytes parsed, skip reasons)").
   */

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.model.ChunkEmbedding
+import graft.retrieval.Bm25IndexTables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Post-extraction ingestion stages completing the reference's upload
+  * lifecycle (`app/services/document_service.py:173-355`: UPLOADED →
+  * PARSING → CHUNKING → **EMBEDDING → STORING**) over the tables the
+  * extraction pipeline wrote:
+  *
+  *  - EMBEDDING (`document_service.py:357-394`, batched in the reference
+  *    at 100 texts/call): a narrow mapPartitions over the chunks table
+  *    producing an L2-normalized hashed-feature embedding per chunk —
+  *    the deterministic stand-in for the external model (SURVEY.md §7.3);
+  *    swapping in real vectors changes one function, not the plan;
+  *  - STORING (`vector_store.py:70-152` + BM25 `add_documents`): the
+  *    embeddings table (vector sink analog, bucket-partitioned like the
+  *    other tables) and the BM25 postings/doclens index tables
+  *    ([[graft.retrieval.Bm25IndexTables]] — the reference rebuilds its
+  *    whole in-memory index per add, `bm25_index.py:140-141`; ours is a
+  *    corpus-wide hash aggregation).
+  *
+  * Both stages are idempotent re-runs over committed chunk buckets
+  * (overwrite / atomic index replace), so a resume after a crash between
+  * extraction and ingestion just runs them again.
+  */
+object Ingestion {
+
+  val DefaultDim = 64
+
+  def embeddingsDir(outDir: String): String = s"$outDir/embeddings"
+  def indexDir(outDir: String): String = s"$outDir/index"
+
+  /** Deterministic hashed-feature embedding: each lowercase whitespace
+    * token adds ±1 (hash-chosen sign) at a hash-chosen dimension;
+    * L2-normalized. Pure function — identical on executor and in tests.
+    */
+  def hashedEmbedding(text: String, dim: Int = DefaultDim): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) {
+        val tok = text.substring(start, i).toLowerCase
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+        val d = math.floorMod(h, dim)
+        v(d) += (if (((h >> 16) & 1) == 0) 1f else -1f)
+      }
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+    }
+    v
+  }
+
+  /** EMBEDDING stage: chunks table → embeddings table (one narrow pass,
+    * no shuffle; bucket-partitioned like the source).
+    */
+  def embedChunks(spark: SparkSession, outDir: String, dim: Int = DefaultDim): Long = {
+    import spark.implicits._
+    val chunks = spark.read.parquet(ExtractionPipeline.chunksDir(outDir))
+      .select(col("conv_id"), col("turn_idx"), col("chunk_index"),
+        col("content"), col("bucket").cast("int").as("bucket"))
+      .as[(String, Int, Int, String, Int)]
+    val embedded = chunks.mapPartitions(_.map { case (cid, tidx, cidx, content, bucket) =>
+      ChunkEmbedding(cid, tidx, cidx, "text", hashedEmbedding(content, dim), bucket)
+    })
+    embedded.write.mode("overwrite").partitionBy("bucket")
+      .parquet(embeddingsDir(outDir))
+    spark.read.parquet(embeddingsDir(outDir)).count()
+  }
+
+  /** STORING stage (keyword side): chunks table → BM25 postings/doclens
+    * index tables with atomic replace.
+    */
+  def buildIndex(spark: SparkSession, outDir: String): Unit = {
+    val chunks = spark.read.parquet(ExtractionPipeline.chunksDir(outDir))
+      .select(
+        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+          .as("chunk_id"),
+        col("content"))
+    Bm25IndexTables.build(chunks, "chunk_id", "content", indexDir(outDir))
+  }
+
+  /** Full post-extraction ingestion: embed + index. */
+  def run(spark: SparkSession, outDir: String, dim: Int = DefaultDim): Long = {
+    val n = embedChunks(spark, outDir, dim)
+    buildIndex(spark, outDir)
+    n
+  }
+}
