@@ -73,6 +73,8 @@ object Bench {
 
     // ---- phase 1: query battery at full parallelism ----
     var spark = session(cpus)
+    // absorb session/codegen warmup so it isn't billed to the first query
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(100).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
