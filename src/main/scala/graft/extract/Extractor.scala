@@ -104,32 +104,47 @@ object Extractor {
     else "plain"
   }
 
-  /** Extract one turn. Deterministic, pure; total (never throws on
-    * arbitrary input — malformed payloads degrade to best-effort text).
+  /** Extract one turn. Deterministic, pure; total — a malformed payload
+    * that breaks its parser mid-stream (e.g. a content-stream operator
+    * with no operands) degrades to `skipReason = "parse_error"` instead
+    * of throwing. At 10^12 turns a single throwing turn would kill its
+    * executor task and, after retries, the whole job — the reference's
+    * analog is the per-document FAILED state + cleanup
+    * (`document_service.py:332-355`).
     */
   def extract(text: String): Extraction = {
     if (text == null || text.isEmpty)
       return Extraction("plain", "", Vector.empty, 0L, "empty")
     sniff(text) match {
       case "pdf" =>
-        val pages = Pdf.extract(text)
-        val lines = pages.flatMap(_.lines)
-        val out = lines.map(_.text).mkString("\n")
-        if (pyStrip(out).isEmpty)
-          Extraction("pdf", "", Vector.empty, text.length.toLong, "blank")
-        else
-          Extraction("pdf", out,
-            lines.map(l => Span(l.start, l.end, s"pdf_line_p${l.page}")),
-            text.length.toLong, "")
+        try {
+          val pages = Pdf.extract(text)
+          val lines = pages.flatMap(_.lines)
+          val out = lines.map(_.text).mkString("\n")
+          if (pyStrip(out).isEmpty)
+            Extraction("pdf", "", Vector.empty, text.length.toLong, "blank")
+          else
+            Extraction("pdf", out,
+              lines.map(l => Span(l.start, l.end, s"pdf_line_p${l.page}")),
+              text.length.toLong, "")
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Extraction("pdf", "", Vector.empty, text.length.toLong, "parse_error")
+        }
       case "html" =>
-        val res = Html.extract(text)
-        val out = res.content.map(_.text).mkString("\n")
-        if (pyStrip(out).isEmpty)
-          Extraction("html", "", Vector.empty, text.length.toLong, "blank")
-        else
-          Extraction("html", out,
-            res.content.map(b => Span(b.start, b.end, b.kind)),
-            text.length.toLong, "")
+        try {
+          val res = Html.extract(text)
+          val out = res.content.map(_.text).mkString("\n")
+          if (pyStrip(out).isEmpty)
+            Extraction("html", "", Vector.empty, text.length.toLong, "blank")
+          else
+            Extraction("html", out,
+              res.content.map(b => Span(b.start, b.end, b.kind)),
+              text.length.toLong, "")
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Extraction("html", "", Vector.empty, text.length.toLong, "parse_error")
+        }
       case _ =>
         val out = text
         if (pyStrip(out).isEmpty)

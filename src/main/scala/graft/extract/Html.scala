@@ -196,7 +196,12 @@ object Html {
                       if (keepAttrs) attrs(aname) = decodeEntities(html.substring(vs, j))
                     }
                   } else if (!anameEmpty) { if (keepAttrs) attrs(aname) = "" }
-                  else if (j < n && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+                  // skip any stray delimiter except '>' (handled at loop
+                  // top). A lone '/' NOT followed by '>' must advance too:
+                  // the '/>' check above never consumes it, and excluding
+                  // it here left the scanner stuck forever on inputs like
+                  // `<a /x>` (found by ExtractorFuzzSpec)
+                  else if (j < n && html.charAt(j) != '>') j += 1
                 }
               }
               f(StartTag(name, if (keepAttrs) attrs.toMap else Map.empty, lt, j, selfClosing))
