@@ -86,6 +86,32 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     assert(got.distinct().count() == got.count())
   }
 
+  test("orphan bucket dirs from a crashed wave are cleaned before re-run") {
+    import spark.implicits._
+    val turns = TranscriptGen.transcripts(spark, nConvs = 15, numPartitions = 3)
+    val out = tmp()
+    val cfg = ExtractionPipeline.Config(out, nBuckets = 8, waves = 2)
+    ExtractionPipeline.run(spark, turns, cfg.copy(resume = false))
+
+    // simulate a crash AFTER wave-1's data files hit disk but BEFORE its
+    // manifest commit: rewind the manifest to wave-0 only, keep all files
+    val m = TableIO.read(out)
+    val wave0 = m.completed.filter { case (b, _) => b % 2 == 0 }
+    TableIO.clear(out)
+    TableIO.commit(out, TableIO.Empty, wave0.values.toSeq)
+
+    // resume must delete the uncommitted (orphan) wave-1 bucket dirs and
+    // re-extract them — zero duplicate rows despite the leftover files
+    ExtractionPipeline.run(spark, turns, cfg)
+    val got = spark.read.parquet(ExtractionPipeline.extractedDir(out))
+      .select("conv_id", "turn_idx")
+    assert(got.count() == turns.count(), "no duplicates from orphan files")
+    assert(got.distinct().count() == got.count())
+    val chunks = spark.read.parquet(ExtractionPipeline.chunksDir(out))
+      .select("conv_id", "turn_idx", "chunk_index")
+    assert(chunks.distinct().count() == chunks.count(), "chunk table deduped too")
+  }
+
   test("mega-conversations are salted across multiple buckets") {
     import spark.implicits._
     // conv index 52 under the default seed draws the 1%-skew branch (~400+
