@@ -66,7 +66,8 @@ object BenchProbe {
         val ex = graft.extract.Extractor.extract(t.text)
         graft.model.ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.kind,
           ex.text, ex.spans.map(_.start).toArray, ex.spans.map(_.end).toArray,
-          ex.spans.map(_.label).toArray, ex.bytesParsed, ex.skipReason, t.bucket)
+          ex.spans.map(_.label).toArray, ex.blockLens.toArray,
+          ex.bytesParsed, ex.skipReason, t.bucket)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExtracted = extracted.count()
       val persistSec = (System.nanoTime() - t0) / 1e9

@@ -19,14 +19,21 @@ object Extractor {
   final case class Span(start: Int, end: Int, label: String)
 
   /** Result of extracting one turn. `skipReason` is "" on success;
-    * non-empty means the turn produced no content ("empty", "blank").
+    * non-empty means the turn produced no content ("empty", "blank",
+    * "parse_error"). `blockLens` holds the length of each block's text
+    * inside `text` (blocks are joined with "\n"), parallel to `spans` —
+    * block texts may themselves contain newlines (rendered tables), so
+    * lengths, not separators, are the reliable block boundaries. Used by
+    * structure-aware chunking to rebuild the block stream without
+    * re-extracting.
     */
   final case class Extraction(
       kind: String, // plain | html | pdf
       text: String,
       spans: Vector[Span],
       bytesParsed: Long,
-      skipReason: String)
+      skipReason: String,
+      blockLens: Vector[Int] = Vector.empty)
 
   @inline private def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
@@ -126,7 +133,7 @@ object Extractor {
           else
             Extraction("pdf", out,
               lines.map(l => Span(l.start, l.end, s"pdf_line_p${l.page}")),
-              text.length.toLong, "")
+              text.length.toLong, "", lines.map(_.text.length))
         } catch {
           case scala.util.control.NonFatal(_) =>
             Extraction("pdf", "", Vector.empty, text.length.toLong, "parse_error")
@@ -140,7 +147,7 @@ object Extractor {
           else
             Extraction("html", out,
               res.content.map(b => Span(b.start, b.end, b.kind)),
-              text.length.toLong, "")
+              text.length.toLong, "", res.content.map(_.text.length))
         } catch {
           case scala.util.control.NonFatal(_) =>
             Extraction("html", "", Vector.empty, text.length.toLong, "parse_error")
@@ -151,7 +158,7 @@ object Extractor {
           Extraction("plain", "", Vector.empty, text.length.toLong, "blank")
         else
           Extraction("plain", out, Vector(Span(0, text.length, "text")),
-            text.length.toLong, "")
+            text.length.toLong, "", Vector(out.length))
     }
   }
 }

@@ -28,6 +28,7 @@ final case class ExtractedTurn(
     span_starts: Array[Int],
     span_ends: Array[Int],
     span_labels: Array[String],
+    block_lens: Array[Int],
     bytes_parsed: Long,
     skip_reason: String,
     bucket: Int)
@@ -43,6 +44,22 @@ final case class TurnChunk(
     content: String,
     start: Int,
     end: Int,
+    bucket: Int)
+
+/** One structure-aware chunk (reference `chunk_with_structure` F6,
+  * `app/processing/chunker.py:106-221` — the ingestion default,
+  * `document_service.py:249-252`): heading-delimited sections, small
+  * sections kept whole with `section_boundary = true`, large sections
+  * overlap-split with the heading re-prefixed as context.
+  */
+final case class StructTurnChunk(
+    conv_id: String,
+    turn_idx: Int,
+    chunk_index: Int,
+    content: String,
+    page: Int,
+    section_boundary: Boolean,
+    section_heading: String,
     bucket: Int)
 
 /** One embedded chunk (reference `EmbeddedChunk`, `app/models/chunk.py:

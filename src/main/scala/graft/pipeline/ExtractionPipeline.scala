@@ -49,7 +49,11 @@ object ExtractionPipeline {
       waves: Int = 4,
       chunkSize: Int = Chunker.DefaultChunkSize,
       overlap: Int = Chunker.DefaultOverlap,
-      resume: Boolean = true)
+      resume: Boolean = true,
+      // structure-aware chunking (F6, the reference's ingestion default):
+      // heading-delimited sections rebuilt from the extracted blocks;
+      // false = flat sentence/overlap chunking (F4) with exact spans
+      structured: Boolean = false)
 
   final case class RunStats(
       buckets: Int, skippedBuckets: Int, turns: Long, bytes: Long, wallMs: Long)
@@ -100,6 +104,30 @@ object ExtractionPipeline {
       .drop("salt_factor", "salt")
   }
 
+  /** Rebuild the extracted block stream from the stored columns: blocks
+    * are joined with "\n" in `text` and `lens` carries each block's
+    * length (block texts can contain newlines, so lengths — not
+    * separators — are authoritative). Page comes from the pdf span label
+    * (`pdf_line_pN`); html/plain blocks are page 0.
+    */
+  def rebuildBlocks(
+      text: String, lens: Array[Int], labels: Array[String]): Vector[Chunker.Block] = {
+    val out = Vector.newBuilder[Chunker.Block]
+    var off = 0
+    var i = 0
+    while (i < lens.length && off <= text.length) {
+      val end = math.min(off + lens(i), text.length)
+      val page =
+        if (i < labels.length && labels(i).startsWith("pdf_line_p"))
+          labels(i).drop("pdf_line_p".length).toIntOption.getOrElse(0)
+        else 0
+      out += Chunker.Block(text.substring(off, end), page)
+      off = end + 1 // skip the '\n' separator
+      i += 1
+    }
+    out.result()
+  }
+
   /** Extraction of one ordered partition iterator; emits rows and records
     * per-(partition, bucket) lineage into `acc`.
     */
@@ -121,7 +149,8 @@ object ExtractionPipeline {
         sb + (if (ex.skipReason == "blank") 1L else 0L))
       ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.kind, ex.text,
         ex.spans.map(_.start).toArray, ex.spans.map(_.end).toArray,
-        ex.spans.map(_.label).toArray, ex.bytesParsed, ex.skipReason, t.bucket)
+        ex.spans.map(_.label).toArray, ex.blockLens.toArray,
+        ex.bytesParsed, ex.skipReason, t.bucket)
     }
     // lineage rows flush after the data iterator is fully consumed
     new Iterator[ExtractedTurn] {
@@ -246,19 +275,36 @@ object ExtractionPipeline {
         // buckets are in the manifest until this wave commits below.
         val chunkSize = cfg.chunkSize
         val overlap = cfg.overlap
-        val extractedBack = spark.read.parquet(extractedDir(cfg.outDir))
+        val readBack = spark.read.parquet(extractedDir(cfg.outDir))
           .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
-          .select(col("conv_id"), col("turn_idx"), col("text"),
-            col("bucket").cast("int").as("bucket"))
-          .as[(String, Int, String, Int)]
-        val chunks = extractedBack.flatMap { case (cid, tidx, text, bucket) =>
-          Chunker.splitTextWithOverlap(text, chunkSize, overlap)
-            .zipWithIndex.map { case (c, i) =>
-              TurnChunk(cid, tidx, i, c.content, c.start, c.end, bucket)
-            }
-        }
         phase("chunk+write") {
-          chunks.write
+          val writer = if (cfg.structured) {
+            // F6 over blocks rebuilt from (text, block_lens, span_labels)
+            val back = readBack
+              .select(col("conv_id"), col("turn_idx"), col("text"),
+                col("block_lens"), col("span_labels"),
+                col("bucket").cast("int").as("bucket"))
+              .as[(String, Int, String, Array[Int], Array[String], Int)]
+            back.flatMap { case (cid, tidx, text, lens, labels, bucket) =>
+              val blocks = rebuildBlocks(text, lens, labels)
+              Chunker.chunkWithStructure(blocks, chunkSize, overlap).map { sc =>
+                StructTurnChunk(cid, tidx, sc.chunkIndex, sc.content, sc.page,
+                  sc.sectionBoundary, sc.sectionHeading.getOrElse(""), bucket)
+              }
+            }.write
+          } else {
+            val back = readBack
+              .select(col("conv_id"), col("turn_idx"), col("text"),
+                col("bucket").cast("int").as("bucket"))
+              .as[(String, Int, String, Int)]
+            back.flatMap { case (cid, tidx, text, bucket) =>
+              Chunker.splitTextWithOverlap(text, chunkSize, overlap)
+                .zipWithIndex.map { case (c, i) =>
+                  TurnChunk(cid, tidx, i, c.content, c.start, c.end, bucket)
+                }
+            }.write
+          }
+          writer
             .mode(SaveMode.Append)
             .partitionBy("bucket")
             .parquet(chunksDir(cfg.outDir))

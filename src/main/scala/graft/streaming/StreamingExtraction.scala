@@ -48,7 +48,8 @@ object StreamingExtraction {
         val bucket = graft.pipeline.ExtractionPipeline.bucketOf(t.conv_id, 0, nBuckets)
         ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.kind, ex.text,
           ex.spans.map(_.start).toArray, ex.spans.map(_.end).toArray,
-          ex.spans.map(_.label).toArray, ex.bytesParsed, ex.skipReason, bucket)
+          ex.spans.map(_.label).toArray, ex.blockLens.toArray,
+          ex.bytesParsed, ex.skipReason, bucket)
       }
     }
   }

@@ -86,6 +86,46 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     assert(got.distinct().count() == got.count())
   }
 
+  test("structured mode: pipeline chunks equal direct chunk_with_structure") {
+    import spark.implicits._
+    import graft.extract.Extractor
+    import graft.text.Chunker
+    // include a crafted HTML turn whose heading text trips the text-level
+    // heading detector (ALL-CAPS) and whose section exceeds chunk_size —
+    // pins both the section-boundary and the [Context:] re-prefix paths
+    val body = (1 to 30).map(i => s"Sentence number $i about the topic.").mkString(" ")
+    val crafted = graft.model.Turn("conv-crafted", 0, "user",
+      s"<html><body><h2>INTRODUCTION AND SCOPE</h2><p>$body</p>" +
+        s"<h2>SECOND SECTION HEADING</h2><p>Short body.</p></body></html>",
+      "", new java.sql.Timestamp(0L))
+    val turns = TranscriptGen.transcripts(spark, nConvs = 25, numPartitions = 3)
+      .union(spark.createDataset(Seq(crafted)))
+    val out = tmp()
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 8, waves = 1, resume = false,
+        structured = true))
+
+    val got = spark.read.parquet(ExtractionPipeline.chunksDir(out))
+      .select("conv_id", "turn_idx", "chunk_index", "content", "page",
+        "section_boundary", "section_heading")
+    // oracle: run the extractor + F6 directly on the same turns
+    val want = turns.collect().toSeq.flatMap { t =>
+      val ex = Extractor.extract(t.text)
+      val blocks = ExtractionPipeline.rebuildBlocks(
+        ex.text, ex.blockLens.toArray, ex.spans.map(_.label).toArray)
+      Chunker.chunkWithStructure(blocks).map(sc =>
+        (t.conv_id, t.turn_idx, sc.chunkIndex, sc.content, sc.page,
+          sc.sectionBoundary, sc.sectionHeading.getOrElse("")))
+    }.toDF("conv_id", "turn_idx", "chunk_index", "content", "page",
+      "section_boundary", "section_heading")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the fixture corpus contains headings → some section boundaries with
+    // non-empty headings must exist
+    assert(got.filter(col("section_boundary") && col("section_heading") =!= "")
+      .count() > 0)
+  }
+
   test("orphan bucket dirs from a crashed wave are cleaned before re-run") {
     import spark.implicits._
     val turns = TranscriptGen.transcripts(spark, nConvs = 15, numPartitions = 3)
