@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Scratch main: validates `local-cluster[n,cores,mem]` mode — real
   * separate executor JVMs, the honest sandbox stand-in for the north
-  * rule's "N vs 4N executors" — and times the extraction compute pass on
-  * it. Args: nWorkers coresPerWorker [nConvs].
+  * rule's "N vs 4N executors" — and times the extraction compute pass
+  * (and optionally the full pipeline) on it.
+  * Args: nWorkers coresPerWorker [nConvs] [memMb] [nRuns] [full].
   */
 object ClusterProbe {
   def main(args: Array[String]): Unit = {
@@ -14,6 +15,7 @@ object ClusterProbe {
     val nConvs = args.lift(2).map(_.toLong).getOrElse(20000L)
     val memMb = args.lift(3).map(_.toInt).getOrElse(4096)
     val nRuns = args.lift(4).map(_.toInt).getOrElse(2)
+    val fullJob = args.lift(5).contains("full")
     val spark = SparkSession.builder()
       .master(s"local-cluster[$nWorkers,$cores,$memMb]")
       .appName("cluster-probe")
@@ -42,14 +44,35 @@ object ClusterProbe {
       graft.extract.Extractor.extract(t.text).text.length.toLong)).reduce(_ + _)
 
     (1 to nRuns).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = turns.mapPartitions(_.map { t =>
-        graft.extract.Extractor.extract(t.text); 1L
-      }).reduce(_ + _)
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[cluster-probe] run$i workers=$nWorkers cores=$cores turns=$n " +
-        f"sec=$sec%.2f tps=${n / sec}%.0f")
+      if (fullJob) {
+        val out = s"/dev/shm/cluster-probe-out-$nWorkers-$i"
+        val t0 = System.nanoTime()
+        val stats = graft.pipeline.ExtractionPipeline.run(spark, turns,
+          graft.pipeline.ExtractionPipeline.Config(out, nBuckets = 64,
+            waves = 1, resume = false))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[cluster-probe] FULL run$i workers=$nWorkers cores=$cores " +
+          f"turns=${stats.turns} sec=$sec%.2f tps=${stats.turns / sec}%.0f")
+        deleteDir(out)
+      } else {
+        val t0 = System.nanoTime()
+        val n = turns.mapPartitions(_.map { t =>
+          graft.extract.Extractor.extract(t.text); 1L
+        }).reduce(_ + _)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[cluster-probe] run$i workers=$nWorkers cores=$cores turns=$n " +
+          f"sec=$sec%.2f tps=${n / sec}%.0f")
+      }
     }
     spark.stop()
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f =>
+          try java.nio.file.Files.delete(f) catch { case _: Exception => () })
   }
 }
