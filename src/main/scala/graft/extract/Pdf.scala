@@ -532,6 +532,14 @@ object Pdf {
 
   final case class PageText(page: Int, lines: Vector[Line])
 
+  /** One page from a standalone content-stream string (used by the PDF
+    * FILE reader, which supplies one decompressed stream per page):
+    * lex → lines → x-y cut. Header/footer suppression happens across
+    * pages via [[suppressHeadersFooters]].
+    */
+  def pageFromStream(src: String, page: Int): Vector[Line] =
+    xyCut(toLines(runPage(src, 0, src.length), page))
+
   /** Full pipeline: lex → lines → x-y cut → suppress headers/footers. */
   def extract(src: String): Vector[PageText] = {
     val pages = splitPages(src).zipWithIndex.map { case ((s, e), pg) =>

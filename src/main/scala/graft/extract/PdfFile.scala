@@ -1,0 +1,143 @@
+package graft.extract
+
+import java.util.zip.Inflater
+
+/** Reader for actual PDF FILES (binary, with object structure and
+  * FlateDecode-compressed streams) — the payload the reference accepts
+  * on upload (`app/storage/file_storage.py:35-74` validates
+  * `application/pdf` bytes; parsing is delegated to MinerU/Adobe/GPT-4o).
+  * Ours feeds the decompressed page content streams into the SAME native
+  * content-stream extractor ([[Pdf]]), so file-based and inline-stream
+  * turns share one golden-locked text path.
+  *
+  * Deliberately xref-free: a linear `N M obj … endobj` scan tolerates
+  * broken/missing cross-reference tables (real-world PDFs are routinely
+  * damaged; the xref is an optimization, not the data). Streams whose
+  * dict declares `/FlateDecode` are inflated with `java.util.zip`;
+  * streams that then look like text content (`BT … ET`) become pages in
+  * file order. Total: malformed objects or bad zlib data are skipped,
+  * never thrown.
+  */
+object PdfFile {
+
+  /** Raw object stream: its dictionary source and payload bytes. */
+  final case class RawStream(objNum: Int, dict: String, data: Array[Byte])
+
+  private val ObjMarker = "obj".getBytes("ISO-8859-1")
+
+  @inline private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    val n = hay.length - needle.length
+    while (i <= n) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Linear scan for `N M obj … endobj` object streams. */
+  def objects(bytes: Array[Byte]): Vector[RawStream] = {
+    val out = Vector.newBuilder[RawStream]
+    var i = 0
+    while (i >= 0 && i < bytes.length) {
+      i = indexOf(bytes, ObjMarker, i)
+      if (i >= 0) {
+        // word-bounded "obj" preceded by "N M " (generation + object num)
+        val okRight = i + 3 >= bytes.length || isWs(bytes(i + 3)) || bytes(i + 3) == '<'
+        var k = i - 1
+        while (k >= 0 && isWs(bytes(k))) k -= 1
+        val genEnd = k
+        while (k >= 0 && isDigit(bytes(k))) k -= 1
+        val genOk = k < genEnd
+        val afterNum = k
+        while (k >= 0 && isWs(bytes(k))) k -= 1
+        val numEnd = k
+        while (k >= 0 && isDigit(bytes(k))) k -= 1
+        val numOk = k < numEnd && k < afterNum
+        if (okRight && genOk && numOk) {
+          val objNum = new String(bytes, k + 1, numEnd - k, "ISO-8859-1").trim
+            .toIntOption.getOrElse(-1)
+          val end = indexOf(bytes, "endobj".getBytes("ISO-8859-1"), i)
+          val bodyEnd = if (end < 0) bytes.length else end
+          // dict = text up to `stream` keyword (or whole body)
+          val sIdx = indexOf(bytes, "stream".getBytes("ISO-8859-1"), i + 3) match {
+            case s if s >= 0 && s < bodyEnd => s
+            case _ => -1
+          }
+          if (sIdx >= 0) {
+            val dict = new String(bytes, i + 3, sIdx - (i + 3), "ISO-8859-1")
+            // payload starts after `stream` + EOL
+            var ds = sIdx + 6
+            if (ds < bytes.length && bytes(ds) == '\r') ds += 1
+            if (ds < bytes.length && bytes(ds) == '\n') ds += 1
+            val eIdx = indexOf(bytes, "endstream".getBytes("ISO-8859-1"), ds)
+            val de = if (eIdx < 0 || eIdx > bodyEnd) bodyEnd else eIdx
+            if (de > ds)
+              out += RawStream(objNum, dict, java.util.Arrays.copyOfRange(bytes, ds, de))
+          }
+          i = bodyEnd + 6
+        } else i += 3
+      }
+    }
+    out.result()
+  }
+
+  /** Inflate zlib/deflate data; None on corruption. */
+  def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      var guard = 0
+      while (!inf.finished() && guard < (1 << 16)) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) guard = 1 << 16 // truncated
+        else out.write(buf, 0, n)
+        guard += 1
+      }
+      inf.end()
+      if (out.size() == 0) None else Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Decompressed (or raw) streams that look like text content streams,
+    * in file order — each becomes one page.
+    */
+  def contentStreams(bytes: Array[Byte]): Vector[String] =
+    objects(bytes).flatMap { rs =>
+      val payload =
+        if (rs.dict.contains("/FlateDecode")) inflate(rs.data)
+        else Some(rs.data)
+      payload.map(new String(_, "ISO-8859-1"))
+        .filter(s => Extractor.sniff(s) == "pdf")
+    }
+
+  /** Full file extraction: content streams → pages → header/footer
+    * suppression across pages. Total on arbitrary bytes.
+    */
+  def extract(bytes: Array[Byte]): Vector[Pdf.PageText] = {
+    try {
+      val pages = contentStreams(bytes).zipWithIndex.map { case (s, pg) =>
+        Pdf.pageFromStream(s, pg)
+      }
+      Pdf.suppressHeadersFooters(pages).zipWithIndex
+        .map { case (ls, i) => Pdf.PageText(i, ls) }
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+  }
+
+  /** Main text of a PDF file: pages in order, lines joined "\n". */
+  def mainText(bytes: Array[Byte]): String =
+    extract(bytes).flatMap(_.lines.map(_.text)).mkString("\n")
+
+  /** Quick signature check for dispatching binary payloads. */
+  def looksPdfFile(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+}

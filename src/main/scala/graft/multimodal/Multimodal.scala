@@ -20,6 +20,11 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * arithmetic (reproducible in the DuckDB oracle). Swapping in a real
   * codec (javax.imageio / ffmpeg bindings) changes ONLY that function —
   * the schema, batching, partitioning and job shape stay as-is.
+  *
+  * Exception: `media_type = "pdf"` payloads get a REAL decode —
+  * [[graft.extract.PdfFile]] (object scan → FlateDecode inflate →
+  * content-stream text extraction) needs only the JDK, so PDF binaries
+  * flow through the actual extractor and `sig` carries the text digest.
   */
 object Multimodal {
 
@@ -60,6 +65,19 @@ object Multimodal {
       new String(out)
     }
 
+    /** REAL decode for PDF binaries: text via the native file reader;
+      * width/height report page count and total extracted lines.
+      */
+    def decodePdf(row: MediaRow): MediaFeatures = {
+      val pages = graft.extract.PdfFile.extract(row.payload)
+      MediaFeatures(
+        row.doc_id, row.media_type, row.payload.length.toLong,
+        hexPrefix(row.payload, 8),
+        width = pages.size,
+        height = pages.map(_.lines.size).sum,
+        n_frames = 1)
+    }
+
     /** STUB decode: deterministic fake features from raw bytes (see class
       * doc). A real implementation would parse the container format here.
       */
@@ -78,7 +96,7 @@ object Multimodal {
       * UDF batch).
       */
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
-      batch.map(decodeStub)
+      batch.map(r => if (r.media_type == "pdf") decodePdf(r) else decodeStub(r))
   }
 
   implicit private val featEnc: Encoder[MediaFeatures] =

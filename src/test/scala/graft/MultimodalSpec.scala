@@ -47,4 +47,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert(feats(r.doc_id.toInt) == Multimodal.MediaCodec.decodeStub(r))
     }
   }
+
+  test("pdf binaries take the REAL decode path (pages and lines counted)") {
+    import spark.implicits._
+    // a minimal real PDF file: one uncompressed content stream
+    val pdfBytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Length 60 >> stream\n" +
+      "BT /F1 12 Tf 72 720 Td (Alpha line) Tj 72 700 Td (Beta line) Tj ET" +
+      "\nendstream endobj\n%%EOF\n").getBytes("ISO-8859-1")
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "pdf", pdfBytes, Map("source" -> "upload")),
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3), Map.empty))
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).width == 1, "one page")
+    assert(feats(0).height == 2, "two extracted lines")
+    // non-pdf types still use the stub
+    assert(feats(1) == Multimodal.MediaCodec.decodeStub(rows(1)))
+  }
 }
