@@ -103,9 +103,10 @@ object Extractor {
     false
   }
 
-  /** Classify a turn payload: "pdf" | "html" | "plain". */
+  /** Classify a turn payload: "pdf_file" | "pdf" | "html" | "plain". */
   def sniff(text: String): String = {
     if (text == null || text.isEmpty) "plain"
+    else if (text.startsWith("%PDF-")) "pdf_file"
     else if (looksPdf(text)) "pdf"
     else if (looksHtml(text)) "html"
     else "plain"
@@ -123,6 +124,26 @@ object Extractor {
     if (text == null || text.isEmpty)
       return Extraction("plain", "", Vector.empty, 0L, "empty")
     sniff(text) match {
+      case "pdf_file" =>
+        // a whole PDF FILE riding in the text column (ISO-8859-1-mangled
+        // binary). Spans index the DECOMPRESSED content streams — source
+        // offsets are undefined through compression, so the label carries
+        // the page instead.
+        try {
+          val bytes = text.getBytes("ISO-8859-1")
+          val pages = PdfFile.extract(bytes)
+          val lines = pages.flatMap(_.lines)
+          val out = lines.map(_.text).mkString("\n")
+          if (pyStrip(out).isEmpty)
+            Extraction("pdf_file", "", Vector.empty, text.length.toLong, "blank")
+          else
+            Extraction("pdf_file", out,
+              lines.map(l => Span(l.start, l.end, s"pdf_file_p${l.page}")),
+              text.length.toLong, "", lines.map(_.text.length))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Extraction("pdf_file", "", Vector.empty, text.length.toLong, "parse_error")
+        }
       case "pdf" =>
         try {
           val pages = Pdf.extract(text)

@@ -71,6 +71,18 @@ class PdfFileSpec extends AnyFunSuite {
     assert(viaFile == viaStream)
   }
 
+  test("extractor routes %PDF- prefixed text payloads through the file reader") {
+    import graft.extract.Extractor
+    val s = new String(pdfFile(Seq(page1, page2)), "ISO-8859-1")
+    assert(Extractor.sniff(s) == "pdf_file")
+    val ex = Extractor.extract(s)
+    assert(ex.kind == "pdf_file" && ex.skipReason == "")
+    assert(ex.text.contains("First page body text.") &&
+      ex.text.contains("Second page body text."))
+    assert(ex.spans.nonEmpty && ex.spans.forall(_.label.startsWith("pdf_file_p")))
+    assert(ex.blockLens.sum + ex.blockLens.size - 1 == ex.text.length)
+  }
+
   test("uncompressed streams and damaged files degrade gracefully") {
     val plain = pdfFile(Seq(page1), compress = false)
     assert(PdfFile.mainText(plain).contains("First page body text."))
