@@ -44,10 +44,43 @@ object Bench {
       // zstd output: ~2x fewer bytes to the (non-scaling) device for CPU
       // that DOES scale with cores
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // same trade for shuffle blocks: the shuffle device is shared across
+      // parallelism levels here (one box) and per-node on a real cluster
+      .config("spark.io.compression.codec", "zstd")
     val withLocal = shm.fold(b)(d => b.config("spark.local.dir", s"$d/graft-spark-local"))
     val s = withLocal.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Machine-scaling calibration: a pure in-JVM integer loop (xorshift, no
+    * memory traffic, no Spark) run on `threads` threads, returning ops/sec.
+    * On ideal hardware N→4N threads gives efficiency 1.0; this shared-
+    * hypervisor box measures ~0.74–0.85 (host steal + frequency behavior),
+    * which is therefore the CEILING any workload here can record. The bench
+    * JSON carries this same-run ratio next to the pipeline's efficiency so
+    * the artifact itself normalizes for the machine.
+    */
+  private def calibrate(threads: Int, itersPerThread: Long): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = (0 until threads).map { i =>
+      pool.submit(new java.util.concurrent.Callable[java.lang.Long] {
+        def call(): java.lang.Long = {
+          var x = 0x9E3779B97F4A7C15L + i
+          var n = 0L
+          while (n < itersPerThread) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1
+          }
+          x
+        }
+      })
+    }
+    val sink = futs.map(_.get().longValue()).sum
+    val dt = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    if (sink == 42L) System.err.println("calibration sink") // defeat DCE
+    threads * itersPerThread / dt
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,11 +108,17 @@ object Bench {
     var spark = session(cpus)
     // absorb session/codegen warmup so it isn't billed to the first query
     spark.read.parquet(s"$sfDir/documents.parquet").limit(100).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_SKIP_QUERIES: iterate on the scaling phase alone
+    val results =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
+      else SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // cached intermediates (hybrid funnel, minhash, jaccard) are scoped
+        // to their query — drop them so the battery's footprint is flat
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
 
     // ---- phase 2: extraction scaling (identical input, two sizes) ----
     val base = shm match {
@@ -139,10 +178,18 @@ object Bench {
     val efficiency = (thrHigh / thrLow) / factor
     val computeEfficiency = (cThrHigh / cThrLow) / factor
 
+    // ---- phase 3: same-run machine calibration (pure CPU, no Spark) ----
+    calibrate(cpus, 20000000L) // JIT warm
+    val calIters = 400000000L
+    val calRuns = (1 to reps).flatMap(_ =>
+      Seq(lowCpus -> calibrate(lowCpus, calIters), cpus -> calibrate(cpus, calIters)))
+    def calBest(c: Int) = calRuns.collect { case (`c`, v) => v }.max
+    val calEfficiency = (calBest(cpus) / calBest(lowCpus)) / factor
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val queriesSec = results.values.sum
-    println(
+    val json =
       s"""{"metric":"turns_per_sec_extraction","value":${f"$thrHigh%.1f"},""" +
       s""""unit":"turns/sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extraction":{"turns":$nTurns,"convs":$nConvs,""" +
@@ -151,8 +198,20 @@ object Bench {
       s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
       s""""compute_turns_per_sec_low":${f"$cThrLow%.1f"},""" +
       s""""compute_turns_per_sec_high":${f"$cThrHigh%.1f"},""" +
-      s""""compute_scaling_efficiency":${f"$computeEfficiency%.3f"}},""" +
-      s""""queries_total_sec":${f"$queriesSec%.2f"}}""")
+      s""""compute_scaling_efficiency":${f"$computeEfficiency%.3f"},""" +
+      s""""reps_interleaved_best_of":$reps,""" +
+      s""""machine_calibration_efficiency":${f"$calEfficiency%.3f"},""" +
+      s""""efficiency_vs_machine":${f"${efficiency / calEfficiency}%.3f"},""" +
+      s""""compute_efficiency_vs_machine":${f"${computeEfficiency / calEfficiency}%.3f"}},""" +
+      s""""queries_total_sec":${f"$queriesSec%.2f"}}"""
+
+    // the metrics JSON is the SOLE content of a fixed, well-known file so
+    // the driver's parse never fights sbt's [info]/[error] stream mixing;
+    // stdout still carries the same single line for humans/greps
+    val outFile = java.nio.file.Paths.get("target", "bench.json")
+    Files.createDirectories(outFile.getParent)
+    Files.write(outFile, (json + "\n").getBytes("UTF-8"))
+    println(json)
 
     // tmpfs hygiene: RAM-backed scratch does not outlive the bench
     (Seq(base) ++ shm.map(d => s"$d/graft-spark-local")).foreach(deleteRecursive)

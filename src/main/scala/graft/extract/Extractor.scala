@@ -131,12 +131,16 @@ object Extractor {
         // the page instead.
         try {
           val bytes = text.getBytes("ISO-8859-1")
-          val pages = PdfFile.extract(bytes)
+          val (pages, nStreams, nFailed) = PdfFile.extractStats(bytes)
           val lines = pages.flatMap(_.lines)
           val out = lines.map(_.text).mkString("\n")
-          if (pyStrip(out).isEmpty)
-            Extraction("pdf_file", "", Vector.empty, text.length.toLong, "blank")
-          else
+          if (pyStrip(out).isEmpty) {
+            // every content stream failed to parse → the document is
+            // damaged, not empty; only report blank when streams parsed
+            // but carried no text
+            val reason = if (nStreams > 0 && nFailed == nStreams) "parse_error" else "blank"
+            Extraction("pdf_file", "", Vector.empty, text.length.toLong, reason)
+          } else
             Extraction("pdf_file", out,
               lines.map(l => Span(l.start, l.end, s"pdf_file_p${l.page}")),
               text.length.toLong, "", lines.map(_.text.length))

@@ -2,6 +2,7 @@ package graft.extract
 
 import graft.text.PyText._
 
+import java.util.Locale
 import scala.collection.mutable
 
 /** Hand-built HTML tag tokenizer + main-content (boilerplate) stripper.
@@ -73,7 +74,7 @@ object Html {
           } else if (body.startsWith("#")) {
             try { out.appendAll(Character.toChars(Integer.parseInt(body.substring(1)))); i = semi + 1 }
             catch { case _: Exception => out.append(c); i += 1 }
-          } else NamedEntities.get(body.toLowerCase) match {
+          } else NamedEntities.get(body.toLowerCase(Locale.ROOT)) match {
             case Some(rep) => out.append(rep); i = semi + 1
             case None => out.append(c); i += 1
           }
@@ -105,10 +106,15 @@ object Html {
         // inside <script>/<style>/...: scan for the matching close tag
         val close = "</" + rawUntilClose
         var j = html.indexOf(close, i)
-        // tolerate arbitrary case on the close tag
+        // tolerate arbitrary case on the close tag — regionMatches keeps
+        // offsets in the ORIGINAL string (a locale-lowered copy can change
+        // length, e.g. U+0130, and misalign every index after it)
         if (j < 0) {
-          val lower = html.toLowerCase
-          j = lower.indexOf(close, i)
+          val cl = close.length
+          var k = i
+          while (j < 0 && k <= n - cl) {
+            if (html.regionMatches(true, k, close, 0, cl)) j = k else k += 1
+          }
         }
         // RCDATA elements (title/textarea) decode entities; script/style
         // and friends stay raw, per the HTML5 tokenizer states
@@ -149,7 +155,7 @@ object Html {
               var j = lt + 2
               val s = j
               while (j < n && isNameChar(html.charAt(j))) j += 1
-              val name = html.substring(s, j).toLowerCase
+              val name = html.substring(s, j).toLowerCase(Locale.ROOT)
               val gt = html.indexOf('>', j)
               val end = if (gt < 0) n else gt + 1
               if (name.nonEmpty) f(EndTag(name, lt, end))
@@ -157,7 +163,7 @@ object Html {
             case c if isNameChar(c) =>
               var j = lt + 1
               while (j < n && isNameChar(html.charAt(j))) j += 1
-              val name = html.substring(lt + 1, j).toLowerCase
+              val name = html.substring(lt + 1, j).toLowerCase(Locale.ROOT)
               // attributes
               val attrs: mutable.Map[String, String] =
                 if (keepAttrs) mutable.Map.empty else null
@@ -174,7 +180,7 @@ object Html {
                   while (j < n && !Character.isWhitespace(html.charAt(j)) &&
                     html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
                   val anameEmpty = j == as
-                  val aname = if (keepAttrs) html.substring(as, j).toLowerCase else null
+                  val aname = if (keepAttrs) html.substring(as, j).toLowerCase(Locale.ROOT) else null
                   while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
                   if (j < n && html.charAt(j) == '=') {
                     j += 1

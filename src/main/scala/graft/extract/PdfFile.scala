@@ -119,18 +119,34 @@ object PdfFile {
         .filter(s => Extractor.sniff(s) == "pdf")
     }
 
+  /** Full file extraction with per-stream tolerance: a malformed content
+    * stream (e.g. an operator with an empty operand stack) drops ONLY that
+    * stream, not the document. Returns (pages, nStreams, nFailedStreams)
+    * so the caller can distinguish "no text in the file" (blank) from
+    * "every stream failed to parse" (parse_error).
+    */
+  def extractStats(bytes: Array[Byte]): (Vector[Pdf.PageText], Int, Int) = {
+    val streams =
+      try contentStreams(bytes)
+      catch { case scala.util.control.NonFatal(_) => Vector.empty[String] }
+    var failed = 0
+    val pages = streams.zipWithIndex.flatMap { case (s, pg) =>
+      try Some(Pdf.pageFromStream(s, pg))
+      catch { case scala.util.control.NonFatal(_) => failed += 1; None }
+    }
+    val out =
+      try Pdf.suppressHeadersFooters(pages).zipWithIndex
+        .map { case (ls, i) => Pdf.PageText(i, ls) }
+      catch {
+        case scala.util.control.NonFatal(_) => failed = streams.length; Vector.empty[Pdf.PageText]
+      }
+    (out, streams.length, failed)
+  }
+
   /** Full file extraction: content streams → pages → header/footer
     * suppression across pages. Total on arbitrary bytes.
     */
-  def extract(bytes: Array[Byte]): Vector[Pdf.PageText] = {
-    try {
-      val pages = contentStreams(bytes).zipWithIndex.map { case (s, pg) =>
-        Pdf.pageFromStream(s, pg)
-      }
-      Pdf.suppressHeadersFooters(pages).zipWithIndex
-        .map { case (ls, i) => Pdf.PageText(i, ls) }
-    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
-  }
+  def extract(bytes: Array[Byte]): Vector[Pdf.PageText] = extractStats(bytes)._1
 
   /** Main text of a PDF file: pages in order, lines joined "\n". */
   def mainText(bytes: Array[Byte]): String =

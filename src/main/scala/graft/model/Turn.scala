@@ -46,6 +46,21 @@ final case class TurnChunk(
     end: Int,
     bucket: Int)
 
+/** Chunk payload carried as an ARRAY COLUMN next to its extracted turn in
+  * the single-pass pipeline (chunks computed inside the same mapPartitions
+  * as extraction, exploded at write — no read-back scan, no second
+  * chunking pass). Keyless: conv_id/turn_idx/bucket live on the parent row.
+  */
+final case class ChunkLite(chunk_index: Int, content: String, start: Int, end: Int)
+
+/** Structure-aware twin of [[ChunkLite]] (F6 fields). */
+final case class StructChunkLite(
+    chunk_index: Int,
+    content: String,
+    page: Int,
+    section_boundary: Boolean,
+    section_heading: String)
+
 /** One structure-aware chunk (reference `chunk_with_structure` F6,
   * `app/processing/chunker.py:106-221` — the ingestion default,
   * `document_service.py:249-252`): heading-delimited sections, small

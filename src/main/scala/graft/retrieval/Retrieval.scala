@@ -173,12 +173,26 @@ object Retrieval {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /** Hard cap on rows entering [[withRank]]'s unpartitioned window. Every
+    * retrieval caller pre-limits to funnel constants (≤ 2k); the cap makes
+    * the bound structural instead of conventional.
+    */
+  val MaxRankedRows = 100000
+
   /** 0-based rank column over a ranked list, deterministic tie-break
     * `(score desc, id asc)` (W2/W3 in SURVEY §2.5).
+    *
+    * CONTRACT: input must be a bounded ranked list (funnel stages pass
+    * ≤ 2k rows). The unpartitioned window necessarily single-tasks, so the
+    * input is first capped to the top [[MaxRankedRows]] via
+    * `orderBy().limit()` — which Spark plans as a distributed
+    * TakeOrderedAndProject — making the single-task section O(MaxRankedRows)
+    * no matter what a caller feeds it.
     */
   def withRank(df: DataFrame, idCol: String, scoreCol: String): DataFrame =
-    df.withColumn("rank",
-      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc)) - 1)
+    df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(MaxRankedRows)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc)) - 1)
 
   /** Weighted reciprocal rank fusion of ranked lists (`rrf.py:6-35`).
     * Each input: (idCol, scoreCol) ranked desc; output (idCol, rrf_score).

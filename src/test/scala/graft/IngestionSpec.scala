@@ -51,7 +51,7 @@ class IngestionSpec extends AnyFunSuite {
     val (ok, msg) = Bm25IndexTables.validate(spark, Ingestion.indexDir(out), "chunk_id")
     assert(ok, msg)
     // a token known to exist in the corpus scores hits against the index
-    val someTok = spark.read.parquet(s"${Ingestion.indexDir(out)}/postings")
+    val someTok = spark.read.parquet(Bm25IndexTables.postingsDir(Ingestion.indexDir(out)))
       .groupBy("term").count().orderBy(desc("count"))
       .select("term").first().getString(0)
     val hits = Bm25IndexTables.score(spark, Ingestion.indexDir(out), someTok, "chunk_id")

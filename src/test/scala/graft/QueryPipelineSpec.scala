@@ -2,7 +2,7 @@ package graft
 
 import graft.fixtures.TranscriptGen
 import graft.pipeline.{ExtractionPipeline, Ingestion}
-import graft.retrieval.QueryPipeline
+import graft.retrieval.{Bm25IndexTables, QueryPipeline}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,7 +28,7 @@ class QueryPipelineSpec extends AnyFunSuite {
 
   test("hybrid query over the ingested store returns ranked, contentful hits") {
     // pick a query from words that actually occur in the corpus
-    val q = spark.read.parquet(s"${Ingestion.indexDir(outDir)}/postings")
+    val q = spark.read.parquet(Bm25IndexTables.postingsDir(Ingestion.indexDir(outDir)))
       .groupBy("term").count().orderBy(desc("count"))
       .select("term").limit(3).collect().map(_.getString(0)).mkString(" ")
     val hits = QueryPipeline.query(spark, outDir, q, topK = 10).collect()
