@@ -335,6 +335,70 @@ for cid, (ls, ws) in lists.items():
     rrf_golden.append({"id": cid, "lists": ls, "weights": ws, "scores": scores})
 (OUT / "rrf_cases.json").write_text(json.dumps(rrf_golden), encoding="utf-8")
 
+
+# ---- F7 char-slice chunker (multimodal_chunker.py:107-143) -----------------
+
+from app.processing.multimodal.multimodal_chunker import MultimodalChunker  # noqa: E402
+from app.models.parsing import TextBlock  # noqa: E402
+
+# The reference's loop does NOT terminate when the only separator sits at
+# the window head (start = end - overlap steps backward and oscillates) —
+# e.g. sparse-punctuation text at size=100/overlap=10. Such combos are
+# skipped (pieces = None); the Scala port documents the divergence (it
+# forces forward progress) and the spec only checks terminating combos.
+import signal
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _Timeout()
+
+
+signal.signal(signal.SIGALRM, _alarm)
+
+charslice_texts = []
+for cid, text in cases.items():
+    entry = {"id": cid, "text": text, "params": []}
+    for size, ov in PARAMS:
+        mc = MultimodalChunker(size, ov)
+        try:
+            signal.alarm(2)
+            pieces = mc._split_text_with_overlap(text) if text else []
+        except _Timeout:
+            pieces = None
+        finally:
+            signal.alarm(0)
+        entry["params"].append({"size": size, "overlap": ov, "pieces": pieces})
+    charslice_texts.append(entry)
+
+charslice_blocks = []
+for name, blocks in struct_cases.items():
+    tbs = [
+        TextBlock(content=c, page=pg, bbox=(0.0, 0.0, 1.0, 1.0))
+        for c, pg in blocks
+    ]
+    mc = MultimodalChunker(512, 50)
+    chunks = mc.create_text_chunks(tbs, "doc")
+    charslice_blocks.append(
+        {
+            "id": name,
+            "blocks": [{"text": c, "page": pg} for c, pg in blocks],
+            "chunks": [
+                {"content": ch.content, "page": ch.page, "chunk_index": ch.chunk_index}
+                for ch in chunks
+            ],
+        }
+    )
+(OUT / "charslice_cases.json").write_text(
+    json.dumps(
+        {"texts": charslice_texts, "blocks": charslice_blocks}, ensure_ascii=False
+    ),
+    encoding="utf-8",
+)
+
 print("goldens written to", OUT)
 for f in sorted(OUT.iterdir()):
     print(" ", f.name, f.stat().st_size, "bytes")

@@ -83,6 +83,44 @@ object Bench {
     threads * itersPerThread / dt
   }
 
+  /** Memory-STREAM calibration: per-thread sequential sum over a buffer
+    * far larger than LLC, so throughput is bound by DRAM bandwidth — the
+    * resource a data pipeline (string decode, columnar encode, shuffle
+    * spill) actually leans on, and the one a single socket does NOT scale
+    * 8→32 threads (each extra core shares the same memory bus; a real
+    * N→4N-executor cluster adds sockets, scaling bandwidth with cores).
+    * Reported next to the ALU calibration so the bench artifact carries
+    * BOTH machine ceilings: register-only work (~0.8-0.9 here) and
+    * streaming work (typically ~0.4-0.6 on this class of VM).
+    */
+  private def calibrateStream(threads: Int, passes: Int): Double = {
+    val wordsPerThread = (256L << 20) / 8 // 256 MB per thread
+    val bufs = Array.fill(threads)(new Array[Long](wordsPerThread.toInt))
+    bufs.foreach { b => var i = 0; while (i < b.length) { b(i) = i; i += 1 } }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = (0 until threads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[java.lang.Long] {
+        def call(): java.lang.Long = {
+          val b = bufs(t)
+          var acc = 0L
+          var p = 0
+          while (p < passes) {
+            var i = 0
+            while (i < b.length) { acc += b(i); i += 8 } // one load per cache line
+            p += 1
+          }
+          acc
+        }
+      })
+    }
+    val sink = futs.map(_.get().longValue()).sum
+    val dt = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    if (sink == 42L) System.err.println("stream sink")
+    threads * passes * (wordsPerThread * 8L) / dt // bytes/sec aggregate
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -98,10 +136,14 @@ object Bench {
     // input was tried and did NOT improve measured efficiency — the
     // residual non-scaling component is hypervisor steal, not fixed cost
     // (see BASELINE.md calibration)
+    // ~2.5M turns at sf0.1: large enough that the per-job fixed floors
+    // (scheduling, scan setup, commit — ~1-2 s each) are single-digit
+    // percent of the LOW leg, so measured efficiency reflects the
+    // parallel section rather than constant overhead
     val nConvs = sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong).getOrElse {
-      if (sfDir.contains("sf0.1")) 60000L
-      else if (sfDir.contains("sf0.01")) 5000L
-      else 500L
+      if (sfDir.contains("sf0.1")) 240000L
+      else if (sfDir.contains("sf0.01")) 20000L
+      else 2000L
     }
 
     // ---- phase 1: query battery at full parallelism ----
@@ -156,11 +198,13 @@ object Bench {
       val computeTps = n / ((System.nanoTime() - t0) / 1e9)
 
       // nBuckets is a DATA-size knob (output-partition granularity), not a
-      // parallelism knob — identical across legs so the comparison is fair
+      // parallelism knob — identical across legs so the comparison is fair.
+      // 256 buckets ≈ 10k turns each: tasks ≫ cores on both legs, so the
+      // scheduler absorbs bucket-size variance instead of a straggler task
       val outDir = s"$base/out-$cores-$rep"
       val t1 = System.nanoTime()
       val stats = ExtractionPipeline.run(s, turns,
-        ExtractionPipeline.Config(outDir, nBuckets = 64, waves = 1, resume = false))
+        ExtractionPipeline.Config(outDir, nBuckets = 256, waves = 1, resume = false))
       val fullTps = stats.turns / ((System.nanoTime() - t1) / 1e9)
       s.stop()
       deleteRecursive(outDir) // keep tmpfs usage bounded across reps
@@ -178,13 +222,21 @@ object Bench {
     val efficiency = (thrHigh / thrLow) / factor
     val computeEfficiency = (cThrHigh / cThrLow) / factor
 
-    // ---- phase 3: same-run machine calibration (pure CPU, no Spark) ----
+    // ---- phase 3: same-run machine calibration (no Spark) ----
+    // (a) register-only integer loop: the ALU/steal ceiling
     calibrate(cpus, 20000000L) // JIT warm
     val calIters = 400000000L
     val calRuns = (1 to reps).flatMap(_ =>
       Seq(lowCpus -> calibrate(lowCpus, calIters), cpus -> calibrate(cpus, calIters)))
     def calBest(c: Int) = calRuns.collect { case (`c`, v) => v }.max
     val calEfficiency = (calBest(cpus) / calBest(lowCpus)) / factor
+    // (b) DRAM-stream loop: the memory-bandwidth ceiling (what columnar
+    // encode/decode, shuffle and string work actually hit on one socket)
+    calibrateStream(lowCpus, 1) // touch pages/JIT
+    val memRuns = (1 to reps).flatMap(_ =>
+      Seq(lowCpus -> calibrateStream(lowCpus, 3), cpus -> calibrateStream(cpus, 3)))
+    def memBest(c: Int) = memRuns.collect { case (`c`, v) => v }.max
+    val memEfficiency = (memBest(cpus) / memBest(lowCpus)) / factor
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -201,7 +253,11 @@ object Bench {
       s""""compute_scaling_efficiency":${f"$computeEfficiency%.3f"},""" +
       s""""reps_interleaved_best_of":$reps,""" +
       s""""machine_calibration_efficiency":${f"$calEfficiency%.3f"},""" +
+      s""""machine_membw_efficiency":${f"$memEfficiency%.3f"},""" +
+      s""""membw_low_gbps":${f"${memBest(lowCpus) / 1e9}%.1f"},""" +
+      s""""membw_high_gbps":${f"${memBest(cpus) / 1e9}%.1f"},""" +
       s""""efficiency_vs_machine":${f"${efficiency / calEfficiency}%.3f"},""" +
+      s""""efficiency_vs_membw":${f"${efficiency / memEfficiency}%.3f"},""" +
       s""""compute_efficiency_vs_machine":${f"${computeEfficiency / calEfficiency}%.3f"}},""" +
       s""""queries_total_sec":${f"$queriesSec%.2f"}}"""
 

@@ -103,6 +103,13 @@ object Extractor {
     false
   }
 
+  /** PDF span label: `pdf_line_p3` for body text, `pdf_line_p3:heading`
+    * (etc.) when the S4 layout classifier assigns a non-default kind —
+    * the page digits stay parseable by prefix+takeWhile(isDigit).
+    */
+  private def pdfLabel(prefix: String, page: Int, kind: String): String =
+    if (kind == "text") s"$prefix$page" else s"$prefix$page:$kind"
+
   /** Classify a turn payload: "pdf_file" | "pdf" | "html" | "plain". */
   def sniff(text: String): String = {
     if (text == null || text.isEmpty) "plain"
@@ -140,10 +147,14 @@ object Extractor {
             // but carried no text
             val reason = if (nStreams > 0 && nFailed == nStreams) "parse_error" else "blank"
             Extraction("pdf_file", "", Vector.empty, text.length.toLong, reason)
-          } else
+          } else {
+            val kinds = Pdf.lineKinds(lines)
             Extraction("pdf_file", out,
-              lines.map(l => Span(l.start, l.end, s"pdf_file_p${l.page}")),
+              lines.zip(kinds).map { case (l, k) =>
+                Span(l.start, l.end, pdfLabel("pdf_file_p", l.page, k))
+              },
               text.length.toLong, "", lines.map(_.text.length))
+          }
         } catch {
           case scala.util.control.NonFatal(_) =>
             Extraction("pdf_file", "", Vector.empty, text.length.toLong, "parse_error")
@@ -155,10 +166,14 @@ object Extractor {
           val out = lines.map(_.text).mkString("\n")
           if (pyStrip(out).isEmpty)
             Extraction("pdf", "", Vector.empty, text.length.toLong, "blank")
-          else
+          else {
+            val kinds = Pdf.lineKinds(lines)
             Extraction("pdf", out,
-              lines.map(l => Span(l.start, l.end, s"pdf_line_p${l.page}")),
+              lines.zip(kinds).map { case (l, k) =>
+                Span(l.start, l.end, pdfLabel("pdf_line_p", l.page, k))
+              },
               text.length.toLong, "", lines.map(_.text.length))
+          }
         } catch {
           case scala.util.control.NonFatal(_) =>
             Extraction("pdf", "", Vector.empty, text.length.toLong, "parse_error")

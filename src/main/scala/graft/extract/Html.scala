@@ -226,7 +226,7 @@ object Html {
   /** One text block with shallow-text features and raw source span. */
   final case class Block(
       text: String,
-      kind: String, // "text" | "heading" | "table"
+      kind: String, // "text" | "heading" | "table" | "list" (S4 layout kinds)
       words: Int,
       linkWords: Int,
       start: Int,
@@ -269,6 +269,7 @@ object Html {
     var blkStart = -1
     var blkEnd = -1
     var blkHeading = 0 // depth inside h1..h6
+    var listDepth = 0 // depth inside li (S4 "list" kind, Adobe /L analog)
     var anchorDepth = 0
     var boilerDepth = 0
     var articleDepth = 0
@@ -286,7 +287,11 @@ object Html {
     def flush(): Unit = {
       val t = pyStrip(collapseWs(sb.toString))
       if (t.nonEmpty && boilerDepth == 0) {
-        blocks += Block(t, if (blkHeading > 0) "heading" else "text",
+        val kind =
+          if (blkHeading > 0) "heading"
+          else if (listDepth > 0) "list"
+          else "text"
+        blocks += Block(t, kind,
           blkWords, blkLinkWords, blkStart, blkEnd, articleDepth > 0)
       }
       sb.clear(); blkWords = 0; blkLinkWords = 0; blkStart = -1; blkEnd = -1
@@ -299,6 +304,7 @@ object Html {
         if (BoilerplateContainers.contains(name) && !selfClosing) boilerDepth += 1
         if ((name == "article" || name == "main") && !selfClosing) articleDepth += 1
         if (name == "a" && !selfClosing) anchorDepth += 1
+        if (name == "li" && !selfClosing) listDepth += 1
         if (HeadingTags.contains(name) && !selfClosing) blkHeading += 1
         if (name == "table") {
           tableDepth += 1
@@ -320,6 +326,7 @@ object Html {
         if (BoilerplateContainers.contains(name) && boilerDepth > 0) boilerDepth -= 1
         if ((name == "article" || name == "main") && articleDepth > 0) articleDepth -= 1
         if (name == "a" && anchorDepth > 0) anchorDepth -= 1
+        if (name == "li" && listDepth > 0) listDepth -= 1
         if (HeadingTags.contains(name) && blkHeading > 0) blkHeading -= 1
         if (tableDepth > 0) name match {
           case "td" | "th" =>

@@ -551,4 +551,41 @@ object Pdf {
   /** Main text: pages in order, reading-order lines joined "\n". */
   def mainText(src: String): String =
     extract(src).flatMap(_.lines.map(_.text)).mkString("\n")
+
+  // --- S4 layout classification ---------------------------------------------
+
+  private val BulletChars = "•◦▪‣–*"
+
+  /** Layout kind per line — the native analog of the reference's Adobe
+    * element-path mapping (`adobe_pdf_parser.py:192-201`: `/H1../H3` →
+    * heading, `/L` → list, `/Title` → title, else paragraph). A raw
+    * content stream has no structure tree, so the same classes are
+    * recovered from the signals it does carry:
+    *  - `title`: the document's single largest font size, clearly above
+    *    body size (≥ 1.4×), on the first page;
+    *  - `heading`: font size noticeably above body (≥ 1.15×);
+    *  - `list`: a bullet glyph (or "- ") starting the line;
+    *  - `text` otherwise.
+    * Body size = the char-weighted modal font size across the document.
+    */
+  def lineKinds(lines: Vector[Line]): Vector[String] = {
+    if (lines.isEmpty) return Vector.empty
+    val weights = mutable.Map.empty[Double, Long]
+    lines.foreach(l => weights(l.fontSize) =
+      weights.getOrElse(l.fontSize, 0L) + l.text.length)
+    val bodyFs = weights.maxBy { case (fs, w) => (w, -fs) }._1
+    val maxFs = lines.map(_.fontSize).max
+    val firstPage = lines.map(_.page).min
+    lines.map { l =>
+      val t = l.text
+      val bullet = t.length >= 2 && BulletChars.indexOf(t.charAt(0)) >= 0 &&
+        t.charAt(1) == ' '
+      val dash = t.length >= 2 && t.charAt(0) == '-' && t.charAt(1) == ' '
+      if (bullet || dash) "list"
+      else if (l.page == firstPage && maxFs >= bodyFs * 1.4 && l.fontSize == maxFs)
+        "title"
+      else if (l.fontSize >= bodyFs * 1.15) "heading"
+      else "text"
+    }
+  }
 }

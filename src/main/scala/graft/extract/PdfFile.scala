@@ -119,6 +119,58 @@ object PdfFile {
         .filter(s => Extractor.sniff(s) == "pdf")
     }
 
+  /** An image XObject: undecoded payload + the intrinsic metadata its
+    * stream dictionary declares — the reference's ImageBlock shape
+    * (`app/models/parsing.py:20-29`: bytes + page + format), which also
+    * carries image bytes opaquely to an external model. `page` is a
+    * file-order heuristic: the number of text content streams seen before
+    * the object (images typically follow their page's stream; a real
+    * resolver would chase /Resources → /XObject references, which damaged
+    * files often lack — this stays total on arbitrary bytes).
+    */
+  final case class ImageObj(
+      objNum: Int, page: Int, width: Int, height: Int,
+      format: String, data: Array[Byte])
+
+  private val WidthRe = """/Width\s+(\d+)""".r
+  private val HeightRe = """/Height\s+(\d+)""".r
+
+  /** Scan for `/Subtype /Image` XObjects. DCT/JPX payloads pass through
+    * verbatim (they ARE the jpeg/jp2 files); Flate payloads inflate to raw
+    * samples; no pixel codec is required for any of this.
+    */
+  def images(bytes: Array[Byte]): Vector[ImageObj] = {
+    var streamsSeen = 0
+    val out = Vector.newBuilder[ImageObj]
+    objects(bytes).foreach { rs =>
+      if (rs.dict.contains("/Subtype") && rs.dict.contains("/Image")) {
+        val w = WidthRe.findFirstMatchIn(rs.dict).map(_.group(1).toInt).getOrElse(0)
+        val h = HeightRe.findFirstMatchIn(rs.dict).map(_.group(1).toInt).getOrElse(0)
+        // the EOL before `endstream` is not part of the stream data
+        // (PDF 32000-1 §7.3.8); the text path keeps it (harmless there)
+        val trimmed = {
+          var e = rs.data.length
+          if (e > 0 && rs.data(e - 1) == '\n') e -= 1
+          if (e > 0 && rs.data(e - 1) == '\r') e -= 1
+          if (e == rs.data.length) rs.data else java.util.Arrays.copyOf(rs.data, e)
+        }
+        val (fmt, data) =
+          if (rs.dict.contains("/DCTDecode")) ("jpeg", trimmed)
+          else if (rs.dict.contains("/JPXDecode")) ("jpeg2000", trimmed)
+          else if (rs.dict.contains("/FlateDecode"))
+            inflate(trimmed).map(("raw", _)).getOrElse(("corrupt", trimmed))
+          else ("raw", trimmed)
+        out += ImageObj(rs.objNum, math.max(streamsSeen - 1, 0), w, h, fmt, data)
+      } else {
+        val payload =
+          if (rs.dict.contains("/FlateDecode")) inflate(rs.data) else Some(rs.data)
+        if (payload.map(new String(_, "ISO-8859-1"))
+          .exists(s => Extractor.sniff(s) == "pdf")) streamsSeen += 1
+      }
+    }
+    out.result()
+  }
+
   /** Full file extraction with per-stream tolerance: a malformed content
     * stream (e.g. an operator with an empty operand stack) drops ONLY that
     * stream, not the document. Returns (pages, nStreams, nFailedStreams)

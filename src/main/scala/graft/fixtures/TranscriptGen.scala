@@ -100,6 +100,13 @@ object TranscriptGen {
     val paras = (0 until 2 + r.nextInt(4))
       .map(_ => s"<p>${(0 until 2 + r.nextInt(3)).map(_ => sentence(r, 8 + r.nextInt(12))).mkString(" ")}</p>")
       .mkString("\n")
+    // in-article plain-text list (S4 "list" kind — link-free so the
+    // classifier keeps it, unlike the sidebar's link list)
+    val articleList =
+      if (r.nextInt(3) == 0)
+        "<ul>" + (0 until 2 + r.nextInt(3))
+          .map(_ => s"<li>${sentence(r, 6 + r.nextInt(8))}</li>").mkString + "</ul>"
+      else ""
     val heading = s"<h1>${sentence(r, 3 + r.nextInt(3), "")}</h1>"
     val table =
       if (r.nextInt(3) == 0) {
@@ -115,6 +122,7 @@ object TranscriptGen {
        |<div class="sidebar"><ul>$sidebar</ul></div>
        |<article>$heading
        |$paras
+       |$articleList
        |$table</article>
        |<footer>&copy; 2026 example corp &mdash; <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer>
        |</body></html>""".stripMargin
@@ -134,6 +142,20 @@ object TranscriptGen {
       // header + footer (suppression targets)
       body += ((72.0, 780.0, docTitle))
       body += ((72.0, 30.0, s"Page $pg of $nPages"))
+      // page-1 document title at display size (S4 "title" kind) — drawn
+      // before the body items so the 24pt Tf is scoped to it alone
+      val titleCmd =
+        if (pg == 1)
+          f"/F1 24 Tf\n1 0 0 1 72.0 750.0 Tm\n(${sentence(r, 2 + r.nextInt(2), "")}) Tj\n"
+        else ""
+      // occasional bullet list in the body (S4 "list" kind)
+      if (!twoCol && r.nextInt(3) == 0) {
+        var y = 500.0
+        for (_ <- 0 until 2 + r.nextInt(3)) {
+          body += ((90.0, y, "• " + sentence(r, 3 + r.nextInt(4))))
+          y -= 16
+        }
+      }
       if (twoCol) {
         var y = 720.0
         for (_ <- 0 until 6 + r.nextInt(5)) {
@@ -154,7 +176,9 @@ object TranscriptGen {
       }
       // emit draw commands in a scrambled deterministic order
       val items = r.shuffle(body.result())
-      sb.append("BT\n/F1 12 Tf\n")
+      sb.append("BT\n")
+      sb.append(titleCmd)
+      sb.append("/F1 12 Tf\n")
       items.foreach { case (x, y, t) =>
         val esc = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
         if (r.nextInt(4) == 0)

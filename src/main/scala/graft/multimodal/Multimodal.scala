@@ -65,6 +65,22 @@ object Multimodal {
       new String(out)
     }
 
+    /** REAL decode for embedded PDF images: the native file reader scans
+      * `/Subtype /Image` XObjects — width/height come from the first
+      * image's stream dictionary, n_frames counts the images. No pixel
+      * codec involved (DCT payloads pass through as the jpeg bytes).
+      */
+    def decodePdfImage(row: MediaRow): MediaFeatures = {
+      val imgs = graft.extract.PdfFile.images(row.payload)
+      val first = imgs.headOption
+      MediaFeatures(
+        row.doc_id, row.media_type, row.payload.length.toLong,
+        hexPrefix(row.payload, 8),
+        width = first.map(_.width).getOrElse(0),
+        height = first.map(_.height).getOrElse(0),
+        n_frames = imgs.size)
+    }
+
     /** REAL decode for PDF binaries: text via the native file reader;
       * width/height report page count and total extracted lines.
       */
@@ -96,7 +112,11 @@ object Multimodal {
       * UDF batch).
       */
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
-      batch.map(r => if (r.media_type == "pdf") decodePdf(r) else decodeStub(r))
+      batch.map {
+        case r if r.media_type == "pdf" => decodePdf(r)
+        case r if r.media_type == "pdf_image" => decodePdfImage(r)
+        case r => decodeStub(r)
+      }
   }
 
   implicit private val featEnc: Encoder[MediaFeatures] =

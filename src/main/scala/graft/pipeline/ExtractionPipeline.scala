@@ -43,6 +43,20 @@ object ExtractionPipeline {
     */
   val SaltTargetRows = 128
 
+  /** Which of the reference's chunking algorithms the pipeline runs:
+    *  - [[ChunkFlat]]: F4 sentence-packing with exact source spans
+    *    (`chunker.py:223-270`);
+    *  - [[ChunkStructured]]: F6 heading-delimited sections, the
+    *    reference's ingestion default (`chunker.py:106-221`);
+    *  - [[ChunkCharSlice]]: F7 char-slice with sentence back-off, the
+    *    reference's MULTIMODAL pipeline chunker
+    *    (`multimodal_chunker.py:57-143`).
+    */
+  sealed trait ChunkMode
+  case object ChunkFlat extends ChunkMode
+  case object ChunkStructured extends ChunkMode
+  case object ChunkCharSlice extends ChunkMode
+
   final case class Config(
       outDir: String,
       nBuckets: Int = 64,
@@ -50,10 +64,7 @@ object ExtractionPipeline {
       chunkSize: Int = Chunker.DefaultChunkSize,
       overlap: Int = Chunker.DefaultOverlap,
       resume: Boolean = true,
-      // structure-aware chunking (F6, the reference's ingestion default):
-      // heading-delimited sections rebuilt from the extracted blocks;
-      // false = flat sentence/overlap chunking (F4) with exact spans
-      structured: Boolean = false)
+      mode: ChunkMode = ChunkFlat)
 
   final case class RunStats(
       buckets: Int, skippedBuckets: Int, turns: Long, bytes: Long, wallMs: Long)
@@ -117,13 +128,14 @@ object ExtractionPipeline {
     var i = 0
     while (i < lens.length && off <= text.length) {
       val end = math.min(off + lens(i), text.length)
-      // both pdf span label families carry the page: pdf_line_pN (inline
-      // content-stream turns) and pdf_file_pN (whole-file turns)
+      // both pdf span label families carry the page: pdf_line_pN[:kind]
+      // (inline content-stream turns) and pdf_file_pN[:kind] (whole-file
+      // turns); digits are followed by an optional S4 layout-kind suffix
       val page =
         if (i < labels.length && labels(i).startsWith("pdf_line_p"))
-          labels(i).drop("pdf_line_p".length).toIntOption.getOrElse(0)
+          labels(i).drop("pdf_line_p".length).takeWhile(_.isDigit).toIntOption.getOrElse(0)
         else if (i < labels.length && labels(i).startsWith("pdf_file_p"))
-          labels(i).drop("pdf_file_p".length).toIntOption.getOrElse(0)
+          labels(i).drop("pdf_file_p".length).takeWhile(_.isDigit).toIntOption.getOrElse(0)
         else 0
       out += Chunker.Block(text.substring(off, end), page)
       off = end + 1 // skip the '\n' separator
@@ -285,15 +297,26 @@ object ExtractionPipeline {
         // their chunk provenance for free.
         val chunkSize = cfg.chunkSize
         val overlap = cfg.overlap
-        val chunkCols =
-          if (cfg.structured)
+        val chunkCols = cfg.mode match {
+          case ChunkFlat =>
+            Seq(col("c.chunk_index"), col("c.content"), col("c.start"), col("c.end"))
+          case _ =>
             Seq(col("c.chunk_index"), col("c.content"), col("c.page"),
               col("c.section_boundary"), col("c.section_heading"))
-          else
-            Seq(col("c.chunk_index"), col("c.content"), col("c.start"), col("c.end"))
+        }
 
-        val withChunks =
-          if (cfg.structured)
+        val withChunks = cfg.mode match {
+          case ChunkFlat =>
+            waveDf.mapPartitions { it =>
+              extractPartition(it, acc).map { e =>
+                val cs = Chunker.splitTextWithOverlap(e.text, chunkSize, overlap)
+                  .zipWithIndex
+                  .map { case (c, i) => ChunkLite(i, c.content, c.start, c.end) }
+                  .toArray
+                (e, cs)
+              }
+            }.toDF("e", "chunks")
+          case ChunkStructured =>
             waveDf.mapPartitions { it =>
               extractPartition(it, acc).map { e =>
                 // F6 over blocks rebuilt from the live extraction output —
@@ -306,16 +329,18 @@ object ExtractionPipeline {
                 (e, cs)
               }
             }.toDF("e", "chunks")
-          else
+          case ChunkCharSlice =>
             waveDf.mapPartitions { it =>
               extractPartition(it, acc).map { e =>
-                val cs = Chunker.splitTextWithOverlap(e.text, chunkSize, overlap)
-                  .zipWithIndex
-                  .map { case (c, i) => ChunkLite(i, c.content, c.start, c.end) }
+                val blocks = rebuildBlocks(e.text, e.block_lens, e.span_labels)
+                val cs = Chunker.chunkCharSlices(blocks, chunkSize, overlap)
+                  .map(sc => StructChunkLite(sc.chunkIndex, sc.content, sc.page,
+                    sc.sectionBoundary, sc.sectionHeading.getOrElse("")))
                   .toArray
                 (e, cs)
               }
             }.toDF("e", "chunks")
+        }
 
         phase("extract+write") {
           withChunks.select(col("e.*"), col("chunks")).write

@@ -451,6 +451,69 @@ object TrainingDataQueries {
       |FROM assigned, q WHERE cell = qcell AND vec_id <> 8
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  // --- A6 visual-fusion aggregate (multimodal_embedder.py:249-271) ----------
+  //
+  // `fuse_embeddings`: mean of the visual embeddings (axis 0) concatenated
+  // onto the text embedding; no visuals → text embedding unchanged. Here
+  // each "document" owns 4 consecutive vectors: vec_id%4==0 is its text
+  // embedding, %4∈{1,2} its visuals — except every 5th document, which has
+  // none (exercises the no-visual branch). The element-wise mean is a
+  // posexplode + (doc, dim) hash aggregation — partial-agg friendly at any
+  // scale — reassembled in dimension order; outputs are scalar summaries
+  // (dim, first/last, checksum) so the compare never depends on
+  // engine-specific array-to-string formatting.
+
+  private def qVisualFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(s, dir)
+      .withColumn("doc_id", (col("vec_id") / 4).cast("long"))
+    val text = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("doc_id"), col("e").as("te"))
+    val visuals = emb.filter(pmod(col("vec_id"), lit(4)).isin(1, 2) &&
+        pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), posexplode(col("e")).as(Seq("i", "v")))
+    val vavg = visuals.groupBy("doc_id", "i").agg(avg("v").as("m"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("vavg"))
+    text.join(vavg, Seq("doc_id"), "left")
+      .withColumn("fused",
+        when(col("vavg").isNull, col("te")).otherwise(concat(col("te"), col("vavg"))))
+      .select(col("doc_id"),
+        size(col("fused")).as("dim"),
+        round(element_at(col("fused"), 1), 4).as("f_first"),
+        round(element_at(col("fused"), size(col("fused"))), 4).as("f_last"),
+        round(expr("aggregate(fused, 0D, (acc, v) -> acc + v)"), 4).as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  private val qVisualFusionSql =
+    """WITH e AS (
+      |  SELECT vec_id, vec_id // 4 AS doc_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |t AS (SELECT doc_id, e AS te FROM e WHERE vec_id % 4 = 0),
+      |vis AS (
+      |  SELECT doc_id, e FROM e
+      |  WHERE vec_id % 4 IN (1, 2) AND doc_id % 5 <> 0),
+      |vexp AS (
+      |  SELECT doc_id, u.i AS i, u.v AS v FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(e)),
+      |      i -> {'i': i, 'v': e[i]})) AS u
+      |    FROM vis) x),
+      |vavg AS (
+      |  SELECT doc_id, list(m ORDER BY i) AS vavg FROM (
+      |    SELECT doc_id, i, avg(v) AS m FROM vexp GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN vavg.vavg IS NULL THEN te
+      |         ELSE list_concat(te, vavg.vavg) END AS fused
+      |  FROM t LEFT JOIN vavg ON t.doc_id = vavg.doc_id)
+      |SELECT doc_id, len(fused) AS dim,
+      |  round(fused[1], 4) AS f_first,
+      |  round(fused[len(fused)], 4) AS f_last,
+      |  round(list_sum(fused), 4) AS checksum
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // --- language ID (stopword-ratio heuristic) -------------------------------
 
   private val stopListSql =
@@ -698,6 +761,56 @@ object TrainingDataQueries {
       |  FROM parsed)
       |ORDER BY doc_id, vidx""".stripMargin
 
+  // --- PDF image XObjects (ImageBlock path, parsing.py:20-29) ---------------
+  //
+  // Builds a REAL (uncompressed) PDF file per document — one text content
+  // stream + one `/Subtype /Image` XObject whose dict carries dimensions
+  // derived from n_chars and whose payload is the md5 hex of the text —
+  // then runs the actual PdfFile.images object scan on it. The DuckDB
+  // oracle recomputes the constructed values analytically, so the gate
+  // verifies the parser RECOVERS exactly what was embedded (dict parse,
+  // stream payload slicing, page association after the content stream).
+
+  private def qImageBlocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.extract.PdfFile
+    val rows = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, h) =>
+        val w = 1 + nChars % 640
+        val ht = 1 + (nChars * 7) % 480
+        val cs = "BT /F1 12 Tf 72 700 Td (body text) Tj ET"
+        val pdf = new StringBuilder()
+          .append("%PDF-1.4\n")
+          .append(s"3 0 obj << /Length ${cs.length} >> stream\n")
+          .append(cs)
+          .append("\nendstream endobj\n")
+          .append(s"5 0 obj << /Subtype /Image /Width $w /Height $ht /Length 32 >> stream\n")
+          .append(h)
+          .append("\nendstream endobj\ntrailer << /Root 1 0 R >>\n")
+          .toString
+        val imgs = PdfFile.images(pdf.getBytes("ISO-8859-1"))
+        val first = imgs.headOption
+        (id,
+          first.map(_.page).getOrElse(-1),
+          first.map(_.width).getOrElse(-1),
+          first.map(_.height).getOrElse(-1),
+          first.map(_.format).getOrElse(""),
+          first.map(i => new String(i.data, "ISO-8859-1")).getOrElse(""),
+          imgs.size)
+      }
+      .toDF("doc_id", "page", "width", "height", "fmt", "img_data", "n_images")
+    rows.orderBy("doc_id")
+  }
+
+  private val qImageBlocksSql =
+    """SELECT doc_id, 0 AS page,
+      |  CAST(1 + n_chars % 640 AS INT) AS width,
+      |  CAST(1 + (n_chars * 7) % 480 AS INT) AS height,
+      |  'raw' AS fmt, md5(text) AS img_data, 1 AS n_images
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   // --- gap-based sessionization (batch twin of streaming/Sessionize) --------
 
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -769,6 +882,7 @@ object TrainingDataQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_blocks" -> (qImageBlocks _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_sessionize" -> (qSessionize _),
     "q_expand_parse" -> (qExpandParse _),
@@ -780,6 +894,7 @@ object TrainingDataQueries {
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -789,6 +904,7 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_image_blocks" -> qImageBlocksSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_sessionize" -> qSessionizeSql,
     "q_expand_parse" -> qExpandParseSql,
@@ -800,6 +916,7 @@ object TrainingDataQueries {
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,

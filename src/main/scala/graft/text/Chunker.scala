@@ -186,6 +186,83 @@ object Chunker {
     chunks.result()
   }
 
+  private val CharSliceSeps = Vector(". ", ".\n", "! ", "?\n", "? ")
+
+  /** F7 — the multimodal pipeline's ALTERNATE chunker
+    * (`multimodal_chunker.py:107-143` `_split_text_with_overlap`): slice
+    * `chunkSize` characters, back off to a sentence separator inside the
+    * window, step `end - overlap`. Two semantics that differ from the
+    * main chunker (F4) and are pinned here:
+    *  - separators are probed in the reference's LIST order
+    *    `". ", ".\n", "! ", "?\n", "? "` and the FIRST one present wins
+    *    (its rightmost occurrence) — not the max position across all;
+    *  - pieces are python-stripped at emission and blanks dropped, while
+    *    a text short enough to fit returns verbatim (unstripped).
+    * Totality divergence (documented): if the back-off would move `start`
+    * backward or stall (`end - overlap <= start`, possible when the only
+    * separator sits at the window head), CPython's negative-slice wrap
+    * makes the reference misbehave; we force forward progress by stepping
+    * to `end` (no overlap for that boundary) instead.
+    */
+  def splitCharSlices(
+      text: String,
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap): Vector[String] = {
+    require(chunkSize > 0, "chunk_size must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunk_size")
+    if (text.length <= chunkSize) return Vector(text)
+    val out = Vector.newBuilder[String]
+    var start = 0
+    var done = false
+    while (!done && start < text.length) {
+      var end = start + chunkSize // may exceed length (slice clamps below)
+      if (end < text.length) {
+        var si = 0
+        var found = false
+        while (!found && si < CharSliceSeps.length) {
+          val sep = CharSliceSeps(si)
+          // rfind(sep) within [start, end): rightmost i with i+len <= end
+          val i = text.lastIndexOf(sep, end - sep.length)
+          if (i >= start) { end = i + sep.length; found = true }
+          si += 1
+        }
+      }
+      val clamped = math.min(end, text.length)
+      val piece = pyStrip(text.substring(start, clamped))
+      if (piece.nonEmpty) out += piece
+      val next = end - overlap
+      if (next >= text.length) done = true
+      else start = if (next <= start) clamped else next
+    }
+    out.result()
+  }
+
+  /** F7 applied per block (`multimodal_chunker.py:57-105`
+    * `create_text_chunks`): a block short enough to fit becomes ONE chunk
+    * with its content verbatim; longer blocks emit their char slices.
+    * `chunkIndex` runs sequentially across the whole block stream; page
+    * carried from the block.
+    */
+  def chunkCharSlices(
+      blocks: Seq[Block],
+      chunkSize: Int = DefaultChunkSize,
+      overlap: Int = DefaultOverlap): Vector[StructChunk] = {
+    val out = Vector.newBuilder[StructChunk]
+    var idx = 0
+    blocks.foreach { b =>
+      if (b.text.length <= chunkSize) {
+        out += StructChunk(b.text, b.page, idx,
+          sectionBoundary = false, sectionHeading = None, rawLength = b.text.length)
+        idx += 1
+      } else splitCharSlices(b.text, chunkSize, overlap).foreach { piece =>
+        out += StructChunk(piece, b.page, idx,
+          sectionBoundary = false, sectionHeading = None, rawLength = piece.length)
+        idx += 1
+      }
+    }
+    out.result()
+  }
+
   /** `_is_likely_heading` (`chunker.py:370-400`); font size unused by the
     * reference implementation despite its signature.
     */

@@ -103,7 +103,7 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     val out = tmp()
     ExtractionPipeline.run(spark, turns,
       ExtractionPipeline.Config(out, nBuckets = 8, waves = 1, resume = false,
-        structured = true))
+        mode = ExtractionPipeline.ChunkStructured))
 
     val got = spark.read.parquet(ExtractionPipeline.chunksDir(out))
       .select("conv_id", "turn_idx", "chunk_index", "content", "page",
@@ -124,6 +124,37 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     // non-empty headings must exist
     assert(got.filter(col("section_boundary") && col("section_heading") =!= "")
       .count() > 0)
+  }
+
+  test("charslice mode: pipeline chunks equal direct chunkCharSlices") {
+    import spark.implicits._
+    import graft.extract.Extractor
+    import graft.text.Chunker
+    // a block long enough to force the char-slice split path
+    val body = (1 to 60).map(i => s"Sentence number $i about the topic.").mkString(" ")
+    val crafted = graft.model.Turn("conv-charslice", 0, "user",
+      s"<html><body><article><p>$body</p></article></body></html>",
+      "", new java.sql.Timestamp(0L))
+    val turns = TranscriptGen.transcripts(spark, nConvs = 20, numPartitions = 3)
+      .union(spark.createDataset(Seq(crafted)))
+    val out = tmp()
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 8, waves = 1, resume = false,
+        mode = ExtractionPipeline.ChunkCharSlice))
+
+    val got = spark.read.parquet(ExtractionPipeline.chunksDir(out))
+      .select("conv_id", "turn_idx", "chunk_index", "content", "page")
+    val want = turns.collect().toSeq.flatMap { t =>
+      val ex = Extractor.extract(t.text)
+      val blocks = ExtractionPipeline.rebuildBlocks(
+        ex.text, ex.blockLens.toArray, ex.spans.map(_.label).toArray)
+      Chunker.chunkCharSlices(blocks).map(sc =>
+        (t.conv_id, t.turn_idx, sc.chunkIndex, sc.content, sc.page))
+    }.toDF("conv_id", "turn_idx", "chunk_index", "content", "page")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the crafted long block must actually have been sliced
+    assert(got.filter(col("conv_id") === "conv-charslice").count() > 1)
   }
 
   test("orphan bucket dirs from a crashed wave are cleaned before re-run") {

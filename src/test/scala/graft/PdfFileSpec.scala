@@ -83,6 +83,37 @@ class PdfFileSpec extends AnyFunSuite {
     assert(ex.blockLens.sum + ex.blockLens.size - 1 == ex.text.length)
   }
 
+  test("image XObjects: dict metadata, payload, page association, formats") {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val z = deflate(page1)
+    w(s"3 0 obj << /Length ${z.length} /Filter /FlateDecode >> stream\n")
+    out.write(z); w("\nendstream endobj\n")
+    // raw image after page 1's stream
+    w("5 0 obj << /Type /XObject /Subtype /Image /Width 320 /Height 240 /Length 6 >> stream\n")
+    w("PIXELS")
+    w("\nendstream endobj\n")
+    // jpeg (DCT) image — payload passes through verbatim
+    w("6 0 obj << /Subtype /Image /Width 64 /Height 48 /Filter /DCTDecode /Length 4 >> stream\n")
+    w("JFIF")
+    w("\nendstream endobj\n")
+    val bytes = out.toByteArray
+
+    val imgs = PdfFile.images(bytes)
+    assert(imgs.size == 2)
+    val raw = imgs.find(_.format == "raw").get
+    assert(raw.width == 320 && raw.height == 240 && raw.page == 0)
+    assert(new String(raw.data, "ISO-8859-1") == "PIXELS")
+    val jpg = imgs.find(_.format == "jpeg").get
+    assert(jpg.width == 64 && jpg.height == 48)
+    assert(new String(jpg.data, "ISO-8859-1") == "JFIF")
+    // text extraction is unaffected by interleaved image objects
+    assert(PdfFile.mainText(bytes).contains("First page body text."))
+    // total on garbage
+    assert(PdfFile.images("not a pdf".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("uncompressed streams and damaged files degrade gracefully") {
     val plain = pdfFile(Seq(page1), compress = false)
     assert(PdfFile.mainText(plain).contains("First page body text."))
