@@ -102,15 +102,27 @@ object TrainingDataQueries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), simpleTokens(col("text")).as("ts"),
         col("lang"), floor(col("n_chars") / lit(200)).cast("int").as("lb"))
-    // persisted: consumed by both sides of the self-join AND the size agg —
-    // without the cache the shingling explode runs three times
-    val sh = docs
+    // persisted: consumed by the df-cap pass, both sides of the self-join
+    // AND the size agg — without the cache the shingling explode re-runs
+    val sh0 = docs
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"), col("lb"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
           .as("tok"))
       .persist()
+    // DF-CAP: drop corpus-frequent shingles BEFORE the inverted-index
+    // self-join — its cost is Σ df(shingle)², so one "of the"-grade bigram
+    // with df ~ N contributes N² pairs on its own at 100 TB. The cap
+    // scales with the corpus (N/20, floor 20); dropped shingles leave the
+    // UNIVERSE too (per-doc sizes shrink with them), keeping the Jaccard
+    // a true set similarity over the capped shingle space.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val capped = sh0.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(20), col("n_docs") / 20))
+      .select("tok")
+    val sh = sh0.join(broadcast(capped), Seq("tok"), "left_anti")
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
@@ -133,10 +145,15 @@ object TrainingDataQueries {
        |  SELECT doc_id, lang, CAST(n_chars // 200 AS INT) AS lb,
        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
        |  FROM documents),
-       |sh AS (
+       |sh0 AS (
        |  SELECT doc_id, lang, lb, unnest(list_distinct(list_transform(
        |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
        |  FROM toksb WHERE len(ts) >= 2),
+       |nd AS (SELECT count(*) AS n_docs FROM toksb),
+       |capped AS (
+       |  SELECT tok FROM sh0 CROSS JOIN nd GROUP BY tok, n_docs
+       |  HAVING count(*) > greatest(20, n_docs / 20)),
+       |sh AS (SELECT * FROM sh0 WHERE tok NOT IN (SELECT tok FROM capped)),
        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -290,137 +307,179 @@ object TrainingDataQueries {
       |FROM e, q WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
-  // --- ANN: LSH-bucketed cosine (random-hyperplane signs) -------------------
+  // --- ANN: band-amplified (AND-OR) random-hyperplane LSH -------------------
+  //
+  // b bands × r bits: two vectors are candidates when they agree on ALL r
+  // hyperplane signs within ANY band. r scales with the corpus —
+  // r = max(4, ceil(log2(N / 16))) targets ~16 vectors per bucket, so
+  // buckets per band reach 2^12+ once N passes ~65k and the within-bucket
+  // join stays linear-ish in N instead of N²/16 (the round-1 design's
+  // fixed 4 hyperplanes). Hyperplanes are integer-valued so both engines
+  // agree bit-for-bit: h_i[d] = ((d·(i+2) + i²) mod 11) − 5, with global
+  // hyperplane index i = band·r + k.
 
-  /** Integer hyperplanes so Spark and DuckDB agree exactly on signs:
-    * h_j[i] = ((i * (j + 2)) % 7) - 3, i 0-based.
+  private val LshBands = 3
+
+  /** Spark-side band signature expression over `e` (array<double>) and a
+    * dynamic bit count column `r`: array of [[LshBands]] int64 signatures.
     */
-  private def hyperplane(j: Int, dim: Int = 64): Seq[Double] =
-    (0 until dim).map(i => (((i * (j + 2)) % 7) - 3).toDouble)
+  private val SigsExpr =
+    s"""transform(sequence(0, ${LshBands - 1}), j ->
+       |  aggregate(sequence(0, r - 1), 0L, (acc, k) ->
+       |    acc + IF(
+       |      aggregate(sequence(0, size(e) - 1), 0D,
+       |        (sacc, d) -> sacc + element_at(e, d + 1) *
+       |          CAST((d * (j * r + k + 2) + (j * r + k) * (j * r + k)) % 11 - 5 AS DOUBLE)) > 0D,
+       |      shiftleft(1L, k), 0L)))""".stripMargin
+
+  /** DuckDB twin of [[SigsExpr]] as a per-band struct list (band, sig). */
+  private val SigsSqlStructs =
+    s"""list_transform(generate_series(0, ${LshBands - 1}), j ->
+       |  {'band': j, 'sig': list_sum(list_transform(generate_series(0, r - 1), k ->
+       |    CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d ->
+       |      e[d] * (((d - 1) * (j * r + k + 2) + (j * r + k) * (j * r + k)) % 11 - 5))) > 0
+       |    THEN (1::BIGINT << k) ELSE 0::BIGINT END))})""".stripMargin
+
+  private val StatsRSql =
+    "SELECT count(*) AS n, greatest(4, CAST(ceil(log2(count(*) / 16.0)) AS INT)) AS r FROM e0"
+
+  /** (vec_id, e, band, sig) rows — one per vector per band. */
+  private def bandSigs(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(s, dir)
+    val stats = emb.agg(count(lit(1)).as("n"))
+      .withColumn("r", greatest(lit(4), ceil(log2(col("n") / 16.0)).cast("int")))
+    emb.crossJoin(broadcast(stats))
+      .withColumn("sigs", expr(SigsExpr))
+      .select(col("vec_id"), col("e"), posexplode(col("sigs")).as(Seq("band", "sig")))
+  }
+
+  private val BandSigsCte =
+    s"""e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |st AS ($StatsRSql),
+       |sg AS (
+       |  SELECT vec_id, e, u.band AS band, u.sig AS sig FROM (
+       |    SELECT vec_id, e, unnest($SigsSqlStructs) AS u
+       |    FROM e0 CROSS JOIN st) x)""".stripMargin
 
   private def qAnnLshBucket(s: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(s, dir)
-    val withBits = (0 until 4).foldLeft(emb) { (df, j) =>
-      df.withColumn(s"bit$j",
-        when(expr(s"aggregate(zip_with(e, array(${hyperplane(j).mkString(", ")}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0, 1)
-          .otherwise(0))
-    }.withColumn("bucket",
-      col("bit0") * 8 + col("bit1") * 4 + col("bit2") * 2 + col("bit3"))
-    val q = withBits.filter(col("vec_id") === 0)
-      .select(col("e").as("qe"), col("bucket").as("qbucket"))
-    withBits.join(broadcast(q), col("bucket") === col("qbucket"))
+    val sigs = bandSigs(s, dir)
+    val q = sigs.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("band").as("qband"), col("sig").as("qsig"))
+    // candidates = any band agreement with the query (multiprobe-by-band)
+    sigs.join(broadcast(q),
+        col("band") === col("qband") && col("sig") === col("qsig"))
       .filter(col("vec_id") =!= 0)
+      .groupBy("vec_id").agg(first("e").as("e"), first("qe").as("qe"),
+        count(lit(1)).as("bands_hit"))
       .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
       .withColumn("na", expr("sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v))"))
       .withColumn("nb", expr("sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))"))
-      .select(col("vec_id"), col("bucket"),
+      .select(col("vec_id"), col("bands_hit"),
         round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(5)
   }
 
-  private val qAnnLshBucketSql = {
-    def dotSql(j: Int) =
-      s"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * (((i - 1) * ${j + 2}) % 7 - 3)))"
-    def bitSql(j: Int) = s"(CASE WHEN ${dotSql(j)} > 0 THEN 1 ELSE 0 END)"
-    s"""WITH e0 AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-       |  FROM embeddings),
-       |eb AS (
-       |  SELECT vec_id, e,
-       |    ${bitSql(0)} * 8 + ${bitSql(1)} * 4 + ${bitSql(2)} * 2 + ${bitSql(3)} AS bucket
-       |  FROM e0),
-       |q AS (SELECT e AS qe, bucket AS qbucket FROM eb WHERE vec_id = 0)
-       |SELECT vec_id, bucket,
+  private val qAnnLshBucketSql =
+    s"""WITH $BandSigsCte,
+       |q AS (SELECT e AS qe, band AS qband, sig AS qsig FROM sg WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT sg.vec_id, any_value(sg.e) AS e, any_value(q.qe) AS qe,
+       |    count(*) AS bands_hit
+       |  FROM sg JOIN q ON sg.band = q.qband AND sg.sig = q.qsig
+       |  WHERE sg.vec_id <> 0 GROUP BY 1)
+       |SELECT vec_id, bands_hit,
        |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
        |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
        |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
-       |FROM eb, q WHERE bucket = qbucket AND vec_id <> 0
+       |FROM cand
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
-  }
 
-  // --- embedding-cosine near-dup (LSH-blocked pairwise) ---------------------
+  // --- embedding-cosine near-dup (band-amplified LSH blocking) --------------
   //
   // The dedup-flavored twin of the ANN queries: candidate pairs are
-  // generated ONLY within an LSH bucket (same 4 hyperplanes as
-  // q_ann_lsh_bucket), then verified with exact cosine ≥ threshold. At
-  // scale the bucket equi-join replaces the quadratic cross join — the
-  // shuffle key IS the bucket, so each task sees one bucket's block.
-
-  private def withLshBucket(emb: DataFrame): DataFrame =
-    (0 until 4).foldLeft(emb) { (df, j) =>
-      df.withColumn(s"bit$j",
-        when(expr(s"aggregate(zip_with(e, array(${hyperplane(j).mkString(", ")}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0, 1)
-          .otherwise(0))
-    }.withColumn("bucket",
-      col("bit0") * 8 + col("bit1") * 4 + col("bit2") * 2 + col("bit3"))
-      .drop("bit0", "bit1", "bit2", "bit3")
+  // generated ONLY where a band signature agrees (same band machinery as
+  // q_ann_lsh_bucket — b bands × r corpus-scaled bits, so bucket count
+  // grows with N and the within-bucket join stays sub-quadratic), then
+  // verified with exact cosine ≥ threshold. The shuffle key IS
+  // (band, sig): each task sees one bucket's block.
 
   private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val eb = withLshBucket(embDouble(s, dir))
-    val a = eb.select(col("vec_id").as("id_a"), col("e").as("ea"), col("bucket"))
-    val b = eb.select(col("vec_id").as("id_b"), col("e").as("eb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val sigs = bandSigs(s, dir)
+    val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
+      // a pair can collide in several bands — count them (the OR of the
+      // AND-OR), then verify once per pair
+      .groupBy("id_a", "id_b")
+      .agg(first("ea").as("ea"), first("eb").as("eb"),
+        count(lit(1)).as("bands_hit"))
       .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
       .withColumn("na", expr("sqrt(aggregate(ea, 0D, (acc, v) -> acc + v * v))"))
       .withColumn("nb", expr("sqrt(aggregate(eb, 0D, (acc, v) -> acc + v * v))"))
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
-      .filter(col("cos") > 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") > 0.3)
+      .select(col("id_a"), col("id_b"), col("bands_hit"),
+        round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
 
-  private val qEmbedNeardupSql = {
-    def dotSql(j: Int) =
-      s"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * (((i - 1) * ${j + 2}) % 7 - 3)))"
-    def bitSql(j: Int) = s"(CASE WHEN ${dotSql(j)} > 0 THEN 1 ELSE 0 END)"
-    s"""WITH e0 AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-       |  FROM embeddings),
-       |eb AS (
-       |  SELECT vec_id, e,
-       |    ${bitSql(0)} * 8 + ${bitSql(1)} * 4 + ${bitSql(2)} * 2 + ${bitSql(3)} AS bucket
-       |  FROM e0),
-       |p AS (
+  private val qEmbedNeardupSql =
+    s"""WITH $BandSigsCte,
+       |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) /
-       |      (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
-       |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
-       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, round(cos, 4) AS cos FROM p
-       |WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin
-  }
+       |    any_value(a.e) AS ea, any_value(b.e) AS eb, count(*) AS bands_hit
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT id_a, id_b, bands_hit,
+       |    list_sum(list_transform(generate_series(1, len(ea)), i -> ea[i] * eb[i])) /
+       |      (sqrt(list_sum(list_transform(ea, x -> x * x))) *
+       |       sqrt(list_sum(list_transform(eb, x -> x * x)))) AS cos
+       |  FROM cand)
+       |SELECT id_a, id_b, bands_hit, round(cos, 4) AS cos FROM p
+       |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin
 
-  // --- ANN: IVF-style cell-probed search ------------------------------------
+  // --- ANN: IVF cell-probed search, nlist ~ √N + multiprobe -----------------
   //
-  // Deterministic "trained" centroids = vectors 0..7; every other vector is
-  // assigned to its max-cosine centroid cell (broadcast argmax — the
-  // centroid table is tiny at any scale); the query probes only its own
-  // cell and ranks candidates by exact cosine. The scale path for ANN when
-  // hyperplane buckets are too coarse: cells shrink as k grows, and
-  // assignment is a narrow broadcast pass, never a shuffle.
+  // Deterministic "trained" centroids = the first nlist vectors, where
+  // nlist = max(8, ⌊√N⌋) — the textbook IVF sizing, so cells keep ~√N
+  // members as the corpus grows instead of N/8 (the round-1 fixed-nlist
+  // design). Every other vector is assigned to its max-cosine centroid
+  // (broadcast argmax — the centroid table stays √N-small); the query
+  // MULTIPROBES its top-2 cells (recovers the recall a single probe loses
+  // at cell boundaries) and ranks those candidates by exact cosine.
 
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = embDouble(s, dir)
-    val cents = emb.filter(col("vec_id") < 8)
+    val emb0 = embDouble(s, dir)
+    val stats = emb0.agg(count(lit(1)).as("n"))
+      .withColumn("nlist", greatest(lit(8L), floor(sqrt(col("n")))))
+    val emb = emb0.crossJoin(broadcast(stats))
+    val cents = emb.filter(col("vec_id") < col("nlist"))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
     def cosAgainst(ecol: String, ccol: String) =
       expr(s"aggregate(zip_with($ecol, $ccol, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
         (expr(s"sqrt(aggregate($ecol, 0D, (acc, v) -> acc + v * v))") *
          expr(s"sqrt(aggregate($ccol, 0D, (acc, v) -> acc + v * v))"))
-    val assigned = emb.filter(col("vec_id") >= 8)
+    val ranked = emb.filter(col("vec_id") >= col("nlist"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos", cosAgainst("e", "ce"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
           .orderBy(desc("ccos"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cid").as("cell"))
-    val q = assigned.filter(col("vec_id") === 8)
-      .select(col("e").as("qe"), col("cell").as("qcell"))
-    assigned.join(broadcast(q), col("cell") === col("qcell"))
-      .filter(col("vec_id") =!= 8)
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cid").as("cell"), col("nlist"))
+    // multiprobe: the query's top-2 cells
+    val qcells = ranked.filter(col("vec_id") === col("nlist") && col("rn") <= 2)
+      .select(col("e").as("qe"), col("cid").as("qcell"))
+    assigned.join(broadcast(qcells), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("nlist"))
       .withColumn("cos", cosAgainst("e", "qe"))
       .select(col("vec_id"), col("cell"), round(col("cos"), 4).as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
@@ -431,24 +490,23 @@ object TrainingDataQueries {
     """WITH e0 AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
       |  FROM embeddings),
-      |cents AS (SELECT vec_id AS cid, e AS ce FROM e0 WHERE vec_id < 8),
+      |st AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist FROM e0),
+      |cents AS (SELECT vec_id AS cid, e AS ce FROM e0 CROSS JOIN st WHERE vec_id < nlist),
       |scored AS (
-      |  SELECT e0.vec_id, e0.e, cents.cid,
-      |    list_sum(list_transform(generate_series(1, len(e0.e)), i -> e0.e[i] * cents.ce[i])) /
-      |      (sqrt(list_sum(list_transform(e0.e, x -> x * x))) *
-      |       sqrt(list_sum(list_transform(cents.ce, x -> x * x)))) AS ccos,
+      |  SELECT e0.vec_id, e0.e, cents.cid, st.nlist,
       |    row_number() OVER (PARTITION BY e0.vec_id ORDER BY
       |      list_sum(list_transform(generate_series(1, len(e0.e)), i -> e0.e[i] * cents.ce[i])) /
       |        (sqrt(list_sum(list_transform(e0.e, x -> x * x))) *
       |         sqrt(list_sum(list_transform(cents.ce, x -> x * x)))) DESC, cents.cid) AS rn
-      |  FROM e0 CROSS JOIN cents WHERE e0.vec_id >= 8),
-      |assigned AS (SELECT vec_id, e, cid AS cell FROM scored WHERE rn = 1),
-      |q AS (SELECT e AS qe, cell AS qcell FROM assigned WHERE vec_id = 8)
+      |  FROM e0 CROSS JOIN st CROSS JOIN cents WHERE e0.vec_id >= st.nlist),
+      |assigned AS (SELECT vec_id, e, cid AS cell, nlist FROM scored WHERE rn = 1),
+      |q AS (SELECT e AS qe, cid AS qcell FROM scored WHERE vec_id = nlist AND rn <= 2)
       |SELECT vec_id, cell,
       |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
       |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
       |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
-      |FROM assigned, q WHERE cell = qcell AND vec_id <> 8
+      |FROM assigned JOIN q ON assigned.cell = q.qcell
+      |WHERE vec_id <> nlist
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
   // --- A6 visual-fusion aggregate (multimodal_embedder.py:249-271) ----------
