@@ -64,7 +64,7 @@ object BenchProbe {
         .as[graft.pipeline.TurnWithBucket]
       val extracted = waveDf.map { t =>
         val ex = graft.extract.Extractor.extract(t.text)
-        graft.model.ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.kind,
+        graft.model.ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts, ex.kind,
           ex.text, ex.spans.map(_.start).toArray, ex.spans.map(_.end).toArray,
           ex.spans.map(_.label).toArray, ex.blockLens.toArray,
           ex.bytesParsed, ex.skipReason, t.bucket)

@@ -23,6 +23,7 @@ final case class ExtractedTurn(
     turn_idx: Int,
     role: String,
     tool: String,
+    ts: java.sql.Timestamp,
     kind: String,
     text: String,
     span_starts: Array[Int],

@@ -163,7 +163,7 @@ object ExtractionPipeline {
         bytes + ex.bytesParsed,
         se + (if (ex.skipReason == "empty") 1L else 0L),
         sb + (if (ex.skipReason == "blank") 1L else 0L))
-      ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.kind, ex.text,
+      ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts, ex.kind, ex.text,
         ex.spans.map(_.start).toArray, ex.spans.map(_.end).toArray,
         ex.spans.map(_.label).toArray, ex.blockLens.toArray,
         ex.bytesParsed, ex.skipReason, t.bucket)

@@ -37,8 +37,15 @@ object TableIO {
   def read(tableDir: String): Manifest = {
     val p = manifestPath(tableDir)
     if (!Files.exists(p)) return Empty
-    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.mkString("\n")
-    parse(lines)
+    // decode leniently: `readAllLines` THROWS MalformedInputException on
+    // invalid UTF-8, so a bit-flipped manifest would kill resume instead
+    // of degrading to re-processing (found by TableIOFuzzSpec). The
+    // String constructor replaces malformed sequences and never throws.
+    val content =
+      try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      catch { case scala.util.control.NonFatal(_) => return Empty }
+    try parse(content)
+    catch { case scala.util.control.NonFatal(_) => Empty }
   }
 
   /** Append newly completed buckets and atomically swap the manifest. */

@@ -46,7 +46,7 @@ object StreamingExtraction {
         // skew pre-pass needs a batch aggregate and does not apply to a
         // row-at-a-time stream)
         val bucket = graft.pipeline.ExtractionPipeline.bucketOf(t.conv_id, 0, nBuckets)
-        ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, ex.kind, ex.text,
+        ExtractedTurn(t.conv_id, t.turn_idx, t.role, t.tool, t.ts, ex.kind, ex.text,
           ex.spans.map(_.start).toArray, ex.spans.map(_.end).toArray,
           ex.spans.map(_.label).toArray, ex.blockLens.toArray,
           ex.bytesParsed, ex.skipReason, bucket)
