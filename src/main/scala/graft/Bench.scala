@@ -221,6 +221,15 @@ object Bench {
     val factor = cpus.toDouble / lowCpus
     val efficiency = (thrHigh / thrLow) / factor
     val computeEfficiency = (cThrHigh / cThrLow) / factor
+    // per-repetition PAIRED ratios: within one interleaved rep both legs
+    // see the same host window, so a steal burst cancels out of the ratio
+    // instead of inflating/deflating one leg of the best-of
+    val pairedEffs = (0 until reps).map { r =>
+      val lo = runs(r * 2)._2._3
+      val hi = runs(r * 2 + 1)._2._3
+      (hi / lo) / factor
+    }
+    val pairedMedian = pairedEffs.sorted.apply(pairedEffs.size / 2)
 
     // ---- phase 3: same-run machine calibration (no Spark) ----
     // (a) register-only integer loop: the ALU/steal ceiling
@@ -252,6 +261,8 @@ object Bench {
       s""""compute_turns_per_sec_high":${f"$cThrHigh%.1f"},""" +
       s""""compute_scaling_efficiency":${f"$computeEfficiency%.3f"},""" +
       s""""reps_interleaved_best_of":$reps,""" +
+      s""""paired_efficiency_per_rep":[${pairedEffs.map(e => f"$e%.3f").mkString(",")}],""" +
+      s""""paired_efficiency_median":${f"$pairedMedian%.3f"},""" +
       s""""machine_calibration_efficiency":${f"$calEfficiency%.3f"},""" +
       s""""machine_membw_efficiency":${f"$memEfficiency%.3f"},""" +
       s""""membw_low_gbps":${f"${memBest(lowCpus) / 1e9}%.1f"},""" +
