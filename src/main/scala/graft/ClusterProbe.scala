@@ -48,7 +48,7 @@ object ClusterProbe {
         val out = s"/dev/shm/cluster-probe-out-$nWorkers-$i"
         val t0 = System.nanoTime()
         val stats = graft.pipeline.ExtractionPipeline.run(spark, turns,
-          graft.pipeline.ExtractionPipeline.Config(out, nBuckets = 64,
+          graft.pipeline.ExtractionPipeline.Config(out, nBuckets = 256,
             waves = 1, resume = false))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[cluster-probe] FULL run$i workers=$nWorkers cores=$cores " +
