@@ -177,15 +177,20 @@ object TrainingDataQueries {
     // sides of the candidate-verify join (4 consumers)
     val dt = bigramShingles(s, dir).persist()
     val withSid = dt.withColumn("sid", md5Sid(col("tok"), 10))
-    val params = HashA.indices.map(i => (i, HashA(i), HashB(i))).toDF("i", "a", "b")
-    val mh = withSid.crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("sid") + col("b")) % P31).as("mh"))
-    // 4 bands × 2 rows
-    val bands = mh.withColumn("band", (col("i") / 2).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
-        min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+    // all 8 minhashes as aggregation COLUMNS of one hash aggregate — the
+    // earlier crossJoin-with-params plan multiplied every shingle row 8×
+    // through the shuffle; this shape shuffles each shingle once
+    val mhCols = HashA.indices.map(i =>
+      min((lit(HashA(i)) * col("sid") + lit(HashB(i))) % P31).as(s"mh$i"))
+    val mh = withSid.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // 4 bands × 2 rows: band b = (mh_{2b}, mh_{2b+1})
+    val bandStructs = (0 until HashA.size / 2).map(b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("m0"),
+        col(s"mh${2 * b + 1}").as("m1")))
+    val bands = mh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.m0").as("m0"), col("bs.m1").as("m1"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
           col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
@@ -242,21 +247,23 @@ object TrainingDataQueries {
   // --- SimHash (31-bit, token tf-weighted) ----------------------------------
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val toks = sparkToks(s, dir)
     val tf = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     // 7 hex chars: sid < 2^28 keeps sid·2654435761 inside int64
     val hashed = tf
       .withColumn("h", (md5Sid(col("tok"), 7) * 2654435761L) % 2147483648L)
-    val bits = (0 until 31).toDF("j")
-    hashed.crossJoin(broadcast(bits))
-      .withColumn("bit", expr("CAST(floor(h / power(2, j)) AS BIGINT) % 2"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("w"))
-      .filter(col("w") > 0)
-      .groupBy("doc_id")
-      .agg(sum(expr("CAST(power(2, j) AS BIGINT)")).as("simhash"))
+    // all 31 bit-weights as aggregation COLUMNS of one hash aggregate —
+    // the earlier crossJoin-with-bits plan multiplied the tf rows 31×
+    // through the shuffle; this shape shuffles each tf row once
+    val weightCols = (0 until 31).map(j =>
+      sum(col("tf") * (expr(s"shiftright(h, $j) % 2") * 2 - 1)).as(s"w$j"))
+    val simhashExpr = (0 until 31)
+      .map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    hashed.groupBy("doc_id")
+      .agg(weightCols.head, weightCols.tail: _*)
+      .select(col("doc_id"), simhashExpr.as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -364,7 +371,9 @@ object TrainingDataQueries {
        |    FROM e0 CROSS JOIN st) x)""".stripMargin
 
   private def qAnnLshBucket(s: SparkSession, dir: String): DataFrame = {
-    val sigs = bandSigs(s, dir)
+    // persisted: the signature computation (b·r 64-dim hyperplane dots per
+    // vector) feeds both the query-side filter and the probe join
+    val sigs = bandSigs(s, dir).persist()
     val q = sigs.filter(col("vec_id") === 0)
       .select(col("e").as("qe"), col("band").as("qband"), col("sig").as("qsig"))
     // candidates = any band agreement with the query (multiprobe-by-band)
@@ -407,7 +416,9 @@ object TrainingDataQueries {
   // (band, sig): each task sees one bucket's block.
 
   private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = bandSigs(s, dir)
+    // persisted: consumed by BOTH sides of the band self-join — without
+    // the cache the b·r hyperplane signature pass runs twice
+    val sigs = bandSigs(s, dir).persist()
     val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
       col("band"), col("sig"))
     val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
