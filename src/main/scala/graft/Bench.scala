@@ -288,7 +288,9 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f => try Files.delete(f) catch { case _: Exception => () })
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f =>
+            try Files.delete(f) catch { case _: Exception => () }))
   }
 }

@@ -71,8 +71,9 @@ object ClusterProbe {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f =>
-          try java.nio.file.Files.delete(f) catch { case _: Exception => () })
+      scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f =>
+            try java.nio.file.Files.delete(f) catch { case _: Exception => () }))
   }
 }
