@@ -119,17 +119,32 @@ object Extractor {
     else "plain"
   }
 
+  /** Size cap on a single turn's payload, matching the reference's
+    * upload validation default (`app/config.py:83-86`,
+    * `max_file_size = 50 * 1024 * 1024`;
+    * `file_storage.py:76-92` `validate_file_size`). At 10^12 turns an
+    * unguarded mega-payload in one row is an executor-OOM task killer —
+    * the extractors buffer the whole payload — so the guard is a scale
+    * requirement here, not just API parity.
+    */
+  val DefaultMaxPayloadChars: Int = 50 * 1024 * 1024
+
   /** Extract one turn. Deterministic, pure; total — a malformed payload
     * that breaks its parser mid-stream (e.g. a content-stream operator
     * with no operands) degrades to `skipReason = "parse_error"` instead
     * of throwing. At 10^12 turns a single throwing turn would kill its
     * executor task and, after retries, the whole job — the reference's
     * analog is the per-document FAILED state + cleanup
-    * (`document_service.py:332-355`).
+    * (`document_service.py:332-355`). Payloads over `maxChars` are
+    * skipped as "too_large" without parsing (the reference's
+    * FileValidationError path, `file_storage.py:76-92`).
     */
-  def extract(text: String): Extraction = {
+  def extract(text: String,
+      maxChars: Int = DefaultMaxPayloadChars): Extraction = {
     if (text == null || text.isEmpty)
       return Extraction("plain", "", Vector.empty, 0L, "empty")
+    if (text.length > maxChars)
+      return Extraction("plain", "", Vector.empty, text.length.toLong, "too_large")
     sniff(text) match {
       case "pdf_file" =>
         // a whole PDF FILE riding in the text column (ISO-8859-1-mangled

@@ -64,7 +64,8 @@ object ExtractionPipeline {
       chunkSize: Int = Chunker.DefaultChunkSize,
       overlap: Int = Chunker.DefaultOverlap,
       resume: Boolean = true,
-      mode: ChunkMode = ChunkFlat)
+      mode: ChunkMode = ChunkFlat,
+      maxPayloadChars: Int = Extractor.DefaultMaxPayloadChars)
 
   final case class RunStats(
       buckets: Int, skippedBuckets: Int, turns: Long, bytes: Long, wallMs: Long)
@@ -149,12 +150,13 @@ object ExtractionPipeline {
     */
   private def extractPartition(
       rows: Iterator[TurnWithBucket],
-      acc: CollectionAccumulator[PartitionLineage]): Iterator[ExtractedTurn] = {
+      acc: CollectionAccumulator[PartitionLineage],
+      maxPayloadChars: Int): Iterator[ExtractedTurn] = {
     val pid = TaskContext.getPartitionId()
     val t0 = System.nanoTime()
     val perBucket = mutable.Map.empty[Int, (Long, Long, Long, Long, Long)]
     val out = rows.map { t =>
-      val ex = Extractor.extract(t.text)
+      val ex = Extractor.extract(t.text, maxPayloadChars)
       val (in, outc, bytes, se, sb) =
         perBucket.getOrElse(t.bucket, (0L, 0L, 0L, 0L, 0L))
       perBucket(t.bucket) = (
@@ -297,6 +299,7 @@ object ExtractionPipeline {
         // their chunk provenance for free.
         val chunkSize = cfg.chunkSize
         val overlap = cfg.overlap
+        val maxPayload = cfg.maxPayloadChars
         val chunkCols = cfg.mode match {
           case ChunkFlat =>
             Seq(col("c.chunk_index"), col("c.content"), col("c.start"), col("c.end"))
@@ -308,7 +311,7 @@ object ExtractionPipeline {
         val withChunks = cfg.mode match {
           case ChunkFlat =>
             waveDf.mapPartitions { it =>
-              extractPartition(it, acc).map { e =>
+              extractPartition(it, acc, maxPayload).map { e =>
                 val cs = Chunker.splitTextWithOverlap(e.text, chunkSize, overlap)
                   .zipWithIndex
                   .map { case (c, i) => ChunkLite(i, c.content, c.start, c.end) }
@@ -318,7 +321,7 @@ object ExtractionPipeline {
             }.toDF("e", "chunks")
           case ChunkStructured =>
             waveDf.mapPartitions { it =>
-              extractPartition(it, acc).map { e =>
+              extractPartition(it, acc, maxPayload).map { e =>
                 // F6 over blocks rebuilt from the live extraction output —
                 // same reconstruction the stored columns would support
                 val blocks = rebuildBlocks(e.text, e.block_lens, e.span_labels)
@@ -331,7 +334,7 @@ object ExtractionPipeline {
             }.toDF("e", "chunks")
           case ChunkCharSlice =>
             waveDf.mapPartitions { it =>
-              extractPartition(it, acc).map { e =>
+              extractPartition(it, acc, maxPayload).map { e =>
                 val blocks = rebuildBlocks(e.text, e.block_lens, e.span_labels)
                 val cs = Chunker.chunkCharSlices(blocks, chunkSize, overlap)
                   .map(sc => StructChunkLite(sc.chunkIndex, sc.content, sc.page,

@@ -98,4 +98,38 @@ object Ingestion {
     buildIndex(spark, outDir)
     n
   }
+
+  /** Cascade delete of whole documents (conversations) from the STORING
+    * tables — the reference's `vector_store.delete_document` +
+    * `bm25_index.delete_documents` pair (`vector_store.py:154-191`,
+    * `document_service.py:420-484`): embeddings rows are dropped by an
+    * anti-join rewrite (same discipline as [[Catalog.delete]]), and the
+    * BM25 postings/doclens tables by [[Bm25IndexTables.delete]]'s
+    * versioned atomic swap. Deleting an unknown id is a no-op; rows of
+    * every other document are byte-identical afterwards (reference
+    * property P29, deletion isolation).
+    */
+  def delete(spark: SparkSession, outDir: String, convIds: Seq[String]): Unit = {
+    import spark.implicits._
+    val ids = convIds.toDF("conv_id")
+    val kept = spark.read.parquet(embeddingsDir(outDir))
+      .join(broadcast(ids), Seq("conv_id"), "left_anti")
+    val tmp = s"${embeddingsDir(outDir)}.rewrite"
+    kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val src = java.nio.file.Paths.get(tmp)
+    val dst = java.nio.file.Paths.get(embeddingsDir(outDir))
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(dst))(
+      _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toVector)
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.move(src, dst)
+
+    // chunk ids are conv_id:turn_idx:chunk_index — derive the doomed set
+    // from the index's own doclens table (no chunks-table scan needed)
+    val doomed = spark.read
+      .parquet(Bm25IndexTables.doclensDir(indexDir(outDir)))
+      .filter(split(col("chunk_id"), ":").getItem(0).isin(convIds: _*))
+      .select("chunk_id")
+    Bm25IndexTables.delete(spark, doomed, "chunk_id", indexDir(outDir))
+  }
 }
