@@ -285,19 +285,20 @@ object TrainingDataQueries {
 
   // --- ANN: brute-force cosine top-k ----------------------------------------
 
-  private def embDouble(s: SparkSession, dir: String): DataFrame =
+  private def embDouble(s: SparkSession, dir: String): DataFrame = {
+    // the ANN/near-dup family leans on the codegen'd graft_cosine /
+    // graft_lsh_sigs expressions — make them resolvable in any session
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+  }
 
   private def qAnnCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(s, dir)
     val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
-      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
-      .withColumn("na", expr("sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v))"))
-      .withColumn("nb", expr("sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))"))
-      .select(col("vec_id"), round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .select(col("vec_id"), round(expr("graft_cosine(e, qe)"), 4).as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(10)
   }
@@ -325,19 +326,7 @@ object TrainingDataQueries {
   // agree bit-for-bit: h_i[d] = ((d·(i+2) + i²) mod 11) − 5, with global
   // hyperplane index i = band·r + k.
 
-  private val LshBands = 3
-
-  /** Spark-side band signature expression over `e` (array<double>) and a
-    * dynamic bit count column `r`: array of [[LshBands]] int64 signatures.
-    */
-  private val SigsExpr =
-    s"""transform(sequence(0, ${LshBands - 1}), j ->
-       |  aggregate(sequence(0, r - 1), 0L, (acc, k) ->
-       |    acc + IF(
-       |      aggregate(sequence(0, size(e) - 1), 0D,
-       |        (sacc, d) -> sacc + element_at(e, d + 1) *
-       |          CAST((d * (j * r + k + 2) + (j * r + k) * (j * r + k)) % 11 - 5 AS DOUBLE)) > 0D,
-       |      shiftleft(1L, k), 0L)))""".stripMargin
+  private val LshBands = graft.functions.ExprHelpers.LshBands
 
   /** DuckDB twin of [[SigsExpr]] as a per-band struct list (band, sig). */
   private val SigsSqlStructs =
@@ -355,8 +344,12 @@ object TrainingDataQueries {
     val emb = embDouble(s, dir)
     val stats = emb.agg(count(lit(1)).as("n"))
       .withColumn("r", greatest(lit(4), ceil(log2(col("n") / 16.0)).cast("int")))
+    // graft_lsh_sigs is the codegen'd Catalyst expression computing all
+    // LshBands signatures in one loop nest (the earlier
+    // transform/aggregate/sequence HOF composition evaluated ~b·r·|e|
+    // interpreted lambdas per row — the family's dominant per-vector cost)
     emb.crossJoin(broadcast(stats))
-      .withColumn("sigs", expr(SigsExpr))
+      .withColumn("sigs", expr("graft_lsh_sigs(e, r)"))
       .select(col("vec_id"), col("e"), posexplode(col("sigs")).as(Seq("band", "sig")))
   }
 
@@ -382,11 +375,8 @@ object TrainingDataQueries {
       .filter(col("vec_id") =!= 0)
       .groupBy("vec_id").agg(first("e").as("e"), first("qe").as("qe"),
         count(lit(1)).as("bands_hit"))
-      .withColumn("dot", expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
-      .withColumn("na", expr("sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v))"))
-      .withColumn("nb", expr("sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))"))
       .select(col("vec_id"), col("bands_hit"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+        round(expr("graft_cosine(e, qe)"), 4).as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(5)
   }
@@ -430,10 +420,7 @@ object TrainingDataQueries {
       .groupBy("id_a", "id_b")
       .agg(first("ea").as("ea"), first("eb").as("eb"),
         count(lit(1)).as("bands_hit"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
-      .withColumn("na", expr("sqrt(aggregate(ea, 0D, (acc, v) -> acc + v * v))"))
-      .withColumn("nb", expr("sqrt(aggregate(eb, 0D, (acc, v) -> acc + v * v))"))
-      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .withColumn("cos", expr("graft_cosine(ea, eb)"))
       .filter(col("cos") > 0.3)
       .select(col("id_a"), col("id_b"), col("bands_hit"),
         round(col("cos"), 4).as("cos"))
@@ -474,10 +461,7 @@ object TrainingDataQueries {
     val emb = emb0.crossJoin(broadcast(stats))
     val cents = emb.filter(col("vec_id") < col("nlist"))
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    def cosAgainst(ecol: String, ccol: String) =
-      expr(s"aggregate(zip_with($ecol, $ccol, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-        (expr(s"sqrt(aggregate($ecol, 0D, (acc, v) -> acc + v * v))") *
-         expr(s"sqrt(aggregate($ccol, 0D, (acc, v) -> acc + v * v))"))
+    def cosAgainst(ecol: String, ccol: String) = expr(s"graft_cosine($ecol, $ccol)")
     val ranked = emb.filter(col("vec_id") >= col("nlist"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos", cosAgainst("e", "ce"))

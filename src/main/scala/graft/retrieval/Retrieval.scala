@@ -184,13 +184,17 @@ object Retrieval {
     *
     * CONTRACT: input must be a bounded ranked list (funnel stages pass
     * ≤ 2k rows). The unpartitioned window necessarily single-tasks, so the
-    * input is first capped to the top [[MaxRankedRows]] via
-    * `orderBy().limit()` — which Spark plans as a distributed
-    * TakeOrderedAndProject — making the single-task section O(MaxRankedRows)
-    * no matter what a caller feeds it.
+    * input is first capped to [[MaxRankedRows]] with a plain `limit()` —
+    * its GlobalLimit needs the same single-partition exchange the window
+    * needs anyway, so the guard costs no extra stage (an earlier
+    * `orderBy().limit()` form planned an extra TakeOrderedAndProject per
+    * ranked list, which at ~9 lists per retrieval funnel dominated the
+    * query). Over-cap inputs keep an arbitrary `MaxRankedRows`-subset
+    * (guard-rail semantics); bounded inputs — every real caller — pass
+    * through unchanged and are then ranked deterministically.
     */
   def withRank(df: DataFrame, idCol: String, scoreCol: String): DataFrame =
-    df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(MaxRankedRows)
+    df.limit(MaxRankedRows)
       .withColumn("rank",
         row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc)) - 1)
 

@@ -69,4 +69,70 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .as[Int].head()
     assert(n > 5)
   }
+
+  /** The interpreted higher-order-function composition graft_cosine
+    * replaced — kept here as the semantic reference.
+    */
+  private val CosineHof =
+    """aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) /
+      |  (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v)) *
+      |   sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)))""".stripMargin
+
+  test("graft_cosine is bit-identical to the aggregate/zip_with composition") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 200).map { _ =>
+      (Array.fill(64)(rng.nextDouble() * 2 - 1), Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    val rows = vecs.toDF("a", "b")
+      .selectExpr(s"$CosineHof AS hof", "graft_cosine(a, b) AS fast")
+      .as[(Double, Double)].collect()
+    rows.foreach { case (hof, fast) =>
+      assert(java.lang.Double.doubleToLongBits(hof) ==
+        java.lang.Double.doubleToLongBits(fast), s"$hof vs $fast")
+    }
+    // null propagation + codegen residency over a real scan
+    val nulled = Seq((null.asInstanceOf[Array[Double]], Array(1.0))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c").collect()
+    assert(nulled(0).isNullAt(0))
+    val scanned = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .selectExpr("graft_cosine(e, e) AS c")
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_cosine.*"),
+      s"projection not codegen'd:\n$plan")
+    // self-cosine of a non-zero vector is 1 up to fp rounding
+    assert(scanned.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  /** The interpreted composition graft_lsh_sigs replaced (the round-2
+    * `SigsExpr`), kept as the semantic reference: [[graft.functions
+    * .ExprHelpers.LshBands]] band signatures at `r` bits per band over the
+    * integer hyperplanes h_i[d] = ((d·(i+2) + i²) mod 11) − 5.
+    */
+  private val SigsHof =
+    s"""transform(sequence(0, ${graft.functions.ExprHelpers.LshBands - 1}), j ->
+       |  aggregate(sequence(0, r - 1), 0L, (acc, k) ->
+       |    acc + IF(
+       |      aggregate(sequence(0, size(e) - 1), 0D,
+       |        (sacc, d) -> sacc + element_at(e, d + 1) *
+       |          CAST((d * (j * r + k + 2) + (j * r + k) * (j * r + k)) % 11 - 5 AS DOUBLE)) > 0D,
+       |      shiftleft(1L, k), 0L)))""".stripMargin
+
+  test("graft_lsh_sigs matches the transform/aggregate composition for varying r") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 100).map(_ => Array.fill(64)(rng.nextDouble() * 2 - 1))
+    for (r <- Seq(4, 9, 12)) {
+      val rows = vecs.toDF("e").withColumn("r", org.apache.spark.sql.functions.lit(r))
+        .selectExpr(s"$SigsHof AS hof", "graft_lsh_sigs(e, r) AS fast")
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (hof, fast) => assert(hof == fast, s"r=$r") }
+      // signatures stay inside r bits and LshBands entries
+      rows.foreach { case (_, fast) =>
+        assert(fast.size == graft.functions.ExprHelpers.LshBands)
+        assert(fast.forall(s => s >= 0 && s < (1L << r)))
+      }
+    }
+  }
 }

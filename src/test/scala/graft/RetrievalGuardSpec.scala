@@ -6,22 +6,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards on the ranking window: the unpartitioned `withRank` window is
   * structurally bounded (VERDICT r1 nit — an unbounded caller would have
-  * silently single-tasked the whole input).
+  * silently single-tasked the whole input). The cap is a plain `limit()`:
+  * its GlobalLimit rides the SAME single-partition exchange the window
+  * needs anyway, so the guard adds no extra stage (the earlier
+  * `orderBy().limit()` form planned one TakeOrderedAndProject pass per
+  * ranked list — ~9 extra stages per retrieval funnel).
   */
 class RetrievalGuardSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("withRank plans a distributed top-k cap before the single-task window") {
-    // a FILE scan: row count unknown at plan time, so the optimizer must
-    // KEEP the cap (on known-size inputs like range() it proves the limit
-    // redundant and elides it — also correct)
+  test("withRank caps the window input without an extra exchange") {
+    // a FILE scan: row count unknown at plan time, so the cap must survive
+    // optimization
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("n_chars").cast("double").as("score"))
     val ranked = Retrieval.withRank(df, "doc_id", "score")
     val plan = ranked.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"expected a TakeOrderedAndProject cap in:\n${plan.take(2000)}")
+    assert(plan.contains("GlobalLimit") || plan.contains("CollectLimit"),
+      s"expected a limit cap in:\n${plan.take(2000)}")
+    // ONE exchange total: the limit's single-partition gather doubles as
+    // the window's required distribution
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(2000)}")
 
     // ranks are 0-based, deterministic ties on (score desc, id asc)
     val small = spark.range(0, 1000).select(
@@ -38,9 +45,16 @@ class RetrievalGuardSpec extends AnyFunSuite {
     val df = spark.range(0, n.toLong).select(
       col("id").as("doc_id"), col("id").cast("double").as("score"))
     val ranked = Retrieval.withRank(df.toDF(), "doc_id", "score")
-    assert(ranked.count() == Retrieval.MaxRankedRows)
-    // the top-scored rows survive the cap
-    val maxRank0 = ranked.filter(col("rank") === 0).select("doc_id").as[Long].head()
-    assert(maxRank0 == n.toLong - 1)
+      .orderBy("rank").cache()
+    try {
+      val got = ranked.collect()
+      // guard-rail semantics: an arbitrary MaxRankedRows-subset survives
+      // (real callers are pre-limited far below the cap), ranked 0-based
+      // and deterministically within the kept subset
+      assert(got.length == Retrieval.MaxRankedRows)
+      assert(got.map(_.getInt(2)).toSeq == (0 until Retrieval.MaxRankedRows))
+      val scores = got.map(_.getDouble(1)).toSeq
+      assert(scores == scores.sorted.reverse, "ranks follow score desc")
+    } finally ranked.unpersist()
   }
 }
