@@ -106,20 +106,27 @@ object Chunker {
     else kept
   }
 
-  /** `_split_long_text_by_words` (`chunker.py:305-334`). */
+  /** `_split_long_text_by_words` (`chunker.py:305-334`). Accumulates in a
+    * StringBuilder — `cur + " " + word` per word copied the whole chunk
+    * per appended word on this per-turn hot path.
+    */
   def splitLongTextByWords(text: String, chunkSize: Int): Vector[String] = {
     val words = pySplit(text)
     val chunks = Vector.newBuilder[String]
-    var cur = ""
+    val sb = new java.lang.StringBuilder
     var emitted = false
     words.foreach { word =>
-      val test = if (cur.isEmpty) word else cur + " " + word
-      if (test.length > chunkSize && cur.nonEmpty) {
-        chunks += cur; emitted = true
-        cur = word
-      } else cur = test
+      val testLen =
+        if (sb.length == 0) word.length else sb.length + 1 + word.length
+      if (testLen > chunkSize && sb.length > 0) {
+        chunks += sb.toString; emitted = true
+        sb.setLength(0); sb.append(word)
+      } else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(word)
+      }
     }
-    if (cur.nonEmpty) { chunks += cur; emitted = true }
+    if (sb.length > 0) { chunks += sb.toString; emitted = true }
     if (emitted) chunks.result() else Vector(text)
   }
 
@@ -157,7 +164,10 @@ object Chunker {
     if (sentences.isEmpty) return Vector.empty
 
     val chunks = Vector.newBuilder[ChunkSpan]
-    var cur = ""
+    // accumulate in a StringBuilder: the earlier `cur += s.text` string
+    // concat re-copied the whole buffer per sentence — with ~½chunkSize
+    // average fill that was O(chunkSize·sentences) churn per turn
+    val sb = new java.lang.StringBuilder
     var curStart = -1
     var curEnd = -1
 
@@ -166,23 +176,27 @@ object Chunker {
     // "buffer == overlap_text(cur)" holds at every flush, so computing it
     // there is observationally identical and drops a per-sentence scan
     sentences.foreach { s =>
-      if (cur.length + s.text.length > chunkSize && cur.nonEmpty) {
-        chunks += ChunkSpan(cur, curStart, curEnd)
-        cur = overlapText(cur, overlap) + s.text
+      if (sb.length + s.text.length > chunkSize && sb.length > 0) {
+        val content = sb.toString
+        chunks += ChunkSpan(content, curStart, curEnd)
+        sb.setLength(0)
+        sb.append(overlapText(content, overlap)).append(s.text)
         curStart = s.start
         curEnd = s.end
       } else {
-        cur += s.text
+        sb.append(s.text)
         if (curStart < 0) curStart = s.start
         curEnd = s.end
       }
-      if (cur.length > chunkSize * 2) {
-        val wordChunks = splitLongTextByWords(cur, chunkSize)
+      if (sb.length > chunkSize * 2) {
+        val wordChunks = splitLongTextByWords(sb.toString, chunkSize)
         wordChunks.dropRight(1).foreach(w => chunks += ChunkSpan(w, curStart, curEnd))
-        cur = if (wordChunks.nonEmpty) wordChunks.last else ""
+        sb.setLength(0)
+        if (wordChunks.nonEmpty) sb.append(wordChunks.last)
       }
     }
-    if (pyStrip(cur).nonEmpty) chunks += ChunkSpan(cur, curStart, curEnd)
+    val tail = sb.toString
+    if (pyStrip(tail).nonEmpty) chunks += ChunkSpan(tail, curStart, curEnd)
     chunks.result()
   }
 
