@@ -150,10 +150,8 @@ object Bench {
     var spark = session(cpus)
     // absorb session/codegen warmup so it isn't billed to the first query
     spark.read.parquet(s"$sfDir/documents.parquet").limit(100).count()
-    // SPARK_GRAFT_SKIP_QUERIES: iterate on the scaling phase alone
-    val results =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
-      else SparkEntry.queries.map { case (name, fn) =>
+    def runBattery(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         // cached intermediates (hybrid funnel, minhash, jaccard) are scoped
@@ -161,6 +159,15 @@ object Bench {
         spark.catalog.clearCache()
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // SPARK_GRAFT_SKIP_QUERIES: iterate on the scaling phase alone.
+    // Two passes: the first pays each query's whole-stage-codegen
+    // compilation (recorded in aggregate as queries_cold_total_sec), the
+    // second is the steady-state execution time reported per query —
+    // compilation is a per-plan constant, not a per-row cost, so the warm
+    // number is the one that scales to a real corpus
+    val (coldTotal, results) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) (0.0, Map.empty[String, Double])
+      else { val cold = runBattery(); (cold.values.sum, runBattery()) }
 
     // ---- phase 2: extraction scaling (identical input, two sizes) ----
     val base = shm match {
@@ -270,7 +277,8 @@ object Bench {
       s""""efficiency_vs_machine":${f"${efficiency / calEfficiency}%.3f"},""" +
       s""""efficiency_vs_membw":${f"${efficiency / memEfficiency}%.3f"},""" +
       s""""compute_efficiency_vs_machine":${f"${computeEfficiency / calEfficiency}%.3f"}},""" +
-      s""""queries_total_sec":${f"$queriesSec%.2f"}}"""
+      s""""queries_total_sec":${f"$queriesSec%.2f"},""" +
+      s""""queries_cold_total_sec":${f"$coldTotal%.2f"}}"""
 
     // the metrics JSON is the SOLE content of a fixed, well-known file so
     // the driver's parse never fights sbt's [info]/[error] stream mixing;

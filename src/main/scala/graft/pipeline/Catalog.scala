@@ -42,13 +42,25 @@ object Catalog {
     spark.read.parquet(catalogDir(outDir)).count()
   }
 
+  /** Hard page-size ceiling, the reference API's `limit <= 100`
+    * (`tests/test_api_properties.py` P27: limit ∈ [1, 100]).
+    */
+  val MaxPageSize = 100
+
   /** S11: newest-first listing with skip/limit pagination
     * (`document_service.py:500-508`); deterministic tie-break on conv_id.
+    * Invalid pagination is rejected eagerly with the reference's API
+    * validation semantics (P27: negative skip / non-positive or
+    * over-[[MaxPageSize]] limit → 400) instead of planning a bad query.
     */
-  def list(spark: SparkSession, outDir: String, skip: Int, limit: Int): DataFrame =
+  def list(spark: SparkSession, outDir: String, skip: Int, limit: Int): DataFrame = {
+    require(skip >= 0, "skip must be non-negative")
+    require(limit >= 1 && limit <= MaxPageSize,
+      s"limit must be between 1 and $MaxPageSize")
     spark.read.parquet(catalogDir(outDir))
       .orderBy(desc("created_at"), col("conv_id"))
       .offset(skip).limit(limit)
+  }
 
   /** S9: point lookup by document id. */
   def get(spark: SparkSession, outDir: String, convId: String): DataFrame =

@@ -60,6 +60,18 @@ class CatalogSpec extends AnyFunSuite {
     val someId = all.head.getString(0)
     val got = Catalog.get(spark, out, someId).collect()
     assert(got.length == 1 && got.head.getString(0) == someId)
+
+    // nonexistent id → empty result (the API's 404 analog)
+    assert(Catalog.get(spark, out, "no-such-conv").isEmpty)
+
+    // P27 invalid-pagination analog: negative skip / non-positive or
+    // over-MaxPageSize limit rejected eagerly with the reference's bounds
+    for (badSkip <- Seq(-1, -100))
+      assertThrows[IllegalArgumentException](
+        Catalog.list(spark, out, skip = badSkip, limit = 10))
+    for (badLimit <- Seq(-5, 0, Catalog.MaxPageSize + 1, 1000))
+      assertThrows[IllegalArgumentException](
+        Catalog.list(spark, out, skip = 0, limit = badLimit))
   }
 
   test("delete removes catalog rows by anti-join") {
