@@ -63,19 +63,26 @@ object Ingestion {
     v
   }
 
+  /** Embeddings dataset over a pipeline output's chunks table (one narrow
+    * pass, no shuffle; bucket carried through from the source).
+    */
+  private def embeddedChunks(
+      spark: SparkSession, pipelineOut: String, dim: Int) = {
+    import spark.implicits._
+    spark.read.parquet(ExtractionPipeline.chunksDir(pipelineOut))
+      .select(col("conv_id"), col("turn_idx"), col("chunk_index"),
+        col("content"), col("bucket").cast("int").as("bucket"))
+      .as[(String, Int, Int, String, Int)]
+      .mapPartitions(_.map { case (cid, tidx, cidx, content, bucket) =>
+        ChunkEmbedding(cid, tidx, cidx, "text", hashedEmbedding(content, dim), bucket)
+      })
+  }
+
   /** EMBEDDING stage: chunks table → embeddings table (one narrow pass,
     * no shuffle; bucket-partitioned like the source).
     */
   def embedChunks(spark: SparkSession, outDir: String, dim: Int = DefaultDim): Long = {
-    import spark.implicits._
-    val chunks = spark.read.parquet(ExtractionPipeline.chunksDir(outDir))
-      .select(col("conv_id"), col("turn_idx"), col("chunk_index"),
-        col("content"), col("bucket").cast("int").as("bucket"))
-      .as[(String, Int, Int, String, Int)]
-    val embedded = chunks.mapPartitions(_.map { case (cid, tidx, cidx, content, bucket) =>
-      ChunkEmbedding(cid, tidx, cidx, "text", hashedEmbedding(content, dim), bucket)
-    })
-    embedded.write.mode("overwrite").partitionBy("bucket")
+    embeddedChunks(spark, outDir, dim).write.mode("overwrite").partitionBy("bucket")
       .parquet(embeddingsDir(outDir))
     spark.read.parquet(embeddingsDir(outDir)).count()
   }
@@ -97,6 +104,35 @@ object Ingestion {
     val n = embedChunks(spark, outDir, dim)
     buildIndex(spark, outDir)
     n
+  }
+
+  /** Incremental document add — the reference's per-upload lifecycle
+    * (`document_service.py:173-355` processes ONE new document at a time:
+    * embed its chunks, `vector_store.add`, `bm25_index.add_documents`)
+    * as a batch of NEW conversations extracted+chunked into their own
+    * pipeline output at `stagingDir` (same `nBuckets` as the store so
+    * bucket values line up): their embeddings rows are APPENDED to the
+    * store's table and their postings/doclens extended with
+    * [[Bm25IndexTables.add]] — no rebuild, no rewrite of existing rows.
+    *
+    * Caller guarantees the conv ids are new (the reference's upload mints
+    * fresh ids); re-ingesting an EXISTING id is [[run]]'s overwrite path
+    * or [[delete]]-then-add. Equivalence property (`IngestionAddSpec`):
+    * a store built from corpus A then add-ed corpus B has the same
+    * embeddings and index CONTENTS as one batch build over A ∪ B.
+    */
+  def add(spark: SparkSession, outDir: String, stagingDir: String,
+      dim: Int = DefaultDim): Long = {
+    val embedded = embeddedChunks(spark, stagingDir, dim)
+    embedded.write.mode("append").partitionBy("bucket")
+      .parquet(embeddingsDir(outDir))
+    val newChunks = spark.read.parquet(ExtractionPipeline.chunksDir(stagingDir))
+      .select(
+        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+          .as("chunk_id"),
+        col("content"))
+    Bm25IndexTables.add(newChunks, "chunk_id", "content", indexDir(outDir))
+    newChunks.count()
   }
 
   /** Cascade delete of whole documents (conversations) from the STORING
