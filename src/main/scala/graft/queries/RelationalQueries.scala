@@ -84,6 +84,42 @@ object RelationalQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- multi-way fact/dimension join (TPC-H Q5 shape over the sf tables):
+  // one fact chain (lineitem⋈orders⋈customer) with a supplier
+  // co-nationality constraint and two broadcast dimension hops
+  // (nation⋈region, region-filtered). Exercises join ordering, broadcast
+  // chains and pushdown across six tables; the aggregate stays
+  // integer-valued (sum of quantities) so the cross-engine compare is
+  // exact regardless of float summation order.
+  private def qNationVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum("l_quantity").cast("bigint").as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("volume").desc, col("n_name").asc)
+
+  private val qNationVolumeSql =
+    """SELECT n_name, CAST(sum(l_quantity) AS BIGINT) AS volume,
+      |count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY volume DESC, n_name""".stripMargin
+
   // --- anti join (S10 cascade-delete shape)
   private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -179,6 +215,7 @@ object RelationalQueries {
     "q_window_dedup" -> (qWindowDedup _),
     "q_pagination" -> (qPagination _),
     "q_broadcast_join" -> (qBroadcastJoin _),
+    "q_nation_volume" -> (qNationVolume _),
     "q_anti_join" -> (qAntiJoin _),
     "q_catalog_stats" -> (qCatalogStats _),
     "q_minmax_norm" -> (qMinmaxNorm _),
@@ -191,6 +228,7 @@ object RelationalQueries {
     "q_window_dedup" -> qWindowDedupSql,
     "q_pagination" -> qPaginationSql,
     "q_broadcast_join" -> qBroadcastJoinSql,
+    "q_nation_volume" -> qNationVolumeSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_catalog_stats" -> qCatalogStatsSql,
     "q_minmax_norm" -> qMinmaxNormSql,
