@@ -1,0 +1,207 @@
+package graft.streaming
+
+import graft.model.Turn
+import graft.pipeline.{ExtractionPipeline, Ingestion}
+import graft.retrieval.Bm25IndexTables
+import graft.text.Chunker
+import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Continuous END-TO-END ingestion: a stream of raw turns → extract →
+  * chunk → embed → vector + BM25 store, incrementally per micro-batch —
+  * the streaming composition of [[StreamingExtraction]] (stateless
+  * extract) and [[graft.pipeline.Ingestion.add]] (per-upload incremental
+  * store add, the reference's upload lifecycle `document_service.py:
+  * 173-355` UPLOADED → PARSING → CHUNKING → EMBEDDING → STORING).
+  *
+  * The store it maintains is QUERY-COMPATIBLE with a batch-built one:
+  * `chunks/`, `embeddings/`, `index/` under `storeDir`, so
+  * [[graft.retrieval.QueryPipeline.query]] runs unchanged against it.
+  * The only layout difference is an extra leading partition column
+  * `ingest_batch` on chunks/embeddings — the unit of crash scrubbing.
+  *
+  * == Exactly-once protocol ==
+  *
+  * Structured Streaming's `foreachBatch` is at-least-once: after a crash
+  * the SAME batch (same `batchId`, same rows) is replayed. Appends into a
+  * shared table are not naturally idempotent, so each batch commits with
+  * a two-phase marker protocol under `storeDir/_ingest/`:
+  *
+  *  1. replay with a `<id>.commit` marker present → no-op (done before);
+  *  2. replay with an `<id>.intent` marker but no commit → a crash
+  *     happened mid-append: SCRUB the partial state — drop the batch's
+  *     `ingest_batch=<id>` partitions (chunks + embeddings) and
+  *     anti-join the batch's chunk ids out of the BM25 tables (a
+  *     [[Bm25IndexTables.delete]] versioned swap, itself crash-safe) —
+  *     then re-ingest from scratch;
+  *  3. fresh batch: write intent, append chunks/embeddings/postings/
+  *     doclens, then atomically move the intent to commit.
+  *
+  * Scale notes: extraction/chunking/embedding are one narrow
+  * `mapPartitions` pass over the micro-batch (no shuffle); the only
+  * shuffle is the BM25 postings `groupBy`, sized by the BATCH, not the
+  * store. The per-batch driver-side `collect` is limited to the batch's
+  * distinct conv ids (the doomed-id set of a scrub — same bounded shape
+  * as [[Ingestion.delete]]'s API). Store growth is append-only; postings
+  * never rewrite on add, so ingesting N batches is O(their own data),
+  * not O(corpus) per batch (the reference rebuilds its whole in-memory
+  * index per add, `bm25_index.py:140-141`).
+  */
+object StreamingIngestion {
+
+  def chunksDir(storeDir: String): String = ExtractionPipeline.chunksDir(storeDir)
+  def embeddingsDir(storeDir: String): String = Ingestion.embeddingsDir(storeDir)
+  def indexDir(storeDir: String): String = Ingestion.indexDir(storeDir)
+  private def markerDir(storeDir: String) = Paths.get(storeDir, "_ingest")
+  private def intentMarker(storeDir: String, id: Long) =
+    markerDir(storeDir).resolve(s"$id.intent")
+  private def commitMarker(storeDir: String, id: Long) =
+    markerDir(storeDir).resolve(s"$id.commit")
+
+  /** Batches recorded as fully ingested (for tests/ops introspection). */
+  def committedBatches(storeDir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val d = markerDir(storeDir)
+    if (!Files.isDirectory(d)) Nil
+    else scala.util.Using.resource(Files.list(d))(_.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".commit"))
+      .flatMap(_.stripSuffix(".commit").toLongOption)
+      .toVector.sorted)
+  }
+
+  /** One embedded chunk row of a micro-batch (content kept alongside the
+    * vector so the chunks write and the BM25 add share one computation).
+    * Not `private`: Spark's generated (de)serializer code must reach it.
+    */
+  final case class BatchChunk(
+      conv_id: String, turn_idx: Int, chunk_index: Int, content: String,
+      start: Int, end: Int, embedding: Array[Float], bucket: Int)
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toVector)
+        .foreach(Files.delete)
+  }
+
+  /** Remove every trace of a half-ingested batch: the batch's partition
+    * directories and its chunk ids in the index tables. Safe when some —
+    * or none — of those writes happened (a crash can land between any
+    * two appends; `Bm25IndexTables.delete` anti-joins BOTH tables, so a
+    * doclens-appended/postings-missing crash still scrubs clean).
+    */
+  private def scrub(spark: SparkSession, storeDir: String, batchId: Long,
+      convIds: Seq[String]): Unit = {
+    deleteTree(Paths.get(chunksDir(storeDir), s"ingest_batch=$batchId"))
+    deleteTree(Paths.get(embeddingsDir(storeDir), s"ingest_batch=$batchId"))
+    val doclens = Paths.get(Bm25IndexTables.doclensDir(indexDir(storeDir)))
+    if (Files.exists(doclens) && convIds.nonEmpty) {
+      val doomed = spark.read.parquet(doclens.toString)
+        .filter(split(col("chunk_id"), ":").getItem(0).isin(convIds: _*))
+        .select("chunk_id")
+      if (!doomed.isEmpty)
+        Bm25IndexTables.delete(spark, doomed, "chunk_id", indexDir(storeDir))
+    }
+  }
+
+  /** Ingest one micro-batch under the two-phase marker protocol.
+    * Idempotent under replay with the same (batchId, rows). Returns the
+    * number of chunks ingested (0 for an already-committed replay).
+    */
+  def processBatch(batch: Dataset[Turn], storeDir: String, batchId: Long,
+      nBuckets: Int = 64,
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      overlap: Int = Chunker.DefaultOverlap,
+      dim: Int = Ingestion.DefaultDim): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    if (Files.exists(commitMarker(storeDir, batchId))) return 0L
+
+    // bounded driver-side set: the batch's distinct conv ids (scrub keys)
+    val convIds = batch.select("conv_id").distinct().as[String].collect().toSeq
+    if (Files.exists(intentMarker(storeDir, batchId)))
+      scrub(spark, storeDir, batchId, convIds)
+
+    Files.createDirectories(markerDir(storeDir))
+    Files.write(intentMarker(storeDir, batchId),
+      convIds.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    // extract → chunk → embed in ONE narrow pass over the batch
+    val derived = StreamingExtraction.extracted(batch, nBuckets)
+      .filter(col("skip_reason") === "")
+      .as[graft.model.ExtractedTurn]
+      .mapPartitions(_.flatMap { e =>
+        Chunker.splitTextWithOverlap(e.text, chunkSize, overlap).zipWithIndex
+          .map { case (c, i) =>
+            BatchChunk(e.conv_id, e.turn_idx, i, c.content, c.start, c.end,
+              Ingestion.hashedEmbedding(c.content, dim), e.bucket)
+          }
+      })
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by 3 writes below
+    try {
+      derived.toDF()
+        .withColumn("ingest_batch", lit(batchId))
+        .select(col("ingest_batch"), col("conv_id"), col("turn_idx"),
+          col("chunk_index"), col("content"), col("start"), col("end"),
+          col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("ingest_batch", "bucket")
+        .parquet(chunksDir(storeDir))
+
+      derived.toDF()
+        .withColumn("ingest_batch", lit(batchId))
+        .select(col("ingest_batch"), col("conv_id"), col("turn_idx"),
+          col("chunk_index"), lit("text").as("modality"), col("embedding"),
+          col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("ingest_batch", "bucket")
+        .parquet(embeddingsDir(storeDir))
+
+      val chunkDocs = derived.toDF().select(
+        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+          .as("chunk_id"),
+        col("content"))
+      if (Files.exists(Paths.get(indexDir(storeDir), "current")))
+        Bm25IndexTables.add(chunkDocs, "chunk_id", "content", indexDir(storeDir))
+      else
+        Bm25IndexTables.build(chunkDocs, "chunk_id", "content", indexDir(storeDir))
+
+      val n = derived.count()
+      // atomic intent → commit flip seals the batch
+      Files.move(intentMarker(storeDir, batchId), commitMarker(storeDir, batchId),
+        StandardCopyOption.ATOMIC_MOVE)
+      n
+    } finally derived.unpersist()
+  }
+
+  /** Wire a landing directory of turn parquet files into a continuously
+    * ingested store. `AvailableNow` drains what exists and stops (swap
+    * the trigger for `ProcessingTime` in an always-on deployment); the
+    * checkpoint + marker protocol make restarts exactly-once.
+    */
+  def start(spark: SparkSession, landingDir: String, storeDir: String,
+      checkpointDir: String, nBuckets: Int = 64,
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      overlap: Int = Chunker.DefaultOverlap,
+      dim: Int = Ingestion.DefaultDim,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(Encoders.product[Turn].schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(landingDir).as[Turn]
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[Turn], id: Long) =>
+        processBatch(b, storeDir, id, nBuckets, chunkSize, overlap, dim)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.fixtures.TranscriptGen
+import graft.model.Turn
+import graft.pipeline.{ExtractionPipeline, Ingestion}
+import graft.retrieval.{Bm25IndexTables, QueryPipeline}
+import graft.streaming.StreamingIngestion
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Continuous end-to-end ingestion (stream → extract → chunk → embed +
+  * index): a store fed in micro-batches must be CONTENT-equivalent to a
+  * batch-built one, queryable with the unchanged [[QueryPipeline]], and
+  * exactly-once under replay — including replay of a batch that crashed
+  * mid-append (the two-phase marker protocol's scrub path).
+  */
+class StreamingIngestionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val NBuckets = 4
+
+  private def turns(convs: Range): Seq[Turn] =
+    convs.flatMap(i => TranscriptGen.conversation(11L, i.toLong))
+
+  private def batchStore(convs: Range): String = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("si-batch").toString
+    ExtractionPipeline.run(spark, spark.createDataset(turns(convs)),
+      ExtractionPipeline.Config(out, nBuckets = NBuckets, waves = 1, resume = false))
+    Ingestion.run(spark, out)
+    out
+  }
+
+  private def embRows(dir: String): Seq[(String, Int, Int, Seq[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .select("conv_id", "turn_idx", "chunk_index", "embedding")
+      .as[(String, Int, Int, Seq[Float])].collect()
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def indexRows(store: String): (Seq[String], Seq[String]) = (
+    sortedRows(spark.read.parquet(
+      Bm25IndexTables.doclensDir(StreamingIngestion.indexDir(store)))),
+    sortedRows(spark.read.parquet(
+      Bm25IndexTables.postingsDir(StreamingIngestion.indexDir(store))))
+  )
+
+  test("multi-batch stream builds a store content-equal to the batch build") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("si-e2e").toString
+    val landing = s"$base/landing"
+    val store = s"$base/store"
+
+    // two landing files → two micro-batches at maxFilesPerTrigger=1
+    spark.createDataset(turns(0 until 4)).coalesce(1).write.parquet(landing)
+    spark.createDataset(turns(4 until 7)).coalesce(1)
+      .write.mode("append").parquet(landing)
+
+    val q = StreamingIngestion.start(spark, landing, store, s"$base/ckpt",
+      nBuckets = NBuckets, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+
+    assert(StreamingIngestion.committedBatches(store).size >= 2,
+      "maxFilesPerTrigger must split the drain into multiple committed batches")
+
+    val ref = batchStore(0 until 7)
+    assert(embRows(StreamingIngestion.embeddingsDir(store)) ==
+      embRows(Ingestion.embeddingsDir(ref)),
+      "streamed embeddings == batch embeddings")
+    assert(indexRows(store) == (
+      sortedRows(spark.read.parquet(Bm25IndexTables.doclensDir(Ingestion.indexDir(ref)))),
+      sortedRows(spark.read.parquet(Bm25IndexTables.postingsDir(Ingestion.indexDir(ref))))),
+      "streamed BM25 tables == batch BM25 tables")
+
+    val (ok, msg) = Bm25IndexTables.validate(
+      spark, StreamingIngestion.indexDir(store), "chunk_id")
+    assert(ok, msg)
+
+    // the unchanged query pipeline runs against the streamed store and
+    // returns the same fused ranking as against the batch store
+    def top(dir: String): Seq[(String, Double)] = {
+      import spark.implicits._
+      QueryPipeline.query(spark, dir, "tool output table", topK = 5)
+        .select("chunk_id", "rrf_score").as[(String, Double)].collect().toSeq
+    }
+    assert(top(store) == top(ref), "query over streamed store == over batch store")
+  }
+
+  test("replay of a committed batch is a no-op") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("si-replay").toString
+    val batch = spark.createDataset(turns(0 until 3))
+    val n = StreamingIngestion.processBatch(batch, store, 0L, nBuckets = NBuckets)
+    assert(n > 0)
+    val before = embRows(StreamingIngestion.embeddingsDir(store))
+    val beforeIdx = indexRows(store)
+    val n2 = StreamingIngestion.processBatch(batch, store, 0L, nBuckets = NBuckets)
+    assert(n2 == 0L, "committed batch replays as a no-op")
+    assert(embRows(StreamingIngestion.embeddingsDir(store)) == before)
+    assert(indexRows(store) == beforeIdx)
+  }
+
+  test("replay after a crash mid-append scrubs the partial batch and re-ingests") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("si-crash").toString
+    val b0 = spark.createDataset(turns(0 until 3))
+    val b1 = spark.createDataset(turns(3 until 6))
+    StreamingIngestion.processBatch(b0, store, 0L, nBuckets = NBuckets)
+    StreamingIngestion.processBatch(b1, store, 1L, nBuckets = NBuckets)
+
+    // simulate the worst-case crash: ALL of batch 1's appends landed but
+    // the commit marker did not — demote commit back to intent
+    Files.move(
+      Paths.get(store, "_ingest", "1.commit"),
+      Paths.get(store, "_ingest", "1.intent"),
+      StandardCopyOption.ATOMIC_MOVE)
+
+    val n = StreamingIngestion.processBatch(b1, store, 1L, nBuckets = NBuckets)
+    assert(n > 0, "replayed batch re-ingests after scrub")
+
+    // equivalence with a clean two-batch store: no duplicates, no loss
+    val clean = Files.createTempDirectory("si-clean").toString
+    StreamingIngestion.processBatch(b0, clean, 0L, nBuckets = NBuckets)
+    StreamingIngestion.processBatch(b1, clean, 1L, nBuckets = NBuckets)
+    assert(embRows(StreamingIngestion.embeddingsDir(store)) ==
+      embRows(StreamingIngestion.embeddingsDir(clean)))
+    assert(indexRows(store) == indexRows(clean))
+    val (ok, msg) = Bm25IndexTables.validate(
+      spark, StreamingIngestion.indexDir(store), "chunk_id")
+    assert(ok, msg)
+  }
+}
