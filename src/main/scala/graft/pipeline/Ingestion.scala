@@ -106,6 +106,23 @@ object Ingestion {
     n
   }
 
+  /** Optional ANN acceleration: build the IVF vector index
+    * ([[graft.retrieval.VectorIndex]]) over the store's embeddings table.
+    * [[graft.retrieval.QueryPipeline.query]] auto-detects it and swaps
+    * its vector source from a full-table brute-force scan to a
+    * partition-pruned cell probe. Returns nlist.
+    */
+  def buildVectorIndex(spark: SparkSession, outDir: String,
+      nlist: Option[Int] = None): Int = {
+    val emb = spark.read.parquet(embeddingsDir(outDir))
+      .select(
+        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+          .as("chunk_id"),
+        col("embedding"))
+    graft.retrieval.VectorIndex.build(
+      emb, graft.retrieval.VectorIndex.indexRoot(outDir), nlist)
+  }
+
   /** Incremental document add — the reference's per-upload lifecycle
     * (`document_service.py:173-355` processes ONE new document at a time:
     * embed its chunks, `vector_store.add`, `bm25_index.add_documents`)
@@ -132,6 +149,15 @@ object Ingestion {
           .as("chunk_id"),
         col("content"))
     Bm25IndexTables.add(newChunks, "chunk_id", "content", indexDir(outDir))
+    // extend the IVF vector index if the store carries one (frozen
+    // centroids, append-to-cell — the IVF standard incremental add)
+    val vecRoot = graft.retrieval.VectorIndex.indexRoot(outDir)
+    if (graft.retrieval.VectorIndex.exists(vecRoot))
+      graft.retrieval.VectorIndex.add(
+        embedded.toDF()
+          .select(concat_ws(":", col("conv_id"), col("turn_idx"),
+            col("chunk_index")).as("chunk_id"), col("embedding")),
+        vecRoot)
     newChunks.count()
   }
 
@@ -167,5 +193,8 @@ object Ingestion {
       .filter(split(col("chunk_id"), ":").getItem(0).isin(convIds: _*))
       .select("chunk_id")
     Bm25IndexTables.delete(spark, doomed, "chunk_id", indexDir(outDir))
+    val vecRoot = graft.retrieval.VectorIndex.indexRoot(outDir)
+    if (graft.retrieval.VectorIndex.exists(vecRoot))
+      graft.retrieval.VectorIndex.delete(spark, doomed, "chunk_id", vecRoot)
   }
 }

@@ -35,56 +35,21 @@ import org.apache.spark.sql.functions._
   */
 object Bm25IndexTables {
 
-  import java.nio.file.{Files, Paths, StandardCopyOption}
-  import java.nio.charset.StandardCharsets
+  import graft.pipeline.VersionedDir
 
-  private def pointer(indexDir: String) = Paths.get(indexDir, "current")
+  def postingsDir(indexDir: String): String =
+    VersionedDir.tableDir(indexDir, "postings")
+  def doclensDir(indexDir: String): String =
+    VersionedDir.tableDir(indexDir, "doclens")
 
-  private def currentVersion(indexDir: String): Option[Long] = {
-    val p = pointer(indexDir)
-    if (!Files.exists(p)) None
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLongOption
-  }
-
-  /** Atomically point `current` at version `v` (the single-commit flip). */
-  private def flip(indexDir: String, v: Long): Unit = {
-    Files.createDirectories(Paths.get(indexDir))
-    val tmp = Paths.get(indexDir, "current.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(indexDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Drop versions older than the previous one (kept for live readers). */
-  private def gc(indexDir: String, current: Long): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(indexDir)
-    if (!Files.isDirectory(root)) return
-    val dirs = scala.util.Using.resource(Files.list(root))(_.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v"))
-      .filter(p => p.getFileName.toString.drop(1).toLongOption.exists(_ < current - 1))
-      .toVector)
-    dirs.foreach { d =>
-      scala.util.Using.resource(Files.walk(d))(
-        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toVector)
-        .foreach(f => try Files.delete(f) catch { case _: Exception => () })
-    }
-  }
-
-  def postingsDir(indexDir: String): String = currentVersion(indexDir) match {
-    case Some(v) => s"$indexDir/v$v/postings"
-    case None => s"$indexDir/postings" // legacy/unversioned layout
-  }
-  def doclensDir(indexDir: String): String = currentVersion(indexDir) match {
-    case Some(v) => s"$indexDir/v$v/doclens"
-    case None => s"$indexDir/doclens"
-  }
+  private def flip(indexDir: String, v: Long): Unit = VersionedDir.flip(indexDir, v)
+  private def gc(indexDir: String, v: Long): Unit = VersionedDir.gc(indexDir, v)
 
   /** Build (overwrite) the index tables from a corpus: write a fresh
     * version directory, then flip the pointer once.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String): Unit = {
-    val v = currentVersion(indexDir).getOrElse(0L) + 1
+    val v = VersionedDir.nextVersion(indexDir)
     val toks = Retrieval.tokenized(docs, idCol, textCol)
     toks.select(col(idCol), col("dl"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/doclens")
@@ -112,12 +77,30 @@ object Bm25IndexTables {
     * either the old pair or the new pair, never a mix or a missing table.
     */
   def delete(spark: SparkSession, ids: DataFrame, idCol: String, indexDir: String): Unit = {
-    val v = currentVersion(indexDir).getOrElse(0L) + 1
+    val v = VersionedDir.nextVersion(indexDir)
     spark.read.parquet(postingsDir(indexDir))
       .join(broadcast(ids), Seq(idCol), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/postings")
     spark.read.parquet(doclensDir(indexDir))
       .join(broadcast(ids), Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/doclens")
+    flip(indexDir, v)
+    gc(indexDir, v)
+  }
+
+  /** File compaction: incremental [[add]]s append a few small files per
+    * batch; after many batches the listing/open overhead dominates scan
+    * time. Rewrite both tables into a new version at a bounded partition
+    * count and flip — contents unchanged, atomic like every other
+    * version swap.
+    */
+  def compact(spark: SparkSession, indexDir: String, targetPartitions: Int = 8): Unit = {
+    val v = VersionedDir.nextVersion(indexDir)
+    spark.read.parquet(postingsDir(indexDir))
+      .repartition(targetPartitions)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/postings")
+    spark.read.parquet(doclensDir(indexDir))
+      .repartition(math.max(1, targetPartitions / 2))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/v$v/doclens")
     flip(indexDir, v)
     gc(indexDir, v)

@@ -27,26 +27,26 @@ object QueryPipeline {
     col("conv_id"), col("turn_idx"), col("chunk_index"))
 
   def query(spark: SparkSession, outDir: String, question: String,
-      topK: Int = 10, dim: Int = Ingestion.DefaultDim): DataFrame = {
+      topK: Int = 10, dim: Int = Ingestion.DefaultDim,
+      nprobe: Int = VectorIndex.DefaultNprobe): DataFrame = {
     val qv = Ingestion.hashedEmbedding(question, dim)
 
-    // vector source: dot product against the unit-normalized embeddings
-    val dot = {
-      val terms = qv.toSeq
-      // fold the dot product as a sum of element_at products of the
-      // broadcast literal — stays codegen'd, no UDF
-      terms.zipWithIndex
-        .filter { case (w, _) => w != 0f } // sparse query vector: skip zeros
-        .map { case (w, i) =>
-          element_at(col("embedding"), i + 1).cast("double") * w.toDouble
-        }
-        .reduceOption(_ + _)
-        .getOrElse(lit(0.0))
+    // vector source: when the store carries an IVF index
+    // ([[VectorIndex]]), probe it — a partition-pruned scan of nprobe
+    // cells instead of the full embeddings table (the 100 TB plan);
+    // otherwise brute-force the dot product against the unit-normalized
+    // embeddings (exact baseline). Scores are bit-identical between the
+    // two paths (shared dotColumn fold), only the candidate set differs.
+    val vecScores = {
+      val base =
+        if (VectorIndex.exists(VectorIndex.indexRoot(outDir)))
+          VectorIndex.probe(spark, VectorIndex.indexRoot(outDir), qv, nprobe)
+        else
+          spark.read.parquet(Ingestion.embeddingsDir(outDir))
+            .select(chunkId.as("chunk_id"),
+              VectorIndex.dotColumn(qv, col("embedding")).as("score"))
+      base.orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
     }
-    val vecScores = spark.read.parquet(Ingestion.embeddingsDir(outDir))
-      .select(chunkId.as("chunk_id"), dot.as("score"))
-      .orderBy(desc("score"), col("chunk_id"))
-      .limit(PerSourceFetch)
 
     // keyword source: BM25 over the index tables
     val kwScores = Bm25IndexTables

@@ -180,6 +180,102 @@ object StreamingIngestion {
     } finally derived.unpersist()
   }
 
+  private def compactIntent(storeDir: String) =
+    markerDir(storeDir).resolve("compact.intent")
+
+  /** Repair a compaction that crashed mid-flight. Before the generation's
+    * commit marker exists, the fold generation's partition dirs are the
+    * only new state — delete them (roll BACK to pre-compaction). After
+    * the commit marker exists, the fold is authoritative and the marker
+    * lists the folded ids — finish deleting their dirs/markers (roll
+    * FORWARD). Both are idempotent. Called by [[compact]] and [[start]].
+    */
+  def recover(storeDir: String): Unit = {
+    val intent = compactIntent(storeDir)
+    if (Files.exists(intent)) {
+      val lines = new String(Files.readAllBytes(intent), StandardCharsets.UTF_8)
+        .linesIterator.toVector
+      lines.headOption.flatMap(_.toLongOption).foreach { gen =>
+        if (Files.exists(commitMarker(storeDir, gen))) rollForward(storeDir, gen)
+        else {
+          deleteTree(Paths.get(chunksDir(storeDir), s"ingest_batch=$gen"))
+          deleteTree(Paths.get(embeddingsDir(storeDir), s"ingest_batch=$gen"))
+        }
+      }
+      Files.delete(intent)
+    }
+    // a committed fold whose source batches were not fully cleaned up
+    committedBatches(storeDir).filter(_ < 0).foreach(rollForward(storeDir, _))
+  }
+
+  /** Finish a committed fold: drop the folded batches' dirs and markers
+    * (listed inside the generation's commit marker). Idempotent.
+    */
+  private def rollForward(storeDir: String, gen: Long): Unit = {
+    new String(Files.readAllBytes(commitMarker(storeDir, gen)), StandardCharsets.UTF_8)
+      .linesIterator.flatMap(_.toLongOption).foreach { id =>
+        deleteTree(Paths.get(chunksDir(storeDir), s"ingest_batch=$id"))
+        deleteTree(Paths.get(embeddingsDir(storeDir), s"ingest_batch=$id"))
+        Files.deleteIfExists(commitMarker(storeDir, id))
+      }
+  }
+
+  /** Fold every committed batch's `ingest_batch` partitions into ONE
+    * compacted generation and rewrite the index tables at bounded file
+    * counts — the maintenance op that keeps a long-running store's
+    * file/partition count flat instead of growing by a few files per
+    * micro-batch (at 100 TB the per-file open/listing overhead of
+    * thousands of tiny batches would dominate scan time).
+    *
+    * Generations use NEGATIVE ids (−1, −2, …) so they can never collide
+    * with the stream's monotonically increasing batch ids; a compacted
+    * generation is itself just a committed batch and folds into the next
+    * compaction. Run it while the stream is paused (between
+    * `AvailableNow` drains). Crash-safety: the fold is written under a
+    * `compact.intent` marker and committed by swapping the folded
+    * batches' commit markers for the generation's — a crash beforehand
+    * is undone by [[recover]]; the index rewrites are version-pointer
+    * atomic on their own.
+    */
+  def compact(spark: SparkSession, storeDir: String,
+      filesPerBucket: Int = 1): Unit = {
+    recover(storeDir)
+    val folded = committedBatches(storeDir)
+    if (folded.size < 2) return
+    val gen = math.min(folded.min, 0L) - 1L
+
+    Files.write(compactIntent(storeDir),
+      (gen.toString + "\n" + folded.mkString("\n")).getBytes(StandardCharsets.UTF_8))
+
+    // rewrite both partitioned tables' committed batches into the fold
+    // generation (reads prune to exactly the folded batch partitions)
+    Seq(chunksDir(storeDir), embeddingsDir(storeDir)).foreach { dir =>
+      val stage = s"$dir.compactstage"
+      deleteTree(Paths.get(stage))
+      spark.read.parquet(dir)
+        .filter(col("ingest_batch").isin(folded.map(java.lang.Long.valueOf): _*))
+        .drop("ingest_batch")
+        .repartition(filesPerBucket, col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stage)
+      // drop Spark's _SUCCESS so the moved tree holds only bucket dirs
+      Files.deleteIfExists(Paths.get(stage, "_SUCCESS"))
+      Files.move(Paths.get(stage), Paths.get(dir, s"ingest_batch=$gen"))
+    }
+
+    // commit: swap the folded commit markers for the generation's, then
+    // drop the folded partitions and the intent
+    Files.write(commitMarker(storeDir, gen),
+      folded.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    rollForward(storeDir, gen)
+    Files.delete(compactIntent(storeDir))
+
+    // index families compact independently (atomic version swaps)
+    Bm25IndexTables.compact(spark, indexDir(storeDir))
+    val vecRoot = graft.retrieval.VectorIndex.indexRoot(storeDir)
+    if (graft.retrieval.VectorIndex.exists(vecRoot))
+      graft.retrieval.VectorIndex.compact(spark, vecRoot)
+  }
+
   /** Wire a landing directory of turn parquet files into a continuously
     * ingested store. `AvailableNow` drains what exists and stops (swap
     * the trigger for `ProcessingTime` in an always-on deployment); the
@@ -192,6 +288,7 @@ object StreamingIngestion {
       dim: Int = Ingestion.DefaultDim,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
+    recover(storeDir) // repair any crashed compaction before serving
     val reader = spark.readStream.schema(Encoders.product[Turn].schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(landingDir).as[Turn]

@@ -106,6 +106,82 @@ class StreamingIngestionSpec extends AnyFunSuite {
     assert(indexRows(store) == beforeIdx)
   }
 
+  test("compaction folds batches without changing content or query results") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("si-compact").toString
+    (0 until 3).foreach { b =>
+      StreamingIngestion.processBatch(
+        spark.createDataset(turns(b * 2 until b * 2 + 2)), store, b.toLong,
+        nBuckets = NBuckets)
+    }
+    val before = embRows(StreamingIngestion.embeddingsDir(store))
+    val beforeIdx = indexRows(store)
+    def q() = QueryPipeline.query(spark, store, "tool output table", topK = 5)
+      .select("chunk_id", "rrf_score").as[(String, Double)].collect().toSeq
+    val beforeQ = q()
+
+    StreamingIngestion.compact(spark, store)
+
+    assert(StreamingIngestion.committedBatches(store) == Seq(-1L),
+      "three batches fold into one compacted generation")
+    import scala.jdk.CollectionConverters._
+    val parts = scala.util.Using.resource(
+      Files.list(Paths.get(StreamingIngestion.chunksDir(store))))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ingest_batch=")).toVector)
+    assert(parts == Vector("ingest_batch=-1"), s"only the fold remains: $parts")
+    assert(embRows(StreamingIngestion.embeddingsDir(store)) == before)
+    assert(indexRows(store) == beforeIdx)
+    assert(q() == beforeQ, "query results unchanged by compaction")
+
+    // the store stays live: a new batch lands beside the fold, and a
+    // second compaction folds both into the next generation
+    StreamingIngestion.processBatch(
+      spark.createDataset(turns(6 until 8)), store, 3L, nBuckets = NBuckets)
+    StreamingIngestion.compact(spark, store)
+    assert(StreamingIngestion.committedBatches(store) == Seq(-2L))
+    val (ok, msg) = Bm25IndexTables.validate(
+      spark, StreamingIngestion.indexDir(store), "chunk_id")
+    assert(ok, msg)
+  }
+
+  test("recover repairs a compaction crash on either side of the commit") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("si-crashcompact").toString
+    (0 until 2).foreach { b =>
+      StreamingIngestion.processBatch(
+        spark.createDataset(turns(b * 2 until b * 2 + 2)), store, b.toLong,
+        nBuckets = NBuckets)
+    }
+    val before = embRows(StreamingIngestion.embeddingsDir(store))
+
+    // pre-commit crash: intent exists, a partial fold dir exists
+    val marker = Paths.get(store, "_ingest", "compact.intent")
+    Files.write(marker, "-1\n0\n1".getBytes)
+    Files.createDirectories(
+      Paths.get(StreamingIngestion.chunksDir(store), "ingest_batch=-1"))
+    Files.createDirectories(
+      Paths.get(StreamingIngestion.embeddingsDir(store), "ingest_batch=-1"))
+    StreamingIngestion.recover(store)
+    assert(!Files.exists(marker))
+    assert(!Files.exists(
+      Paths.get(StreamingIngestion.chunksDir(store), "ingest_batch=-1")),
+      "rolled back: partial fold deleted")
+    assert(StreamingIngestion.committedBatches(store) == Seq(0L, 1L))
+    assert(embRows(StreamingIngestion.embeddingsDir(store)) == before)
+
+    // post-commit crash: fold committed but a folded batch's dir/marker
+    // survived — recover must roll forward and finish the cleanup
+    StreamingIngestion.compact(spark, store)
+    val stale = Paths.get(StreamingIngestion.chunksDir(store), "ingest_batch=0")
+    Files.createDirectories(stale)
+    Files.write(Paths.get(store, "_ingest", "0.commit"), Array.empty[Byte])
+    StreamingIngestion.recover(store)
+    assert(!Files.exists(stale), "rolled forward: stale folded dir deleted")
+    assert(StreamingIngestion.committedBatches(store) == Seq(-1L))
+    assert(embRows(StreamingIngestion.embeddingsDir(store)) == before)
+  }
+
   test("replay after a crash mid-append scrubs the partial batch and re-ingests") {
     import spark.implicits._
     val store = Files.createTempDirectory("si-crash").toString
