@@ -209,6 +209,33 @@ object RelationalQueries {
       |ON abs(c.page - i.page) <= 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // J4 again, but through the OPTIMIZER: the Spark side is the NAIVE
+  // `abs(a-b) <= k` theta join (plus an extra conjunct) and
+  // [[graft.plans.RangeJoinRule]] rewrites it to the expand-to-equi plan
+  // q_page_range_join spells by hand — the driver oracle gates the
+  // rule's end-to-end correctness every round.
+  private def qRangeJoinRule(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RangeJoinRule.install(s)
+    val chunks = t(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(40)).as("page"))
+    val images = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"), pmod(col("vec_id"), lit(40)).as("ipage"))
+    chunks.join(images,
+        abs(col("page") - col("ipage")) <= 2 && pmod(col("vec_id"), lit(3)) === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near"), sum("vec_id").as("sum_vec"))
+      .orderBy("doc_id")
+  }
+
+  private val qRangeJoinRuleSql =
+    """SELECT c.doc_id, count(*) AS n_near, CAST(sum(i.vec_id) AS BIGINT) AS sum_vec
+      |FROM (SELECT doc_id, doc_id % 40 AS page FROM documents WHERE doc_id < 300) c
+      |JOIN (SELECT vec_id, vec_id % 40 AS ipage FROM embeddings WHERE vec_id < 300) i
+      |ON abs(c.page - i.ipage) <= 2 AND i.vec_id % 3 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_topk_docs" -> (qTopkDocs _),
@@ -220,7 +247,8 @@ object RelationalQueries {
     "q_catalog_stats" -> (qCatalogStats _),
     "q_minmax_norm" -> (qMinmaxNorm _),
     "q_events_window" -> (qEventsWindow _),
-    "q_page_range_join" -> (qPageRangeJoin _))
+    "q_page_range_join" -> (qPageRangeJoin _),
+    "q_range_join_rule" -> (qRangeJoinRule _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -233,5 +261,6 @@ object RelationalQueries {
     "q_catalog_stats" -> qCatalogStatsSql,
     "q_minmax_norm" -> qMinmaxNormSql,
     "q_events_window" -> qEventsWindowSql,
-    "q_page_range_join" -> qPageRangeJoinSql)
+    "q_page_range_join" -> qPageRangeJoinSql,
+    "q_range_join_rule" -> qRangeJoinRuleSql)
 }

@@ -119,6 +119,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
        |          CAST((d * (j * r + k + 2) + (j * r + k) * (j * r + k)) % 11 - 5 AS DOUBLE)) > 0D,
        |      shiftleft(1L, k), 0L)))""".stripMargin
 
+  test("graft_best_cell matches the HOF argmax and ties break to the lowest cell") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val cents = (0 until 7).map(_ => (0 until 16).map(_ => rng.nextDouble() * 2 - 1))
+    val vecs = (0 until 100).map(_ => (0 until 16).map(_ => rng.nextDouble() * 2 - 1))
+    // semantic reference: explicit per-centroid dot + scala-side argmax
+    def expected(e: Seq[Double]): Int =
+      cents.map(c => c.zip(e).map { case (x, y) => x * y }.sum)
+        .zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+    val centsLit = org.apache.spark.sql.functions.typedlit(cents)
+    val got = vecs.toDF("e")
+      .select(org.apache.spark.sql.functions.call_function(
+        "graft_best_cell", org.apache.spark.sql.functions.col("e"), centsLit).as("c"))
+      .as[Int].collect()
+    vecs.zip(got).foreach { case (e, c) => assert(c == expected(e)) }
+    // tie-break: identical centroids → lowest index wins
+    val dup = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val tied = Seq(Seq(2.0, 0.1)).toDF("e")
+      .select(org.apache.spark.sql.functions.call_function(
+        "graft_best_cell", org.apache.spark.sql.functions.col("e"),
+        org.apache.spark.sql.functions.typedlit(dup)).as("c"))
+      .as[Int].head()
+    assert(tied == 0)
+  }
+
   test("graft_lsh_sigs matches the transform/aggregate composition for varying r") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
