@@ -80,6 +80,24 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(joined.as[(String, String)].collect().toSet == expected)
   }
 
+  test("fuzz: rewrite equals the naive predicate on random tables incl. negatives") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    for (round <- 0 until 8) {
+      val k = Seq(0, 1, 2, 5, 15)(rng.nextInt(5))
+      val left = (0 until 40).map(i => (i, rng.nextInt(41) - 20)).toDF("lid", "x")
+      val right = (0 until 40).map(i => (i, rng.nextInt(41) - 20)).toDF("rid", "y")
+      val got = left.join(right, abs(col("x") - col("y")) <= k)
+        .select("lid", "rid").as[(Int, Int)].collect().toSet
+      val want = (for {
+        (l, x) <- left.collect().map(r => (r.getInt(0), r.getInt(1)))
+        (r, y) <- right.collect().map(r0 => (r0.getInt(0), r0.getInt(1)))
+        if math.abs(x - y) <= k
+      } yield (l, r)).toSet
+      assert(got == want, s"round=$round k=$k")
+    }
+  }
+
   test("k beyond maxExpand leaves the nested-loop plan untouched") {
     spark.conf.set(RangeJoinRule.MaxExpandKey, "5")
     try {
