@@ -236,6 +236,43 @@ object RelationalQueries {
       |ON abs(c.page - i.ipage) <= 2 AND i.vec_id % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // As-of join (brief §custom operators: "as-of join, range join, …"),
+  // composed from built-ins per the (a)-first preference: each purchase
+  // event picks up the LATEST view event of the same user at-or-before
+  // its timestamp (attribution shape). Spark side: tag both sides, union,
+  // one window pass with a running `last(ignoreNulls)` — a single shuffle
+  // on user_id, running state O(1) per row, no theta join anywhere.
+  // Oracle: DuckDB's native ASOF LEFT JOIN. (user_id, ts) is unique in
+  // the events table, so the match is deterministic on both engines.
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("view_id"),
+        lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("view_id"),
+        col("event_id").as("purchase_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("matched_view", last("view_id", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("matched_view").as("view_id"), round(col("value"), 4).as("value"))
+      .orderBy("purchase_id")
+  }
+
+  private val qAsofJoinSql =
+    """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+      |  round(p.value, 4) AS value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_topk_docs" -> (qTopkDocs _),
@@ -248,7 +285,8 @@ object RelationalQueries {
     "q_minmax_norm" -> (qMinmaxNorm _),
     "q_events_window" -> (qEventsWindow _),
     "q_page_range_join" -> (qPageRangeJoin _),
-    "q_range_join_rule" -> (qRangeJoinRule _))
+    "q_range_join_rule" -> (qRangeJoinRule _),
+    "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -262,5 +300,6 @@ object RelationalQueries {
     "q_minmax_norm" -> qMinmaxNormSql,
     "q_events_window" -> qEventsWindowSql,
     "q_page_range_join" -> qPageRangeJoinSql,
-    "q_range_join_rule" -> qRangeJoinRuleSql)
+    "q_range_join_rule" -> qRangeJoinRuleSql,
+    "q_asof_join" -> qAsofJoinSql)
 }
