@@ -934,7 +934,71 @@ object TrainingDataQueries {
       |    THEN octet_length(encode(text)) % 7 + 1 ELSE 1 END AS INT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- KMV distinct-count sketch --------------------------------------------
+  //
+  // k-minimum-values sketch of the distinct-token count per document
+  // source ("a novel sketch" from the brief's operator list). The k
+  // smallest normalized hash values of a set determine the estimator
+  // (k-1)/max_k; unlike HLL, KMV is EXACTLY reproducible across engines
+  // given the shared md5-prefix hash, so the estimate itself is
+  // oracle-checked next to the exact truth. The k-min selection runs in
+  // two partitioned levels — rank within (source, h mod 256) shards,
+  // then rank the surviving ≤256·k candidates per source — so no task
+  // ever sorts a whole source's distinct set (the single-window form
+  // funnels each source through one task; the sharded form's final
+  // window touches 256·k rows max, constant in corpus size).
+
+  private val KmvK = 64
+  private val KmvHexLen = 12 // h < 2^48; denominator below matches
+
+  private def qKmvSketch(s: SparkSession, dir: String): DataFrame = {
+    val denom = math.pow(2.0, 4.0 * KmvHexLen)
+    val hashes = t(s, dir, "documents")
+      .select(col("source"), explode(simpleTokens(col("text"))).as("tok"))
+      .select(col("source"), col("tok"), md5Sid(col("tok"), KmvHexLen).as("h"))
+    val distinctH = hashes.select("source", "h").distinct()
+    val shardW = Window.partitionBy(col("source"), pmod(col("h"), lit(256)))
+      .orderBy("h")
+    val sourceW = Window.partitionBy("source").orderBy("h")
+    val kmin = distinctH
+      .withColumn("srn", row_number().over(shardW)).filter(col("srn") <= KmvK)
+      .withColumn("rn", row_number().over(sourceW)).filter(col("rn") <= KmvK)
+      .groupBy("source")
+      .agg(max("h").as("hk"), count(lit(1)).as("kk"))
+    val exact = hashes.groupBy("source")
+      .agg(countDistinct("tok").as("exact_distinct"))
+    kmin.join(exact, "source")
+      .select(col("source"), col("exact_distinct"),
+        when(col("kk") < KmvK, col("kk").cast("double"))
+          .otherwise(round(lit(KmvK - 1) / (col("hk") / denom), 4))
+          .as("est_distinct"))
+      .orderBy("source")
+  }
+
+  private val qKmvSketchSql = {
+    val denom = BigDecimal(math.pow(2.0, 4.0 * KmvHexLen)).toBigInt.toString
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT DISTINCT source, ${md5SidSql("tok", KmvHexLen)} AS h FROM toks),
+       |kmin AS (
+       |  SELECT source, max(h) AS hk, count(*) AS kk FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM h) WHERE rn <= $KmvK GROUP BY 1),
+       |exact AS (
+       |  SELECT source, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
+       |SELECT kmin.source, exact.exact_distinct,
+       |  CASE WHEN kk < $KmvK THEN kk::DOUBLE
+       |    ELSE round((${KmvK - 1}) / (hk / $denom.0), 4) END AS est_distinct
+       |FROM kmin JOIN exact ON kmin.source = exact.source
+       |ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_sketch" -> (qKmvSketch _),
     "q_image_blocks" -> (qImageBlocks _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_sessionize" -> (qSessionize _),
@@ -957,6 +1021,7 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_sketch" -> qKmvSketchSql,
     "q_image_blocks" -> qImageBlocksSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_sessionize" -> qSessionizeSql,
