@@ -22,13 +22,14 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * rewrite by hand; this rule grants it to ANY naive query).
   *
   * Guards: inner joins; `abs(x − y) <= k` (or `k >= abs(...)`) as the
-  * whole condition or one conjunct; both operands integral; `k` a
-  * non-negative foldable literal with expansion `2k+1` at most
-  * `spark.graft.rangejoin.maxExpand` (default 32 — past that the
-  * row-multiplication outweighs the nested-loop it avoids and a
-  * dedicated range-join algorithm would be the right tool). Each
-  * qualifying pair matches exactly one probe value, so no duplicates
-  * are introduced.
+  * whole condition or one conjunct; both operands sub-Long integral
+  * (Long keys are excluded — widening already-Long values risks `x ± k`
+  * wraparound at the extremes); `k` a non-negative foldable literal
+  * with expansion `2k+1` at most `spark.graft.rangejoin.maxExpand`
+  * (default 32 — past that the row-multiplication outweighs the
+  * nested-loop it avoids and a dedicated range-join algorithm would be
+  * the right tool). Each qualifying pair matches exactly one probe
+  * value, so no duplicates are introduced.
   *
   * Install via `RangeJoinRule.install(spark)` (experimental-methods
   * path) or `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -38,8 +39,14 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   val MaxExpandKey = "spark.graft.rangejoin.maxExpand"
   val DefaultMaxExpand = 32
 
-  private def isIntegral(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType => true
+  /** Operand types the rewrite accepts. LongType is deliberately OUT:
+    * the probe bounds `x ± k` are computed in Long, and a Long key
+    * within k of Long.MaxValue/MinValue would wrap (non-ANSI
+    * arithmetic), losing matches the original abs-predicate accepts —
+    * sub-Long integrals widened to Long can never overflow.
+    */
+  private def isSafeIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType => true
     case _ => false
   }
 
@@ -62,10 +69,12 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitConjuncts(cond)
+        // expansion bound phrased division-side: `2k+1 <= maxExpand`
+        // overflows Long for k near 2^62 and would wave a huge k through
         val hit = conjuncts.iterator.map(c => (c, absRange(c))).collectFirst {
           case (c, Some((x, y, k)))
-              if k >= 0 && 2 * k + 1 <= maxExpand &&
-                isIntegral(x.dataType) && isIntegral(y.dataType) =>
+              if k >= 0 && k <= (maxExpand - 1) / 2 &&
+                isSafeIntegral(x.dataType) && isSafeIntegral(y.dataType) =>
             (c, x, y, k)
         }
         hit match {

@@ -69,7 +69,9 @@ object VectorIndex {
       col("embedding").cast("array<double>"), typedlit(cents))
 
   /** Build (or atomically rebuild) the index from `(chunk_id,
-    * embedding:array<float>)` rows. Returns nlist.
+    * embedding:array<float>)` rows. Returns the number of centroids
+    * actually written (less than the requested nlist when the corpus
+    * holds fewer vectors).
     */
   def build(emb: DataFrame, root: String, nlist: Option[Int] = None,
       iters: Int = DefaultIters): Int = {
@@ -115,7 +117,7 @@ object VectorIndex {
       .parquet(s"$root/v$v/assignments")
     VersionedDir.flip(root, v)
     VersionedDir.gc(root, v)
-    k
+    cents.length
   }
 
   private def loadCentroids(spark: SparkSession, root: String): IndexedSeq[Seq[Double]] = {

@@ -91,24 +91,35 @@ object StreamingIngestion {
         .foreach(Files.delete)
   }
 
+  /** Crash-safe marker write: tmp file + atomic rename, so a reader (or
+    * [[recover]]) never parses a torn/truncated marker as a valid one.
+    */
+  private def writeMarker(p: java.nio.file.Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Remove every trace of a half-ingested batch: the batch's partition
-    * directories and its chunk ids in the index tables. Safe when some —
-    * or none — of those writes happened (a crash can land between any
-    * two appends; `Bm25IndexTables.delete` anti-joins BOTH tables, so a
+    * directories and ITS EXACT chunk ids in the index families. Keyed by
+    * the replayed batch's own chunk ids (recomputed deterministically) —
+    * NOT by conv_id: a conversation may span batches, and a prefix-keyed
+    * scrub would delete earlier committed batches' rows of the same
+    * conversation. Safe when some — or none — of the appends happened
+    * (`Bm25IndexTables.delete` anti-joins BOTH tables, so a
     * doclens-appended/postings-missing crash still scrubs clean).
     */
   private def scrub(spark: SparkSession, storeDir: String, batchId: Long,
-      convIds: Seq[String]): Unit = {
+      chunkIds: org.apache.spark.sql.DataFrame): Unit = {
     deleteTree(Paths.get(chunksDir(storeDir), s"ingest_batch=$batchId"))
     deleteTree(Paths.get(embeddingsDir(storeDir), s"ingest_batch=$batchId"))
-    val doclens = Paths.get(Bm25IndexTables.doclensDir(indexDir(storeDir)))
-    if (Files.exists(doclens) && convIds.nonEmpty) {
-      val doomed = spark.read.parquet(doclens.toString)
-        .filter(split(col("chunk_id"), ":").getItem(0).isin(convIds: _*))
-        .select("chunk_id")
-      if (!doomed.isEmpty)
-        Bm25IndexTables.delete(spark, doomed, "chunk_id", indexDir(storeDir))
-    }
+    if (Files.exists(Paths.get(indexDir(storeDir), "current")))
+      Bm25IndexTables.delete(spark, chunkIds, "chunk_id", indexDir(storeDir))
+    val vecRoot = graft.retrieval.VectorIndex.indexRoot(storeDir)
+    if (graft.retrieval.VectorIndex.exists(vecRoot))
+      graft.retrieval.VectorIndex.delete(spark, chunkIds, "chunk_id", vecRoot)
   }
 
   /** Ingest one micro-batch under the two-phase marker protocol.
@@ -125,15 +136,6 @@ object StreamingIngestion {
 
     if (Files.exists(commitMarker(storeDir, batchId))) return 0L
 
-    // bounded driver-side set: the batch's distinct conv ids (scrub keys)
-    val convIds = batch.select("conv_id").distinct().as[String].collect().toSeq
-    if (Files.exists(intentMarker(storeDir, batchId)))
-      scrub(spark, storeDir, batchId, convIds)
-
-    Files.createDirectories(markerDir(storeDir))
-    Files.write(intentMarker(storeDir, batchId),
-      convIds.mkString("\n").getBytes(StandardCharsets.UTF_8))
-
     // extract → chunk → embed in ONE narrow pass over the batch
     val derived = StreamingExtraction.extracted(batch, nBuckets)
       .filter(col("skip_reason") === "")
@@ -145,8 +147,20 @@ object StreamingIngestion {
               Ingestion.hashedEmbedding(c.content, dim), e.bucket)
           }
       })
-      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by 3 writes below
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by the writes below
     try {
+      def chunkIdCol = concat_ws(":",
+        col("conv_id"), col("turn_idx"), col("chunk_index")).as("chunk_id")
+
+      // crash replay: the recomputed chunk ids ARE the scrub keys — the
+      // replayed batch carries the same rows, so this names exactly what
+      // the crashed attempt could have appended (computed only on the
+      // rare replay path; a fresh batch pays no extra job)
+      if (Files.exists(intentMarker(storeDir, batchId)))
+        scrub(spark, storeDir, batchId, derived.toDF().select(chunkIdCol))
+
+      writeMarker(intentMarker(storeDir, batchId), "")
+
       derived.toDF()
         .withColumn("ingest_batch", lit(batchId))
         .select(col("ingest_batch"), col("conv_id"), col("turn_idx"),
@@ -163,14 +177,19 @@ object StreamingIngestion {
         .write.mode(SaveMode.Append).partitionBy("ingest_batch", "bucket")
         .parquet(embeddingsDir(storeDir))
 
-      val chunkDocs = derived.toDF().select(
-        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
-          .as("chunk_id"),
-        col("content"))
+      val chunkDocs = derived.toDF().select(chunkIdCol, col("content"))
       if (Files.exists(Paths.get(indexDir(storeDir), "current")))
         Bm25IndexTables.add(chunkDocs, "chunk_id", "content", indexDir(storeDir))
       else
         Bm25IndexTables.build(chunkDocs, "chunk_id", "content", indexDir(storeDir))
+
+      // keep the IVF index covering the stream (same frozen-centroid add
+      // as Ingestion.add) — without this, streamed chunks would be
+      // invisible to the probe path QueryPipeline auto-selects
+      val vecRoot = graft.retrieval.VectorIndex.indexRoot(storeDir)
+      if (graft.retrieval.VectorIndex.exists(vecRoot))
+        graft.retrieval.VectorIndex.add(
+          derived.toDF().select(chunkIdCol, col("embedding")), vecRoot)
 
       val n = derived.count()
       // atomic intent → commit flip seals the batch
@@ -230,32 +249,38 @@ object StreamingIngestion {
     * Generations use NEGATIVE ids (−1, −2, …) so they can never collide
     * with the stream's monotonically increasing batch ids; a compacted
     * generation is itself just a committed batch and folds into the next
-    * compaction. Run it while the stream is paused (between
-    * `AvailableNow` drains). Crash-safety: the fold is written under a
-    * `compact.intent` marker and committed by swapping the folded
-    * batches' commit markers for the generation's — a crash beforehand
-    * is undone by [[recover]]; the index rewrites are version-pointer
-    * atomic on their own.
+    * compaction. Run it while the store is QUIESCED — stream paused
+    * (between `AvailableNow` drains) and no concurrent queries: between
+    * the fold move and the folded-partition cleanup a reader would see
+    * folded rows twice (the partitioned tables have no version pointer;
+    * upgrading them to the index families' [[graft.pipeline.VersionedDir]]
+    * discipline is the known path to concurrent-reader compaction).
+    * Crash-safety: the fold is written under a `compact.intent` marker
+    * (atomic writes — a torn marker can never parse as valid) and
+    * committed by swapping the folded batches' commit markers for the
+    * generation's — a crash before the commit marker is undone by
+    * [[recover]], after it rolled forward; the index rewrites are
+    * version-pointer atomic on their own.
     */
-  def compact(spark: SparkSession, storeDir: String,
-      filesPerBucket: Int = 1): Unit = {
+  def compact(spark: SparkSession, storeDir: String): Unit = {
     recover(storeDir)
     val folded = committedBatches(storeDir)
     if (folded.size < 2) return
     val gen = math.min(folded.min, 0L) - 1L
 
-    Files.write(compactIntent(storeDir),
-      (gen.toString + "\n" + folded.mkString("\n")).getBytes(StandardCharsets.UTF_8))
+    writeMarker(compactIntent(storeDir),
+      gen.toString + "\n" + folded.mkString("\n"))
 
     // rewrite both partitioned tables' committed batches into the fold
-    // generation (reads prune to exactly the folded batch partitions)
+    // generation (reads prune to exactly the folded batch partitions);
+    // one task per bucket → one file per bucket
     Seq(chunksDir(storeDir), embeddingsDir(storeDir)).foreach { dir =>
       val stage = s"$dir.compactstage"
       deleteTree(Paths.get(stage))
       spark.read.parquet(dir)
         .filter(col("ingest_batch").isin(folded.map(java.lang.Long.valueOf): _*))
         .drop("ingest_batch")
-        .repartition(filesPerBucket, col("bucket"))
+        .repartition(col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stage)
       // drop Spark's _SUCCESS so the moved tree holds only bucket dirs
       Files.deleteIfExists(Paths.get(stage, "_SUCCESS"))
@@ -264,8 +289,7 @@ object StreamingIngestion {
 
     // commit: swap the folded commit markers for the generation's, then
     // drop the folded partitions and the intent
-    Files.write(commitMarker(storeDir, gen),
-      folded.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    writeMarker(commitMarker(storeDir, gen), folded.mkString("\n"))
     rollForward(storeDir, gen)
     Files.delete(compactIntent(storeDir))
 

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * per-type event counts/volumes with bounded state.
   *
   * The SAME function runs on a batch Dataset (Spark ignores the
-  * watermark there), where it is exactly the oracle-checked
-  * `q_events_window` plan shape — so batch/stream agreement is a
-  * spec-checked property, not a convention.
+  * watermark there) — the streaming counterpart of the hourly
+  * aggregation `q_events_window` oracle-checks (that query groups via
+  * `date_trunc`-formatted strings, a different expression tree; what
+  * the spec pins here is stream-vs-batch agreement OF THIS FUNCTION,
+  * per finalized window).
   *
   * Scale notes: the watermark bounds the state store to the open windows
   * only (append mode emits each window once, when the watermark passes

@@ -98,6 +98,23 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("Long operands and overflow-scale k both refuse the rewrite") {
+    import spark.implicits._
+    // Long keys near the extremes would wrap under x ± k — no rewrite
+    val ll = Seq((1L, Long.MaxValue), (2L, Long.MaxValue - 1)).toDF("lid", "x")
+    val rr = Seq((3L, Long.MaxValue - 1)).toDF("rid", "y")
+    val longJoin = ll.join(rr, abs(col("x") - col("y")) <= 1)
+    assert(planOf(longJoin).contains("BroadcastNestedLoopJoin"),
+      "Long operands must not rewrite")
+    assert(longJoin.count() == 2, "naive plan still answers correctly")
+
+    // a k large enough that 2k+1 overflows Long must trip the guard,
+    // not slip past it into an astronomically long Sequence
+    val hugeK = ll.join(rr, abs(col("x") - col("y")) <= lit(Long.MaxValue / 2))
+    assert(planOf(hugeK).contains("BroadcastNestedLoopJoin"),
+      "overflow-scale k must not rewrite")
+  }
+
   test("k beyond maxExpand leaves the nested-loop plan untouched") {
     spark.conf.set(RangeJoinRule.MaxExpandKey, "5")
     try {

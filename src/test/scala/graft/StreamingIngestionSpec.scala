@@ -106,6 +106,60 @@ class StreamingIngestionSpec extends AnyFunSuite {
     assert(indexRows(store) == beforeIdx)
   }
 
+  test("crash replay scrubs only the batch's own chunks when a conversation spans batches") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("si-span").toString
+    // conversation 0 split across the two batches — a conv-keyed scrub
+    // would wrongly delete batch 0's committed rows of the same conv
+    val conv = TranscriptGen.conversation(11L, 0L)
+    val half = conv.size / 2
+    val b0 = spark.createDataset(conv.take(half))
+    val b1 = spark.createDataset(conv.drop(half) ++ turns(1 until 2))
+    StreamingIngestion.processBatch(b0, store, 0L, nBuckets = NBuckets)
+    StreamingIngestion.processBatch(b1, store, 1L, nBuckets = NBuckets)
+    Files.move(
+      Paths.get(store, "_ingest", "1.commit"),
+      Paths.get(store, "_ingest", "1.intent"),
+      StandardCopyOption.ATOMIC_MOVE)
+    StreamingIngestion.processBatch(b1, store, 1L, nBuckets = NBuckets)
+
+    val clean = Files.createTempDirectory("si-span-clean").toString
+    StreamingIngestion.processBatch(b0, clean, 0L, nBuckets = NBuckets)
+    StreamingIngestion.processBatch(b1, clean, 1L, nBuckets = NBuckets)
+    assert(embRows(StreamingIngestion.embeddingsDir(store)) ==
+      embRows(StreamingIngestion.embeddingsDir(clean)))
+    assert(indexRows(store) == indexRows(clean),
+      "batch 0's rows of the shared conversation survive batch 1's replay")
+  }
+
+  test("streamed batches extend an existing vector index") {
+    import spark.implicits._
+    import graft.retrieval.VectorIndex
+    val store = Files.createTempDirectory("si-vec").toString
+    StreamingIngestion.processBatch(
+      spark.createDataset(turns(0 until 3)), store, 0L, nBuckets = NBuckets)
+    val nlist = Ingestion.buildVectorIndex(spark, store)
+    StreamingIngestion.processBatch(
+      spark.createDataset(turns(3 until 5)), store, 1L, nBuckets = NBuckets)
+
+    val qv = Ingestion.hashedEmbedding("tool output table")
+    val probed = VectorIndex
+      .probe(spark, VectorIndex.indexRoot(store), qv, nprobe = nlist)
+      .as[(String, Double)].collect().toMap
+    val brute = spark.read.parquet(StreamingIngestion.embeddingsDir(store))
+      .select(org.apache.spark.sql.functions.concat_ws(":",
+        org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.col("turn_idx"),
+        org.apache.spark.sql.functions.col("chunk_index")).as("chunk_id"),
+        VectorIndex.dotColumn(qv,
+          org.apache.spark.sql.functions.col("embedding")).as("score"))
+      .as[(String, Double)].collect().toMap
+    assert(probed == brute,
+      "index extended per batch covers every streamed chunk exactly")
+    assert(probed.keys.exists(_.startsWith("conv-000004:")),
+      "second batch's conversations are probeable")
+  }
+
   test("compaction folds batches without changing content or query results") {
     import spark.implicits._
     val store = Files.createTempDirectory("si-compact").toString
