@@ -151,7 +151,13 @@ object RetrievalQueries {
 
     // ALL variations' BM25 scores from ONE corpus pass (postings/idf built
     // once — one wide shuffle, not one per variation), cached for the
-    // three per-variation funnels below
+    // three per-variation funnels below. Deliberately NOT persisting the
+    // postings themselves to share with the rerank stage: measured here,
+    // caching the ~20M-row postings table and re-reading it per consumer
+    // costs ~10× the task time of letting exchange reuse share the
+    // compressed postings shuffle (the in-memory columnar cache is
+    // memory-bandwidth-bound on wide tables; persist pays off only for
+    // SMALL hot frames like the per-variation score lists below).
     val kwAll = Retrieval.bm25ScoresMulti(docs, "doc_id", "text",
       Variations.zipWithIndex.map(_.swap)).persist()
 

@@ -124,6 +124,14 @@ object Retrieval {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /** Corpus stats (n_docs, avgdl) as a 1-row frame. Computed from the
+    * TOKENIZED corpus, not the postings — zero-token docs carry no
+    * posting row but still count toward N and avgdl in rank_bm25.
+    */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenized(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
   /** BM25 scores for SEVERAL queries in ONE pass over the corpus:
     * postings/stats/idf are built once and joined against a broadcast
     * (variation, term, multiplicity) table — at scale this is one shuffle
@@ -135,12 +143,23 @@ object Retrieval {
       textCol: String,
       queries: Seq[(Int, String)],
       k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame =
+    bm25ScoresFromIndex(postings(docs, idCol, textCol),
+      corpusStats(docs, idCol, textCol), idCol, queries, k1, b)
+
+  /** The multi-query scoring tail over a PRECOMPUTED (and typically
+    * persisted) postings table + 1-row stats frame — lets a caller share
+    * one postings materialization between BM25 scoring and other
+    * postings consumers (e.g. the rerank tf-overlap stage) instead of
+    * re-tokenizing the corpus per consumer.
+    */
+  def bm25ScoresFromIndex(
+      post: DataFrame,
+      stats: DataFrame,
+      idCol: String,
+      queries: Seq[(Int, String)],
+      k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
-    val toks = tokenized(docs, idCol, textCol)
-    val post = toks.select(col(idCol), col("dl"), explode(col("tokens")).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfTable = post.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_raw",
@@ -155,7 +174,7 @@ object Retrieval {
       Tokenizer.tokenize(q).groupBy(identity)
         .map { case (t, os) => (v, t, os.size) }
     }
-    val spark = docs.sparkSession
+    val spark = post.sparkSession
     if (qRows.isEmpty)
       return spark.emptyDataFrame
         .withColumn("v", lit(0))
