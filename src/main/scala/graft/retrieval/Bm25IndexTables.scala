@@ -106,39 +106,21 @@ object Bm25IndexTables {
     gc(indexDir, v)
   }
 
-  /** Score one query against the persisted index (same math as
-    * [[Retrieval.bm25Scores]], reading tables instead of re-tokenizing).
+  /** Score one query against the persisted index — the shared scoring
+    * tail ([[Retrieval.bm25ScoresFromIndex]]) over the stored postings,
+    * with N/avgdl from the doclens table (which keeps zero-token docs,
+    * exactly like [[Retrieval.corpusStats]] over a live corpus).
     */
   def score(spark: SparkSession, indexDir: String, query: String,
       idCol: String, k1: Double = Retrieval.DefaultK1,
       b: Double = Retrieval.DefaultB): DataFrame = {
     val post = spark.read.parquet(postingsDir(indexDir))
-    val lens = spark.read.parquet(doclensDir(indexDir))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfTable = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_raw",
-        log(col("n_docs") - col("df") + lit(0.5)) - log(col("df") + lit(0.5)))
-    val idfStats = dfTable.agg(avg(col("idf_raw")).as("avg_idf"))
-    val idf = dfTable.crossJoin(broadcast(idfStats))
-      .withColumn("idf",
-        when(col("idf_raw") < 0, lit(Retrieval.Epsilon) * col("avg_idf"))
-          .otherwise(col("idf_raw")))
-      .select(col("term"), col("idf"))
-    val qTerms = graft.text.Tokenizer.tokenize(query)
-      .groupBy(identity).map { case (t, os) => (t, os.size) }.toSeq
-    if (qTerms.isEmpty)
+    if (graft.text.Tokenizer.tokenize(query).isEmpty)
       return post.select(col(idCol)).limit(0).withColumn("score", lit(0.0))
-    val qDf = spark.createDataFrame(qTerms).toDF("term", "qn")
-    post
-      .join(broadcast(qDf), "term")
-      .join(broadcast(idf), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        col("qn") * col("idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(idCol)
-      .agg(sum(col("contrib")).as("score"))
+    val stats = spark.read.parquet(doclensDir(indexDir))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    Retrieval.bm25ScoresFromIndex(post, stats, idCol, Seq(0 -> query), k1, b)
+      .drop("v")
   }
 
   /** The reference's index invariants (`bm25_index.py:376-409`), as
