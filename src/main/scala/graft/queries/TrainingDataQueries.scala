@@ -997,7 +997,71 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- training-set curation: split + mixing --------------------------------
+  //
+  // Hash-based assignment is the scale-correct way to split or sample a
+  // corpus: no global shuffle, no random state, reproducible on any
+  // engine — each row's fate is a pure function of its id. `frac(doc)`
+  // is the md5-prefix hash normalized to [0,1).
+
+  private def hashFrac(c: Column): Column =
+    md5Sid(c.cast("string"), 12) / lit(math.pow(2.0, 48))
+
+  private val hashFracSql =
+    s"(${md5SidSql("doc_id::VARCHAR", 12)} / 281474976710656.0)"
+
+  /** Deterministic stratified train/val/test split (90/5/5) with per-
+    * (lang, split) counts and a mean-length balance check — the standard
+    * "did the hash split bias anything" report.
+    */
+  private def qTrainSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("frac", hashFrac(col("doc_id")))
+      .withColumn("split",
+        when(col("frac") < 0.9, lit("train"))
+          .when(col("frac") < 0.95, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang", "split")
+
+  private val qTrainSplitSql =
+    s"""WITH d AS (
+       |  SELECT lang, n_chars, $hashFracSql AS frac FROM documents)
+       |SELECT lang,
+       |  CASE WHEN frac < 0.9 THEN 'train'
+       |    WHEN frac < 0.95 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Corpus mixing: per-source keep-rates (derived deterministically from
+    * the source name here; weights from a mixing config in production)
+    * applied as a hash-threshold downsample — reports target weight vs
+    * achieved counts per source. Same narrow per-row shape at any scale.
+    */
+  private def qCorpusMix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", round(
+        lit(0.2) + lit(0.6) * pmod(md5Sid(col("source"), 8), lit(100)) / 100.0, 4))
+      .withColumn("keep", hashFrac(col("doc_id")) < col("w"))
+      .groupBy("source")
+      .agg(first("w").as("weight"), count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+
+  private val qCorpusMixSql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    round(0.2 + 0.6 * ((${md5SidSql("source", 8)} % 100) / 100.0), 4) AS w,
+       |    $hashFracSql AS frac
+       |  FROM documents)
+       |SELECT source, any_value(w) AS weight, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN frac < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_train_split" -> (qTrainSplit _),
+    "q_corpus_mix" -> (qCorpusMix _),
     "q_kmv_sketch" -> (qKmvSketch _),
     "q_image_blocks" -> (qImageBlocks _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
@@ -1021,6 +1085,8 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_train_split" -> qTrainSplitSql,
+    "q_corpus_mix" -> qCorpusMixSql,
     "q_kmv_sketch" -> qKmvSketchSql,
     "q_image_blocks" -> qImageBlocksSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
