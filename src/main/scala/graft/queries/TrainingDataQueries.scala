@@ -1059,7 +1059,69 @@ object TrainingDataQueries {
        |  CAST(sum(CASE WHEN frac < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The end-to-end curation funnel a training-data user actually runs,
+    * as ONE declarative plan: exact dedup (first-wins per content hash) ∧
+    * language gate (stopword ratio) ∧ quality gate (the q_quality_score
+    * formula) ∧ length window ∧ train-split membership → per-source
+    * selection report. Every stage is a narrow projection or one hash
+    * shuffle (the dedup window partitions by md5(text)); composing them
+    * in one plan lets Catalyst run all the per-row gates in a single
+    * codegen'd pass over the scan.
+    */
+  private def qTrainingSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        simpleTokens(col("text")).as("ts"))
+      .withColumn("first_of_dup", row_number().over(w) === 1)
+      .withColumn("n_toks", size(col("ts")))
+      .withColumn("stop_ratio",
+        size(filter(col("ts"), x => array_contains(stopArray, x))) /
+          greatest(col("n_toks"), lit(1)).cast("double"))
+      .withColumn("quality", round(
+        size(array_distinct(col("ts"))) /
+          greatest(col("n_toks"), lit(1)).cast("double") * 0.4 +
+        col("stop_ratio") * 0.3 +
+        least(expr("aggregate(ts, 0L, (acc, x) -> acc + length(x))") /
+          greatest(col("n_toks"), lit(1)).cast("double") / 10.0, lit(1.0)) * 0.3,
+        4))
+      .filter(col("first_of_dup") && col("stop_ratio") >= 0.06 &&
+        col("quality") >= 0.40 && col("n_toks") >= 20 &&
+        hashFrac(col("doc_id")) < 0.9)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("n_toks").as("sum_tokens"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("source")
+  }
+
+  private val qTrainingSelectSql =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, source, rn, len(ts) AS n_toks,
+       |    len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |      greatest(len(ts), 1)::DOUBLE AS stop_ratio,
+       |    round(
+       |      len(list_distinct(ts)) / greatest(len(ts), 1)::DOUBLE * 0.4 +
+       |      (len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |        greatest(len(ts), 1)::DOUBLE) * 0.3 +
+       |      least(list_sum(list_transform(ts, x -> len(x))) /
+       |        greatest(len(ts), 1)::DOUBLE / 10.0, 1.0) * 0.3, 4) AS quality,
+       |    $hashFracSql AS frac
+       |  FROM t0)
+       |SELECT source, count(*) AS n_selected,
+       |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       |  round(avg(quality), 4) AS avg_quality
+       |FROM m
+       |WHERE rn = 1 AND stop_ratio >= 0.06 AND quality >= 0.40
+       |  AND n_toks >= 20 AND frac < 0.9
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_training_select" -> (qTrainingSelect _),
     "q_train_split" -> (qTrainSplit _),
     "q_corpus_mix" -> (qCorpusMix _),
     "q_kmv_sketch" -> (qKmvSketch _),
@@ -1085,6 +1147,7 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_training_select" -> qTrainingSelectSql,
     "q_train_split" -> qTrainSplitSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "q_kmv_sketch" -> qKmvSketchSql,
