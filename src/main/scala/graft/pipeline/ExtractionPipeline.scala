@@ -75,6 +75,28 @@ object ExtractionPipeline {
   def lineageDir(outDir: String): String = s"$outDir/lineage"
   def metricsDir(outDir: String): String = s"$outDir/metrics"
 
+  /** Time-travel read of an output table as of manifest snapshot `id`:
+    * buckets are written once and committed append-only, so filtering
+    * the bucket-partitioned parquet to the snapshot's committed bucket
+    * set reproduces that snapshot exactly — and the filter is a
+    * partition-pruned scan (only those buckets' files open). Current
+    * snapshot ids: [[TableIO.snapshots]].
+    */
+  def tableAt(spark: SparkSession, outDir: String, table: String,
+      snapshotId: Long): DataFrame = {
+    val m = TableIO.readAt(outDir, snapshotId)
+    val dir = table match {
+      case "extracted" => extractedDir(outDir)
+      case "chunks" => chunksDir(outDir)
+      case other =>
+        throw new IllegalArgumentException(s"no bucket table named '$other'")
+    }
+    val base = spark.read.parquet(dir)
+    if (m.completed.isEmpty) base.limit(0)
+    else base.filter(
+      col("bucket").isin(m.completed.keys.toSeq.map(Integer.valueOf): _*))
+  }
+
   /** Row-level twin of the SQL bucket expression below — same xxhash64
     * chain (seed 42 → conv_id → salt), same pmod. Used by the streaming
     * path so streamed and batch outputs land in the SAME partition

@@ -48,21 +48,65 @@ object TableIO {
     catch { case scala.util.control.NonFatal(_) => Empty }
   }
 
-  /** Append newly completed buckets and atomically swap the manifest. */
+  private def snapshotPath(tableDir: String, id: Long): Path =
+    Paths.get(tableDir, s"manifest-v$id.json")
+
+  /** Append newly completed buckets and atomically swap the manifest.
+    * Each commit also retains its manifest as an immutable
+    * `manifest-v<id>.json` — the snapshot history behind [[readAt]]'s
+    * time travel (the Iceberg metadata-file lineage, emulated).
+    */
   def commit(tableDir: String, prev: Manifest, done: Seq[BucketEntry]): Manifest = {
     val next = Manifest(prev.snapshotId + 1,
       prev.completed ++ done.map(e => e.bucket -> e))
     Files.createDirectories(Paths.get(tableDir))
     val tmp = Paths.get(tableDir, "manifest.json.tmp")
     Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
+    Files.copy(tmp, snapshotPath(tableDir, next.snapshotId),
+      StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, manifestPath(tableDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     next
   }
 
+  /** Committed snapshot ids, oldest first. */
+  def snapshots(tableDir: String): Seq[Long] = {
+    val d = Paths.get(tableDir)
+    if (!Files.isDirectory(d)) return Nil
+    scala.util.Using.resource(Files.list(d))(_.iterator().asScala
+      .map(_.getFileName.toString)
+      .flatMap {
+        case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+          n.stripPrefix("manifest-v").stripSuffix(".json").toLongOption
+        case _ => None
+      }
+      .toVector.sorted)
+  }
+
+  /** The manifest as of snapshot `id` (time travel). Buckets are written
+    * once and never rewritten, so the bucket set of an old manifest
+    * exactly reproduces that snapshot's table contents.
+    */
+  def readAt(tableDir: String, id: Long): Manifest = {
+    val p = snapshotPath(tableDir, id)
+    if (!Files.exists(p)) return Empty
+    try parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => Empty }
+  }
+
   def clear(tableDir: String): Unit = {
     val p = manifestPath(tableDir)
     if (Files.exists(p)) Files.delete(p)
+    val d = Paths.get(tableDir)
+    if (Files.isDirectory(d)) {
+      val history = scala.util.Using.resource(Files.list(d))(_.iterator().asScala
+        .filter { f =>
+          val n = f.getFileName.toString
+          n.startsWith("manifest-v") && n.endsWith(".json")
+        }
+        .toVector)
+      history.foreach(Files.delete)
+    }
   }
 
   // -- tiny hand-rolled JSON (flat, numeric-only payload; no deps) ----------
