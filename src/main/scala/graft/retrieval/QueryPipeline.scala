@@ -69,4 +69,93 @@ object QueryPipeline {
     chunks.join(broadcast(fused), "chunk_id")
       .orderBy(desc("rrf_score"), col("chunk_id"))
   }
+
+  val RerankFetch = 20 // rerank_k * 2 per variation (query_service.py:259)
+  val FinalTopK = 10 // final_top_k (config.py:142-147)
+
+  /** The reference's FULL multi-variation lifecycle (`query_service.py:
+    * 149-358`, steps 1-7) against the ingested store: expansion
+    * variations (caller-supplied — the LLM expander is a pluggable
+    * external; tests pass fixed strings exactly like the reference's
+    * mocked suite) → per-variation hybrid search → first-wins dedup
+    * across variations in (variation, rank) arrival order → per-
+    * variation rerank over the deduped candidate pool (deterministic
+    * cross-encoder stand-in: query-embedding dot against the STORED
+    * chunk vectors) → unweighted RRF re-fusion → top-k → content join.
+    *
+    * Scale shape: BM25 for ALL variations comes from one pass over the
+    * postings tables (multi-query scoring tail — one shuffle total, not
+    * one per variation); the vector side is per-variation probes of the
+    * IVF index when present (partition-pruned) or brute scans otherwise;
+    * the rerank joins the big embeddings table once against the
+    * broadcast ≤3·RerankFetch candidate pool.
+    */
+  def queryExpanded(spark: SparkSession, outDir: String, question: String,
+      expansions: Seq[String] = Nil, topK: Int = FinalTopK,
+      dim: Int = Ingestion.DefaultDim,
+      nprobe: Int = VectorIndex.DefaultNprobe): DataFrame = {
+    val variations = (question +: expansions).distinct
+    val useIndex = VectorIndex.exists(VectorIndex.indexRoot(outDir))
+
+    // keyword scores for every variation from ONE postings pass
+    val post = spark.read.parquet(
+      Bm25IndexTables.postingsDir(Ingestion.indexDir(outDir)))
+    val stats = spark.read.parquet(
+      Bm25IndexTables.doclensDir(Ingestion.indexDir(outDir)))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val kwAll = Retrieval.bm25ScoresFromIndex(post, stats, "chunk_id",
+      variations.zipWithIndex.map(_.swap))
+
+    // per-variation hybrid ranking, tagged with arrival rank
+    val perVariation = variations.zipWithIndex.map { case (q, v) =>
+      val qv = Ingestion.hashedEmbedding(q, dim)
+      val vec =
+        (if (useIndex)
+          VectorIndex.probe(spark, VectorIndex.indexRoot(outDir), qv, nprobe)
+        else
+          spark.read.parquet(Ingestion.embeddingsDir(outDir))
+            .select(chunkId.as("chunk_id"),
+              VectorIndex.dotColumn(qv, col("embedding")).as("score")))
+          .orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
+      val kw = kwAll.filter(col("v") === v).select("chunk_id", "score")
+        .filter(col("score") > 0)
+        .orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
+      Retrieval.rrfFuse(
+          Seq(vec -> Retrieval.VectorWeight, kw -> Retrieval.KeywordWeight),
+          "chunk_id", "score")
+        .orderBy(desc("rrf_score"), col("chunk_id")).limit(RerankFetch)
+        .select(col("chunk_id"), lit(v).as("v"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))
+            .orderBy(desc("rrf_score"), col("chunk_id")))).as("vrank"))
+    }
+
+    // first-wins dedup across variations (U2 arrival order), then ONE
+    // scan of the embeddings table against the broadcast candidate pool
+    val deduped = Retrieval.firstWinsDedup(
+      perVariation.reduce(_ unionByName _), "chunk_id",
+      col("v").asc, col("vrank").asc)
+    val candVecs = spark.read.parquet(Ingestion.embeddingsDir(outDir))
+      .select(chunkId.as("chunk_id"), col("embedding"))
+      .join(broadcast(deduped.select("chunk_id")), "chunk_id")
+      .persist()
+
+    try {
+      val rankings = variations.map { q =>
+        val qv = Ingestion.hashedEmbedding(q, dim)
+        candVecs.select(col("chunk_id"),
+          VectorIndex.dotColumn(qv, col("embedding")).as("score"))
+          .orderBy(desc("score"), col("chunk_id")).limit(FinalTopK)
+      }
+      val fused = Retrieval.rrfFuse(rankings.map(_ -> 1.0), "chunk_id", "score")
+        .orderBy(desc("rrf_score"), col("chunk_id")).limit(topK)
+      val chunks = spark.read.parquet(ExtractionPipeline.chunksDir(outDir))
+        .select(chunkId.as("chunk_id"), col("conv_id"), col("turn_idx"),
+          col("chunk_index"), col("content"))
+      chunks.join(broadcast(fused), "chunk_id")
+        .orderBy(desc("rrf_score"), col("chunk_id"))
+        // materialize before unpersisting the candidate pool the plan reads
+        .localCheckpoint(true)
+    } finally candVecs.unpersist()
+  }
 }

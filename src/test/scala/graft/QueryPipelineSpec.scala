@@ -49,4 +49,30 @@ class QueryPipelineSpec extends AnyFunSuite {
     val b = QueryPipeline.query(spark, outDir, q).collect().map(_.getAs[String]("chunk_id"))
     assert(a.sameElements(b))
   }
+
+  test("multi-variation lifecycle: expansion, dedup, rerank, re-fusion") {
+    val q = "tool output table"
+    val expansions = Seq("assistant explains structure", "code block content")
+    val hits = QueryPipeline.queryExpanded(spark, outDir, q, expansions).collect()
+
+    assert(hits.nonEmpty && hits.length <= QueryPipeline.FinalTopK)
+    assert(hits.map(_.getAs[String]("chunk_id")).distinct.length == hits.length,
+      "dedup across variations leaves no duplicate chunk")
+    val scores = hits.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(hits.forall(_.getAs[String]("content").nonEmpty))
+
+    // deterministic across runs (reference ties are dict-order; ours are fixed)
+    val again = QueryPipeline.queryExpanded(spark, outDir, q, expansions)
+      .collect().map(_.getAs[String]("chunk_id"))
+    assert(again.sameElements(hits.map(_.getAs[String]("chunk_id"))))
+
+    // single-variation run (no expansions) also works and is bounded
+    val solo = QueryPipeline.queryExpanded(spark, outDir, q).collect()
+    assert(solo.nonEmpty && solo.length <= QueryPipeline.FinalTopK)
+
+    // a distinctive expansion can only widen the candidate pool: every
+    // solo hit's chunk stays retrievable (recall never shrinks to zero)
+    assert(solo.map(_.getAs[Double]("rrf_score")).forall(_ > 0))
+  }
 }
