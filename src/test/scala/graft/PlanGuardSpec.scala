@@ -47,6 +47,38 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(2000))
   }
 
+  test("q_asof_join is one user-keyed shuffle, no theta join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"as-of must be window-composed, not joined:\n${p.take(2000)}")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected exactly one user_id shuffle, got $userExchanges:\n${p.take(3000)}")
+    assert(p.contains("last(view_id"), p.take(2000))
+  }
+
+  test("q_kmv_sketch ranks k-min in two sharded window levels with pushed limits") {
+    val p = plan("q_kmv_sketch")
+    // two rank levels: (source, shard) then source alone — no task ever
+    // sorts a whole source's distinct hash set
+    val windows = p.linesIterator.count(_.contains("Window [row_number()"))
+    assert(windows == 2, s"expected 2 rank windows, got $windows:\n${p.take(3000)}")
+    // Spark pushes the rank<=K cut below the shuffle as a partial
+    // WindowGroupLimit — each map task forwards at most K rows per group
+    assert(p.contains("row_number(), 64, Partial"),
+      s"partial window-group limit missing:\n${p.take(3000)}")
+  }
+
+  test("q_training_select fuses the gates into one pass with a single dedup window") {
+    val p = plan("q_training_select")
+    val windows = p.linesIterator.count(_.contains("Window [row_number()"))
+    assert(windows == 1, s"expected 1 dedup window, got $windows:\n${p.take(3000)}")
+    // all gates live in the single aggregation pipeline: exactly one
+    // hash aggregate pair (partial+final) over the post-filter rows
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("q_ann_cosine_topk broadcasts the query vector and pushes the id filters") {
     // (graft_cosine's own codegen residency is asserted in
     // GraftFunctionsSpec on a clean scan+project; here the stage also
