@@ -171,11 +171,11 @@ object TrainingDataQueries {
   private val HashA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
   private val HashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
 
-  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // persisted: read by the minhash pass, the per-doc size agg, and both
-    // sides of the candidate-verify join (4 consumers)
-    val dt = bigramShingles(s, dir).persist()
+  /** LSH candidate pairs (doc_a < doc_b) from the banded minhashes over
+    * `dt` (the shingle table). Shared by the jaccard-verify query and
+    * the duplicate-clustering query.
+    */
+  private def minhashCandidates(dt: DataFrame): DataFrame = {
     val withSid = dt.withColumn("sid", md5Sid(col("tok"), 10))
     // all 8 minhashes as aggregation COLUMNS of one hash aggregate — the
     // earlier crossJoin-with-params plan multiplied every shingle row 8×
@@ -191,11 +191,19 @@ object TrainingDataQueries {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.m0").as("m0"), col("bs.m1").as("m1"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.m0") === col("y.m0") &&
           col("x.m1") === col("y.m1") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // persisted: read by the minhash pass, the per-doc size agg, and both
+    // sides of the candidate-verify join (4 consumers)
+    val dt = bigramShingles(s, dir).persist()
+    val cand = minhashCandidates(dt)
     // verify stage: exact shingle-set jaccard on the candidates only
     val n = dt.groupBy("doc_id").agg(count(lit(1)).as("c"))
     cand
@@ -209,10 +217,13 @@ object TrainingDataQueries {
       .orderBy(desc("jacc"), col("doc_a"), col("doc_b"))
   }
 
-  private def qMinhashLshSql: String = {
+  /** Shared SQL CTE prefix ending in `cand(doc_a, doc_b)` — the DuckDB
+    * twin of [[minhashCandidates]].
+    */
+  private def minhashCandCtes: String = {
     val values = HashA.indices
       .map(i => s"(${i}, ${HashA(i)}, ${HashB(i)})").mkString(", ")
-    s"""WITH $TokensCte,
+    s"""$TokensCte,
        |$ShinglesCte,
        |dt AS (SELECT doc_id, tok FROM sh),
        |ws AS (SELECT doc_id, ${md5SidSql("tok", 10)} AS sid FROM dt),
@@ -229,7 +240,11 @@ object TrainingDataQueries {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
-       |    AND x.doc_id < y.doc_id),
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private def qMinhashLshSql: String = {
+    s"""WITH $minhashCandCtes,
        |n AS (SELECT doc_id, count(*) AS c FROM dt GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -243,6 +258,78 @@ object TrainingDataQueries {
        |JOIN n nb ON i.doc_b = nb.doc_id
        |ORDER BY jacc DESC, doc_a, doc_b""".stripMargin
   }
+
+  // --- duplicate clustering: connected components over candidate pairs -----
+  //
+  // Pairwise near-dup output is only half the dedup story — keeping one
+  // representative per DUPLICATE CLUSTER needs the transitive closure of
+  // the pair graph. Spark side: iterative min-label propagation over the
+  // symmetric edge list (each round = one join + groupBy-min; converges
+  // in graph-diameter rounds — near-dup components are small chains in
+  // practice, and a large-star/small-star variant is the drop-in upgrade
+  // if a corpus ever yields deep components). Oracle: DuckDB computes
+  // the same closure with a recursive CTE.
+
+  /** Min-label propagation: each node's label converges to the smallest
+    * node id in its component. `edges` = (doc_a, doc_b), undirected.
+    *
+    * Each round's frame is `localCheckpoint`ed (eager) — WITHOUT lineage
+    * truncation the round-N logical plan embeds round N−1's plan twice
+    * (once directly, once inside the neighbor-min join), doubling plan
+    * size per iteration until analysis itself dominates; checkpointing
+    * resets the plan to the materialized rows (the standard discipline
+    * for iterative DataFrame algorithms).
+    */
+  private def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy("src").agg(min("label").as("nmin"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val dt = bigramShingles(s, dir)
+    val labels = connectedComponents(minhashCandidates(dt))
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+      .select(col("label").as("cluster_rep"), col("n_docs"), col("max_doc"))
+      .orderBy("cluster_rep")
+  }
+
+  private def qDedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+       |  UNION
+       |  SELECT sym.src, reach.lab FROM sym JOIN reach ON sym.dst = reach.node),
+       |labels AS (SELECT node, min(lab) AS label FROM reach GROUP BY 1)
+       |SELECT label AS cluster_rep, count(*) AS n_docs,
+       |  CAST(max(node) AS BIGINT) AS max_doc
+       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- SimHash (31-bit, token tf-weighted) ----------------------------------
 
@@ -1132,6 +1219,7 @@ object TrainingDataQueries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
@@ -1158,6 +1246,7 @@ object TrainingDataQueries {
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,
