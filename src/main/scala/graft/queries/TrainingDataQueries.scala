@@ -293,15 +293,24 @@ object TrainingDataQueries {
       val neighborMin = sym
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy("src").agg(min("label").as("nmin"))
-      val next = labels
+      val stepped = labels.withColumnRenamed("label", "old")
         .join(neighborMin.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"),
+          col("old"))
+      // pointer jumping (path compression): label := label(label) — a
+      // chain of length L converges in ~log L rounds instead of L. The
+      // previous label rides along so the convergence check below is a
+      // filter-count on the checkpointed rows, not another join.
+      val next = stepped.as("a")
+        .join(stepped.select(col("node").as("label"), col("label").as("plabel"))
+          .as("b"), Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
+          col("old"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
       converged = changed == 0
       i += 1
     }
