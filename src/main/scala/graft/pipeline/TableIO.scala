@@ -62,10 +62,15 @@ object TableIO {
     Files.createDirectories(Paths.get(tableDir))
     val tmp = Paths.get(tableDir, "manifest.json.tmp")
     Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
-    Files.copy(tmp, snapshotPath(tableDir, next.snapshotId),
-      StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, manifestPath(tableDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // history copy strictly AFTER the atomic swap: a crash between the
+    // two then loses only the snapshot file (readAt → Empty), never
+    // publishes an id the table never committed — the reverse order
+    // would let snapshots() advertise phantom buckets that orphan
+    // cleanup is about to delete
+    Files.copy(manifestPath(tableDir), snapshotPath(tableDir, next.snapshotId),
+      StandardCopyOption.REPLACE_EXISTING)
     next
   }
 

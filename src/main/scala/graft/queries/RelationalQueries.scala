@@ -45,10 +45,14 @@ object RelationalQueries {
   // --- first-occurrence dedup (P4/U2)
   private def qWindowDedup(s: SparkSession, dir: String): DataFrame =
     Retrieval.firstWinsDedup(
+      // NULL-source rows are excluded BEFORE the dedup window: Spark
+      // sorts NULLS FIRST and DuckDB NULLS LAST, so letting a NULL row
+      // compete for the win would diverge the engines (and a post-window
+      // filter would then drop the whole group on the Spark side)
       t(s, dir, "documents").select("lang", "source", "doc_id")
+        .filter(col("source").isNotNull)
         .withColumnRenamed("doc_id", "first_doc"),
       "lang", col("source").asc, col("first_doc").asc)
-      .filter(col("source").isNotNull)
       .select("lang", "first_doc")
       .orderBy("lang")
 
@@ -56,7 +60,7 @@ object RelationalQueries {
     """SELECT lang, first_doc FROM (
       |  SELECT lang, doc_id AS first_doc,
       |    row_number() OVER (PARTITION BY lang ORDER BY source, doc_id) AS rn
-      |  FROM documents) WHERE rn = 1 ORDER BY lang""".stripMargin
+      |  FROM documents WHERE source IS NOT NULL) WHERE rn = 1 ORDER BY lang""".stripMargin
 
   // --- pagination (W6/S11)
   private def qPagination(s: SparkSession, dir: String): DataFrame =
@@ -130,11 +134,16 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  // NOT EXISTS, not NOT IN: a NULL source in the subquery would turn
+  // NOT IN into NULL for every row (three-valued logic) while Spark's
+  // left_anti keeps non-matching rows — NOT EXISTS matches left_anti
+  // semantics exactly
   private val qAntiJoinSql =
-    """SELECT doc_id, source FROM documents
-      |WHERE source NOT IN (
-      |  SELECT DISTINCT source FROM documents WHERE lang = 'en' AND n_chars > 400)
-      |ORDER BY doc_id""".stripMargin
+    """SELECT d.doc_id, d.source FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents x
+      |  WHERE x.lang = 'en' AND x.n_chars > 400 AND x.source = d.source)
+      |ORDER BY d.doc_id""".stripMargin
 
   // --- catalog stats (A7/S11)
   private def qCatalogStats(s: SparkSession, dir: String): DataFrame =
@@ -216,12 +225,15 @@ object RelationalQueries {
   // rule's end-to-end correctness every round.
   private def qRangeJoinRule(s: SparkSession, dir: String): DataFrame = {
     graft.plans.RangeJoinRule.install(s)
+    // pages cast to INT: the rule deliberately refuses Long operands
+    // (x ± k wraparound risk) — without the cast it would silently
+    // leave this as a nested-loop join and gate nothing
     val chunks = t(s, dir, "documents")
       .filter(col("doc_id") < 300)
-      .select(col("doc_id"), pmod(col("doc_id"), lit(40)).as("page"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(40)).cast("int").as("page"))
     val images = t(s, dir, "embeddings")
       .filter(col("vec_id") < 300)
-      .select(col("vec_id"), pmod(col("vec_id"), lit(40)).as("ipage"))
+      .select(col("vec_id"), pmod(col("vec_id"), lit(40)).cast("int").as("ipage"))
     chunks.join(images,
         abs(col("page") - col("ipage")) <= 2 && pmod(col("vec_id"), lit(3)) === 0)
       .groupBy("doc_id")

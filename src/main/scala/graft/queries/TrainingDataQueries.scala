@@ -376,8 +376,10 @@ object TrainingDataQueries {
        |  SELECT doc_id, j, sum(tf * (((h // (1::BIGINT << j)) % 2) * 2 - 1)) AS w
        |  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS j)
        |  GROUP BY 1, 2)
-       |SELECT doc_id, CAST(sum(1::BIGINT << j) AS BIGINT) AS simhash
-       |FROM w WHERE w > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN w > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+       |    AS simhash
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- ANN: brute-force cosine top-k ----------------------------------------
 
@@ -714,7 +716,7 @@ object TrainingDataQueries {
        |    len(list_distinct(ts)) / greatest(len(ts), 1)::DOUBLE AS diversity,
        |    len(list_filter(ts, x -> list_contains($stopListSql, x))) /
        |      greatest(len(ts), 1)::DOUBLE AS stop_ratio,
-       |    list_sum(list_transform(ts, x -> len(x))) /
+       |    coalesce(list_sum(list_transform(ts, x -> len(x))), 0) /
        |      greatest(len(ts), 1)::DOUBLE AS mean_len
        |  FROM toks)
        |SELECT doc_id, n_toks,
@@ -1204,7 +1206,7 @@ object TrainingDataQueries {
        |      len(list_distinct(ts)) / greatest(len(ts), 1)::DOUBLE * 0.4 +
        |      (len(list_filter(ts, x -> list_contains($stopListSql, x))) /
        |        greatest(len(ts), 1)::DOUBLE) * 0.3 +
-       |      least(list_sum(list_transform(ts, x -> len(x))) /
+       |      least(coalesce(list_sum(list_transform(ts, x -> len(x))), 0) /
        |        greatest(len(ts), 1)::DOUBLE / 10.0, 1.0) * 0.3, 4) AS quality,
        |    $hashFracSql AS frac
        |  FROM t0)

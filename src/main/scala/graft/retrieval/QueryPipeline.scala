@@ -26,27 +26,33 @@ object QueryPipeline {
   private def chunkId = concat_ws(":",
     col("conv_id"), col("turn_idx"), col("chunk_index"))
 
+  /** The vector retrieval source for one query vector: an IVF probe
+    * (partition-pruned cells) when the store carries the index, else the
+    * exact brute-force dot scan — bit-identical scores either way
+    * (shared dotColumn fold), only the candidate set differs. One
+    * definition for both [[query]] and [[queryExpanded]], so the paths
+    * cannot drift.
+    */
+  private def vecSource(spark: SparkSession, outDir: String,
+      qv: Array[Float], nprobe: Int): DataFrame = {
+    val base =
+      if (VectorIndex.exists(VectorIndex.indexRoot(outDir)))
+        VectorIndex.probe(spark, VectorIndex.indexRoot(outDir), qv, nprobe)
+      else
+        spark.read.parquet(Ingestion.embeddingsDir(outDir))
+          .select(chunkId.as("chunk_id"),
+            VectorIndex.dotColumn(qv, col("embedding")).as("score"))
+    base.orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
+  }
+
   def query(spark: SparkSession, outDir: String, question: String,
       topK: Int = 10, dim: Int = Ingestion.DefaultDim,
       nprobe: Int = VectorIndex.DefaultNprobe): DataFrame = {
     val qv = Ingestion.hashedEmbedding(question, dim)
 
-    // vector source: when the store carries an IVF index
-    // ([[VectorIndex]]), probe it — a partition-pruned scan of nprobe
-    // cells instead of the full embeddings table (the 100 TB plan);
-    // otherwise brute-force the dot product against the unit-normalized
-    // embeddings (exact baseline). Scores are bit-identical between the
-    // two paths (shared dotColumn fold), only the candidate set differs.
-    val vecScores = {
-      val base =
-        if (VectorIndex.exists(VectorIndex.indexRoot(outDir)))
-          VectorIndex.probe(spark, VectorIndex.indexRoot(outDir), qv, nprobe)
-        else
-          spark.read.parquet(Ingestion.embeddingsDir(outDir))
-            .select(chunkId.as("chunk_id"),
-              VectorIndex.dotColumn(qv, col("embedding")).as("score"))
-      base.orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
-    }
+    // vector source: IVF probe when indexed (partition-pruned — the
+    // 100 TB plan), exact brute-force scan otherwise ([[vecSource]])
+    val vecScores = vecSource(spark, outDir, qv, nprobe)
 
     // keyword source: BM25 over the index tables
     val kwScores = Bm25IndexTables
