@@ -783,6 +783,113 @@ object TrainingDataQueries {
        |FROM grams WHERE s3 IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- benchmark decontamination (n-gram overlap vs an eval set) ------------
+  //
+  // The standard pretraining hygiene op: flag corpus documents sharing any
+  // token trigram with a held-out benchmark so eval questions never leak
+  // into training data. The benchmark side is tiny at any corpus size
+  // (eval suites are MBs against a 100 TB corpus), so its distinct
+  // trigram set BROADCASTS — the corpus side stays one narrow scan +
+  // broadcast-hash join, and the only shuffle is the per-doc hit count
+  // (partial-agg, keyed on doc_id, bounded by doc length). Benchmark
+  // membership here is a deterministic hash split (pmod 101 == 7, the
+  // q_train_split discipline) standing in for a real eval table.
+
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    // persisted: bench set + both corpus consumers re-use the shingling
+    val tri = sparkToks(s, dir)
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ts)-3), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3)))")))
+        .as("tok"))
+      .persist()
+    val bench = tri.filter(pmod(col("doc_id"), lit(101)) === 7)
+      .select("tok").distinct()
+    val corpus = tri.filter(pmod(col("doc_id"), lit(101)) =!= 7)
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(bench), "tok")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    hits.join(totals, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        round(col("n_hits") / col("n_grams").cast("double"), 5).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  private def qDecontaminateSql: String =
+    s"""WITH $TokensCte,
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(ts)-2),
+       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS tok
+       |  FROM toks WHERE len(ts) >= 3),
+       |bench AS (SELECT DISTINCT tok FROM tri WHERE doc_id % 101 = 7),
+       |corpus AS (SELECT * FROM tri WHERE doc_id % 101 <> 7),
+       |totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+       |hits AS (
+       |  SELECT c.doc_id, count(*) AS n_hits
+       |  FROM corpus c JOIN bench b ON c.tok = b.tok GROUP BY 1)
+       |SELECT h.doc_id, h.n_hits, t.n_grams,
+       |  round(h.n_hits / t.n_grams::DOUBLE, 5) AS contamination
+       |FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
+  // --- within-document repetition signals (Gopher-style quality rules) ------
+  //
+  // Two classic repetition filters from large-corpus curation: the
+  // fraction of a document's token trigrams that are duplicates, and the
+  // share of its bigrams taken by the single most frequent bigram
+  // (boilerplate and spam score high on both). The trigram side is a
+  // pure per-row array projection — no shuffle at all; the bigram mode
+  // needs one hash aggregation keyed on (doc_id, bigram) — partial-agg
+  // friendly and bounded by document length, linear in the corpus.
+
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = sparkToks(s, dir).filter(size(col("ts")) >= 3)
+    val triStats = toks
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(ts)-3), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3)))")
+        .as("tri"))
+      .select(col("doc_id"),
+        round((size(col("tri")) - size(array_distinct(col("tri")))) /
+          size(col("tri")).cast("double"), 5).as("dup_tri_frac"))
+    val bi = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))"))
+      .as("tok"))
+    val biStats = bi.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")) / sum(col("c")).cast("double"), 5)
+        .as("top_bigram_ratio"))
+    triStats.join(biStats, "doc_id")
+      .withColumn("flagged",
+        (col("dup_tri_frac") > 0.30 || col("top_bigram_ratio") > 0.18).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private def qRepetitionSql: String =
+    s"""WITH $TokensCte,
+       |t3 AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(ts)-2),
+       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS tri
+       |  FROM toks WHERE len(ts) >= 3),
+       |tri_stats AS (
+       |  SELECT doc_id,
+       |    round((len(tri) - len(list_distinct(tri))) / len(tri)::DOUBLE, 5)
+       |      AS dup_tri_frac
+       |  FROM t3),
+       |bi AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-1),
+       |    i -> ts[i] || ' ' || ts[i+1])) AS tok
+       |  FROM toks WHERE len(ts) >= 3),
+       |bc AS (SELECT doc_id, tok, count(*) AS c FROM bi GROUP BY 1, 2),
+       |bi_stats AS (
+       |  SELECT doc_id, round(max(c) / sum(c)::DOUBLE, 5) AS top_bigram_ratio
+       |  FROM bc GROUP BY 1)
+       |SELECT t.doc_id, t.dup_tri_frac, b.top_bigram_ratio,
+       |  CASE WHEN t.dup_tri_frac > 0.30 OR b.top_bigram_ratio > 0.18
+       |    THEN 1 ELSE 0 END AS flagged
+       |FROM tri_stats t JOIN bi_stats b ON t.doc_id = b.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // --- cumulative char offsets per source (A2 analog) -----------------------
 
   private def qPageOffsets(s: SparkSession, dir: String): DataFrame = {
@@ -1241,6 +1348,8 @@ object TrainingDataQueries {
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition" -> (qRepetition _),
     "q_page_offsets" -> (qPageOffsets _),
     "q_context_format" -> (qContextFormat _),
     "q_hash_funcs" -> (qHashFuncs _))
@@ -1268,6 +1377,8 @@ object TrainingDataQueries {
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count" -> qTokenCountSql,
     "q_doc_fingerprint" -> qDocFingerprintSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_repetition" -> qRepetitionSql,
     "q_page_offsets" -> qPageOffsetsSql,
     "q_context_format" -> qContextFormatSql,
     "q_hash_funcs" -> qHashFuncsSql)

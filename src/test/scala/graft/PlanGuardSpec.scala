@@ -79,6 +79,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("q_decontaminate broadcasts the benchmark n-gram set") {
+    // the eval-set side is tiny at any corpus scale — if the hint is
+    // ever lost this becomes a full corpus-vs-corpus sort-merge join
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_repetition aggregates bigram counts with a map-side partial pass") {
+    val p = plan("q_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bigram mode must partial-aggregate before the shuffle:\n${p.take(3000)}")
+  }
+
   test("q_ann_cosine_topk broadcasts the query vector and pushes the id filters") {
     // (graft_cosine's own codegen residency is asserted in
     // GraftFunctionsSpec on a clean scan+project; here the stage also
