@@ -833,6 +833,94 @@ object TrainingDataQueries {
        |FROM hits h JOIN totals t ON h.doc_id = t.doc_id
        |ORDER BY h.doc_id""".stripMargin
 
+  // --- incremental dedup via a broadcast Bloom filter -----------------------
+  //
+  // Deduplicating a NEW ingest batch against the historical corpus is the
+  // incremental form of exact dedup — and the one place a plain anti-join
+  // is a scale-killer: it shuffles the 100 TB history on every batch. The
+  // Bloom pattern builds a fixed-size bit array over the history's
+  // content hashes ONCE (one pass, partial bit_or aggregation into
+  // 63-bit words — 63, not 64, because DuckDB rejects 1<<63 as BIGINT
+  // overflow; the word table is KBs at any corpus size), broadcasts
+  // it, and probes the batch with pure per-row math; only the ~1% of
+  // batch rows the filter passes ever reach the residual exact join.
+  // The filter is deterministic (k md5-derived bit positions), so DuckDB
+  // reproduces it bit-for-bit and the oracle checks the false-positive
+  // behavior itself, not just the exact-dup truth. Demo m=4096/k=3 —
+  // production sizes m ~ 10 bits/key with the same plan shape.
+
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  private def bloomPos(h: Column, j: Column): Column =
+    pmod(md5Sid(concat(h, j.cast("string")), 12), lit(BloomBits.toLong))
+
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    // identity = prefix-64 fingerprint, not the full-text hash: catches
+    // the boilerplate-prefix duplicates the synthetic corpus actually
+    // contains, so the oracle exercises hits, misses AND false positives
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"))
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).select("h").distinct()
+    val js = explode(typedLit((0 until BloomK).toList)).as("j")
+    val words = hist.select(col("h"), js)
+      .select(bloomPos(col("h"), col("j")).as("p"))
+      .select(expr("p DIV 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("wd"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val probe = batch.select(col("doc_id"), col("h"), js)
+      .select(col("doc_id"), col("h"), bloomPos(col("h"), col("j")).as("p"))
+      .select(col("doc_id"), col("h"), expr("p DIV 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
+      .join(broadcast(words), Seq("w"), "left")
+      .select(col("doc_id"), col("h"),
+        when(col("wd").isNotNull && (col("wd").bitwiseAND(col("m")) =!= 0), 1)
+          .otherwise(0).as("hit"))
+      .groupBy("doc_id", "h")
+      .agg((sum("hit") === BloomK).cast("int").as("bloom_hit"))
+    val exact = batch.join(hist.withColumnRenamed("h", "eh"),
+        col("h") === col("eh"), "left")
+      .select(col("doc_id"), col("eh").isNotNull.cast("int").as("exact_dup"))
+    probe.join(exact, "doc_id")
+      .select("doc_id", "bloom_hit", "exact_dup")
+      .orderBy("doc_id")
+  }
+
+  private def qBloomPruneSql: String = {
+    val posSql = (col: String) =>
+      s"('0x' || substr(md5($col || CAST(j AS VARCHAR)), 1, 12))::BIGINT % $BloomBits"
+    s"""WITH hist AS (
+       |  SELECT DISTINCT md5(substr(text, 1, 64)) AS h
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |js AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j),
+       |hpos AS (SELECT ${posSql("h")} AS p FROM hist CROSS JOIN js),
+       |words AS (
+       |  SELECT p // 63 AS w, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS wd
+       |  FROM hpos GROUP BY 1),
+       |batch AS (
+       |  SELECT doc_id, md5(substr(text, 1, 64)) AS h
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |bpos AS (SELECT doc_id, h, ${posSql("h")} AS p FROM batch CROSS JOIN js),
+       |probe AS (
+       |  SELECT b.doc_id, b.h,
+       |    CASE WHEN w.wd IS NOT NULL
+       |      AND (w.wd & (1::BIGINT << CAST(b.p % 63 AS INT))) <> 0
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM bpos b LEFT JOIN words w ON b.p // 63 = w.w),
+       |bh AS (
+       |  SELECT doc_id, CASE WHEN sum(hit) = $BloomK THEN 1 ELSE 0 END AS bloom_hit
+       |  FROM probe GROUP BY 1),
+       |ex AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN EXISTS (SELECT 1 FROM hist x WHERE x.h = b.h)
+       |      THEN 1 ELSE 0 END AS exact_dup
+       |  FROM batch b)
+       |SELECT bh.doc_id, bh.bloom_hit, ex.exact_dup
+       |FROM bh JOIN ex ON bh.doc_id = ex.doc_id
+       |ORDER BY bh.doc_id""".stripMargin
+  }
+
   // --- within-document repetition signals (Gopher-style quality rules) ------
   //
   // Two classic repetition filters from large-corpus curation: the
@@ -1349,6 +1437,7 @@ object TrainingDataQueries {
     "q_token_count" -> (qTokenCount _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_repetition" -> (qRepetition _),
     "q_page_offsets" -> (qPageOffsets _),
     "q_context_format" -> (qContextFormat _),
@@ -1378,6 +1467,7 @@ object TrainingDataQueries {
     "q_token_count" -> qTokenCountSql,
     "q_doc_fingerprint" -> qDocFingerprintSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_bloom_prune" -> qBloomPruneSql,
     "q_repetition" -> qRepetitionSql,
     "q_page_offsets" -> qPageOffsetsSql,
     "q_context_format" -> qContextFormatSql,

@@ -92,6 +92,13 @@ class PlanGuardSpec extends AnyFunSuite {
       s"bigram mode must partial-aggregate before the shuffle:\n${p.take(3000)}")
   }
 
+  test("q_bloom_prune broadcasts the filter word table to the probe side") {
+    // the whole point of the Bloom pattern is that the history never
+    // re-shuffles per batch: the bit-array words must BROADCAST
+    val p = plan("q_bloom_prune")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_ann_cosine_topk broadcasts the query vector and pushes the id filters") {
     // (graft_cosine's own codegen residency is asserted in
     // GraftFunctionsSpec on a clean scan+project; here the stage also
