@@ -1413,7 +1413,140 @@ object TrainingDataQueries {
        |  AND n_toks >= 20 AND frac < 0.9
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- corpus-frequency boilerplate scrub (CCNet-style) ---------------------
+
+  /** Boilerplate / stopword scrub, the CCNet-style corpus-level rewrite:
+    * rank tokens by document frequency, take the top-k as the boilerplate
+    * set, and rewrite every document with those tokens removed.
+    *
+    * Scale shape (the reason this survives 100 TB): the df table is one
+    * token-keyed hash aggregation (map-side partial agg — each task
+    * pre-counts its shard's distinct (doc, token) pairs); the top-k cut
+    * is a distributed TakeOrdered (k rows cross the wire per task, not
+    * the vocabulary); the resulting stopword list is O(k) and rides a
+    * 1-row broadcast; the rewrite itself is a narrow per-row projection
+    * (`filter(ts, …)` against the broadcast array) — NO per-document
+    * shuffle anywhere. A df-threshold variant is the same plan with the
+    * limit replaced by `dfc > θ·N`; rank-based is used here because the
+    * synthetic corpus vocabulary is uniformly frequent.
+    */
+  private def qBoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val toks = sparkToks(s, dir)
+    val top = toks
+      .select(explode(array_distinct(col("ts"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("dfc"))
+      .orderBy(col("dfc").desc, col("tok").asc)
+      .limit(5)
+      .agg(sort_array(collect_list("tok")).as("fl"))
+    toks.crossJoin(broadcast(top))
+      .select(col("doc_id"),
+        size(filter(col("ts"), x => !array_contains(col("fl"), x)))
+          .cast("long").as("n_kept"),
+        size(filter(col("ts"), x => array_contains(col("fl"), x)))
+          .cast("long").as("n_removed"),
+        md5(concat_ws(" ",
+          filter(col("ts"), x => !array_contains(col("fl"), x)))).as("scrub_md5"))
+  }
+
+  private val qBoilerplateScrubSql =
+    s"""WITH $TokensCte,
+       |df AS (
+       |  SELECT tok, count(*) AS dfc
+       |  FROM (SELECT doc_id, unnest(list_distinct(ts)) AS tok FROM toks)
+       |  GROUP BY 1),
+       |top5 AS (SELECT tok FROM df ORDER BY dfc DESC, tok LIMIT 5),
+       |fl AS (SELECT coalesce(list(tok ORDER BY tok), []) AS fl FROM top5)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(ts, x -> NOT list_contains(fl, x))) AS BIGINT) AS n_kept,
+       |  CAST(len(list_filter(ts, x -> list_contains(fl, x))) AS BIGINT) AS n_removed,
+       |  md5(array_to_string(list_filter(ts, x -> NOT list_contains(fl, x)), ' ')) AS scrub_md5
+       |FROM toks, fl""".stripMargin
+
+  // --- PII redaction --------------------------------------------------------
+
+  /** Email / phone patterns kept inside the RE2-compatible subset (no
+    * backreferences, no lookaround) so Spark's java.util.regex and the
+    * DuckDB oracle's RE2 agree byte-for-byte.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-\\d{3}-\\d{4}"
+
+  /** PII redaction over an enriched corpus: the synthetic documents carry
+    * no PII, so the query first splices a deterministic email + E.164-ish
+    * phone into each row (doc_id-derived — identical in both engines),
+    * then counts and redacts them with `regexp_count`/`regexp_replace`.
+    * Narrow per-row projection — codegen'd, no shuffle, any corpus size.
+    * Output carries the match counts, a redacted prefix, and the md5 of
+    * the full redacted text so the oracle checks the whole rewrite.
+    */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("raw", concat(
+        lit("contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" "), col("text")))
+      .withColumn("red",
+        regexp_replace(regexp_replace(col("raw"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+        substring(col("red"), 1, 48).as("red_prefix"),
+        md5(col("red")).as("red_md5"))
+
+  private val qPiiScrubSql =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, raw,
+       |    regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS red
+       |  FROM r)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  substr(red, 1, 48) AS red_prefix,
+       |  md5(red) AS red_md5
+       |FROM red""".stripMargin
+
+  // --- exact per-group quantiles --------------------------------------------
+
+  /** Per-source exact length quantiles (p25/p50/p75 + min/max/count) via
+    * Spark's exact `percentile` aggregate. Scale note: exact percentile
+    * keeps a value→count histogram per group with partial-aggregate
+    * merging, so memory is O(distinct lengths per source) — bounded for
+    * an integer length domain even at 100 TB. For continuous/unbounded
+    * domains the same query swaps in `percentile_approx` (GK sketch).
+    * Both engines interpolate at rank p·(n−1) with exact binary
+    * fractions over integer inputs, so the doubles match bit-for-bit.
+    */
+  private def qLengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"), element_at(col("qs"), 3).as("p75"),
+        col("min_chars"), col("max_chars"), col("n_docs"))
+      .orderBy("source")
+
+  private val qLengthQuantilesSql =
+    """SELECT source,
+      |  quantile_cont(n_chars, 0.25) AS p25,
+      |  quantile_cont(n_chars, 0.50) AS p50,
+      |  quantile_cont(n_chars, 0.75) AS p75,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate_scrub" -> (qBoilerplateScrub _),
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_length_quantiles" -> (qLengthQuantiles _),
     "q_training_select" -> (qTrainingSelect _),
     "q_train_split" -> (qTrainSplit _),
     "q_corpus_mix" -> (qCorpusMix _),
@@ -1444,6 +1577,9 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate_scrub" -> qBoilerplateScrubSql,
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_length_quantiles" -> qLengthQuantilesSql,
     "q_training_select" -> qTrainingSelectSql,
     "q_train_split" -> qTrainSplitSql,
     "q_corpus_mix" -> qCorpusMixSql,
