@@ -1543,7 +1543,77 @@ object TrainingDataQueries {
       |  count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- sequence packing (sample packing for pretraining) --------------------
+
+  /** Sample packing: concatenate each source's documents in (doc_id)
+    * order into fixed-capacity token windows (capacity 256 here) and
+    * report, per source, the window count, how many documents straddle a
+    * window boundary, and a checksum over every document's exact token
+    * offset — the op that turns a curated corpus into fixed-length
+    * training sequences.
+    *
+    * The token-offset prefix sum is computed in TWO sharded levels, the
+    * same discipline as the KMV sketch: the wide running sum is windowed
+    * per (source, shard) where shard = doc_id DIV 64 (floor is monotone
+    * in doc_id, so shard ranges respect the pack order); shard totals —
+    * one tiny row per shard — then get a per-source cumulative window and
+    * broadcast-join back as base offsets. No task ever scans a whole
+    * source's documents in one sorted partition, which is what the naive
+    * `Window.partitionBy(source).orderBy(doc_id)` would do to a 100 TB
+    * source. The DuckDB oracle computes the same offsets with the naive
+    * single window — integer sums are associative, so the two agree
+    * exactly, and `sum_off` checksums every per-document offset.
+    */
+  private def qSequencePack(s: SparkSession, dir: String): DataFrame = {
+    val cap = 256L
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(simpleTokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("shard", expr("doc_id DIV 64"))
+    val wIn = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = docs.withColumn("cum", sum("n_toks").over(wIn))
+    val wShard = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = docs.groupBy("source", "shard")
+      .agg(sum("n_toks").as("shard_toks"))
+      .withColumn("base", sum("shard_toks").over(wShard) - col("shard_toks"))
+      .select("source", "shard", "base")
+    inShard.join(broadcast(bases), Seq("source", "shard"))
+      .withColumn("off", col("base") + col("cum") - col("n_toks"))
+      .withColumn("spans",
+        expr(s"(off + n_toks - 1) DIV $cap") - expr(s"off DIV $cap") + 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_tokens"),
+        sum(when(col("spans") > 1, 1L).otherwise(0L)).as("n_straddlers"),
+        sum("off").as("sum_off"))
+      .withColumn("n_windows", expr(s"(sum_tokens + ${cap - 1}) DIV $cap"))
+      .select("source", "n_docs", "sum_tokens", "n_windows",
+        "n_straddlers", "sum_off")
+      .orderBy("source")
+  }
+
+  private val qSequencePackSql =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> ''))::BIGINT AS n_toks
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, doc_id, n_toks,
+       |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS off
+       |  FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       |  CAST((sum(n_toks) + 255) // 256 AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN (off + n_toks - 1) // 256 > off // 256
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       |  CAST(sum(off) AS BIGINT) AS sum_off
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sequence_pack" -> (qSequencePack _),
     "q_boilerplate_scrub" -> (qBoilerplateScrub _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_length_quantiles" -> (qLengthQuantiles _),
@@ -1577,6 +1647,7 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_sequence_pack" -> qSequencePackSql,
     "q_boilerplate_scrub" -> qBoilerplateScrubSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_length_quantiles" -> qLengthQuantilesSql,

@@ -58,6 +58,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("last(view_id"), p.take(2000))
   }
 
+  test("q_sequence_pack prefix-sums in two sharded levels with a broadcast base join") {
+    val p = plan("q_sequence_pack")
+    // the wide running sum must be windowed per (source, shard) — a
+    // source-only window would sort a whole 100 TB source in one task
+    assert(p.contains("windowspecdefinition(source") &&
+      p.linesIterator.exists(l => l.contains("Window [sum(n_toks") &&
+        l.contains("shard")),
+      s"per-(source,shard) window missing:\n${p.take(3000)}")
+    // shard base offsets (one row per shard) ride a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), s"bases not broadcast:\n${p.take(3000)}")
+  }
+
   test("q_kmv_sketch ranks k-min in two sharded window levels with pushed limits") {
     val p = plan("q_kmv_sketch")
     // two rank levels: (source, shard) then source alone — no task ever
