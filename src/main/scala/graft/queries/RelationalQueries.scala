@@ -285,7 +285,64 @@ object RelationalQueries {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** Event-time interval join (click→view attribution within a 10-minute
+    * lookback) — the batch form of [[graft.streaming.IntervalJoin]],
+    * aggregated per user. Plans as a user_id equi-join with the time
+    * bound as a post-join filter: per-user event lists are bounded, so
+    * the join stays linear in the event count at any scale (the
+    * stream-stream twin bounds its state with the same predicate).
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val pairs = graft.streaming.IntervalJoin.attribute(
+      ev.filter(col("event_type") === "click").as[graft.streaming.Sessionize.Event],
+      ev.filter(col("event_type") === "view").as[graft.streaming.Sessionize.Event],
+      lookbackSec = 600L)
+    pairs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("click_id").as("n_clicks_matched"),
+        sum("view_id").as("view_checksum"))
+      .orderBy("user_id")
+  }
+
+  private val qIntervalJoinSql =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id AS view_user, event_id AS view_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT * FROM c JOIN v ON user_id = view_user
+      |    AND view_ts <= click_ts
+      |    AND view_ts > click_ts - INTERVAL 600 SECONDS)
+      |SELECT user_id, count(*) AS n_pairs,
+      |  count(DISTINCT click_id) AS n_clicks_matched,
+      |  CAST(sum(view_id) AS BIGINT) AS view_checksum
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ROLLUP aggregation over (lang, source) with grouping_id — the
+    * multi-level reporting shape (§2.4 family). Spark plans rollup as an
+    * Expand (×3 rows here) feeding the usual partial+final hash agg, so
+    * the expansion is absorbed map-side — no extra shuffle vs a flat
+    * group-by at any scale.
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup("lang", "source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .select("lang", "source", "gid", "n_docs", "sum_chars")
+      .orderBy("gid", "lang", "source")
+
+  private val qRollupSql =
+    """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY 3, 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_rollup" -> (qRollup _),
     "q1_agg" -> (q1Agg _),
     "q_topk_docs" -> (qTopkDocs _),
     "q_window_dedup" -> (qWindowDedup _),
@@ -301,6 +358,8 @@ object RelationalQueries {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" -> qIntervalJoinSql,
+    "q_rollup" -> qRollupSql,
     "q1_agg" -> q1AggSql,
     "q_topk_docs" -> qTopkDocsSql,
     "q_window_dedup" -> qWindowDedupSql,
