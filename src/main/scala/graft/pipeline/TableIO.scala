@@ -14,6 +14,12 @@ import scala.jdk.CollectionConverters._
   * object so a real Iceberg catalog (`spark.table(...)` + `MERGE`) drops
   * in unchanged on a real cluster.
   *
+  * Schema evolution: ADDED columns work across snapshots via parquet
+  * schema merging at read (older buckets surface NULL — see
+  * `SchemaEvolutionSpec`). Column RENAMES/DROPS need Iceberg's field-id
+  * indirection, which a name-based parquet emulation cannot express;
+  * they are out of scope here and arrive for free with a real catalog.
+  *
   * Commit protocol: write JSON to `manifest.json.tmp`, then atomic
   * `Files.move(..., ATOMIC_MOVE)` over `manifest.json` — readers never see
   * a torn manifest (same single-file-swap discipline Iceberg uses for its

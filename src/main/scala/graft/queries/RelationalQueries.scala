@@ -340,7 +340,40 @@ object RelationalQueries {
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY 3, 1, 2""".stripMargin
 
+  /** Explicit set operators (§2.6) as first-class plans: INTERSECT /
+    * EXCEPT / UNION-DISTINCT over two document id sets. Spark compiles
+    * intersect/except to left-semi / left-anti hash joins plus a
+    * distinct — key-partitioned shuffles with partial aggregation, the
+    * same linear shapes as any equi-join at 100 TB.
+    */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val big = d.filter(col("n_chars") > 300).select("doc_id")
+    val en = d.filter(col("lang") === "en").select("doc_id")
+    def agg(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        coalesce(sum("doc_id"), lit(0L)).as("chk"))
+        .select(lit(op).as("op"), col("n"), col("chk"))
+    agg(big.intersect(en), "intersect")
+      .union(agg(big.except(en), "except"))
+      .union(agg(big.union(en).distinct(), "union"))
+  }
+
+  private val qSetOpsSql =
+    """WITH big AS (SELECT doc_id FROM documents WHERE n_chars > 300),
+      |en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+      |SELECT 'intersect' AS op, count(*) AS n,
+      |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS chk
+      |FROM (SELECT * FROM big INTERSECT SELECT * FROM en)
+      |UNION ALL
+      |SELECT 'except', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT)
+      |FROM (SELECT * FROM big EXCEPT SELECT * FROM en)
+      |UNION ALL
+      |SELECT 'union', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT)
+      |FROM (SELECT * FROM big UNION SELECT * FROM en)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> (qSetOps _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_rollup" -> (qRollup _),
     "q1_agg" -> (q1Agg _),
@@ -358,6 +391,7 @@ object RelationalQueries {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_set_ops" -> qSetOpsSql,
     "q_interval_join" -> qIntervalJoinSql,
     "q_rollup" -> qRollupSql,
     "q1_agg" -> q1AggSql,
