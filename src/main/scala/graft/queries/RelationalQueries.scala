@@ -18,17 +18,17 @@ object RelationalQueries {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        Rounding.r(sum("l_quantity"), 2).as("sum_qty"),
+        Rounding.r(sum("l_extendedprice"), 2).as("sum_price"),
+        Rounding.r(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private val q1AggSql =
     """SELECT l_returnflag, l_linestatus,
-      |round(sum(l_quantity), 2) AS sum_qty,
-      |round(sum(l_extendedprice), 2) AS sum_price,
-      |round(avg(l_discount), 6) AS avg_disc,
+      |floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+      |floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price,
+      |floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
       |count(*) AS n
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -79,12 +79,12 @@ object RelationalQueries {
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total"))
+        Rounding.r(sum("o_totalprice"), 2).as("total"))
       .orderBy("c_mktsegment")
 
   private val qBroadcastJoinSql =
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |round(sum(o_totalprice), 2) AS total
+      |floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -167,13 +167,13 @@ object RelationalQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("score")),
       "score", "norm", Seq("lang"))
-      .select(col("doc_id"), col("lang"), round(col("norm"), 6).as("norm"))
+      .select(col("doc_id"), col("lang"), Rounding.r(col("norm"), 6).as("norm"))
       .orderBy("doc_id")
 
   private val qMinmaxNormSql =
     """SELECT doc_id, lang,
-      |round(CASE WHEN mx = mn THEN 1.0
-      |  ELSE (score - mn) / (mx - mn) END, 6) AS norm
+      |floor((CASE WHEN mx = mn THEN 1.0
+      |  ELSE (score - mn) / (mx - mn) END) * 1e6 + 0.5) / 1e6 AS norm
       |FROM (
       |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS score,
       |    min(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang) AS mn,
@@ -185,12 +185,12 @@ object RelationalQueries {
     t(s, dir, "events")
       .groupBy(date_format(date_trunc("hour", col("ts")),
         "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .agg(count(lit(1)).as("n"), Rounding.r(sum("value"), 4).as("total"))
       .orderBy("hour", "event_type")
 
   private val qEventsWindowSql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-      |event_type, count(*) AS n, round(sum(value), 4) AS total
+      |event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --- page-proximity range join (J4): |page_a - page_b| <= 1, executed
@@ -273,13 +273,13 @@ object RelationalQueries {
       .withColumn("matched_view", last("view_id", ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("purchase_id"), col("user_id"),
-        col("matched_view").as("view_id"), round(col("value"), 4).as("value"))
+        col("matched_view").as("view_id"), Rounding.r(col("value"), 4).as("value"))
       .orderBy("purchase_id")
   }
 
   private val qAsofJoinSql =
     """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
-      |  round(p.value, 4) AS value
+      |  floor((p.value) * 1e4 + 0.5) / 1e4 AS value
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
@@ -372,7 +372,62 @@ object RelationalQueries {
       |SELECT 'union', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT)
       |FROM (SELECT * FROM big UNION SELECT * FROM en)""".stripMargin
 
+  /** Exact-k stratified sample: rank each language's documents by a
+    * salted content-independent hash and keep exactly k=10 per stratum.
+    * The `rank <= k` cut is pushed below the shuffle as a partial
+    * WindowGroupLimit (each map task forwards at most k rows per lang),
+    * so the sample never funnels a stratum through one task — the
+    * deterministic per-stratum sampler a curation pipeline uses when it
+    * needs exact counts rather than Bernoulli rates (`q_corpus_mix`).
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("strat:"), col("doc_id"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+
+  private val qStratifiedSampleSql =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      |  FROM h)
+      |SELECT lang, rn, doc_id FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin
+
+  /** PIVOT: language distribution per source as a wide matrix. The value
+    * list is passed EXPLICITLY — `pivot("lang")` without values runs a
+    * driver-side distinct over the column first, a hidden extra job (and
+    * collect) a 100 TB pipeline never wants; with values it is one
+    * partial+final hash agg emitting 5 counters per group.
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
+  private val qPivotSql =
+    """SELECT source,
+      |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_pivot" -> (qPivot _),
     "q_set_ops" -> (qSetOps _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_rollup" -> (qRollup _),
@@ -391,6 +446,8 @@ object RelationalQueries {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_stratified_sample" -> qStratifiedSampleSql,
+    "q_pivot" -> qPivotSql,
     "q_set_ops" -> qSetOpsSql,
     "q_interval_join" -> qIntervalJoinSql,
     "q_rollup" -> qRollupSql,

@@ -60,7 +60,7 @@ object RetrievalQueries {
   // hybridSearch keeps — would blank the comparison).
   private def qBm25Docs(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25Scores(t(s, dir, "documents"), "doc_id", "text", KeywordQuery)
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .select(col("doc_id"), Rounding.r(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(100)
 
@@ -86,10 +86,10 @@ object RetrievalQueries {
        |      ELSE idf_raw END AS idf
        |  FROM dfreq),
        |q(term, qn) AS (VALUES $qValues)
-       |SELECT tf.doc_id, round(sum(
+       |SELECT tf.doc_id, floor((sum(
        |    q.qn * idf.idf * (tf.tf * (1.5 + 1)) /
        |    (tf.tf + 1.5 * (1 - 0.75 + 0.75 * tf.dl / (SELECT avgdl FROM stats)))
-       |  ), 4) AS score
+       |  )) * 1e4 + 0.5) / 1e4 AS score
        |FROM tf JOIN q ON tf.term = q.term JOIN idf ON tf.term = idf.term
        |GROUP BY 1
        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
@@ -106,7 +106,7 @@ object RetrievalQueries {
     Retrieval.rrfFuse(
       Seq(byChars -> Retrieval.VectorWeight, byLen -> Retrieval.KeywordWeight),
       "doc_id", "score")
-      .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf"))
+      .select(col("doc_id"), Rounding.r(col("rrf_score"), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
   }
 
@@ -121,7 +121,7 @@ object RetrievalQueries {
       |  SELECT doc_id, 0.7 / (60 + rank + 1) AS contrib FROM a
       |  UNION ALL
       |  SELECT doc_id, 0.3 / (60 + rank + 1) AS contrib FROM b)
-      |SELECT doc_id, round(sum(contrib), 6) AS rrf
+      |SELECT doc_id, floor((sum(contrib)) * 1e6 + 0.5) / 1e6 AS rrf
       |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id""".stripMargin
 
   // --- full retrieval funnel (query lifecycle §3.2 of SURVEY.md) ------------
@@ -204,7 +204,7 @@ object RetrievalQueries {
     }
     // unweighted RRF re-fusion of the per-variation reranks
     Retrieval.rrfFuse(rankings.map(_ -> 1.0), "doc_id", "score")
-      .select(col("doc_id"), round(col("rrf_score"), 6).as("fused"))
+      .select(col("doc_id"), Rounding.r(col("rrf_score"), 6).as("fused"))
       .orderBy(col("fused").desc, col("doc_id").asc)
       .limit(FinalTopK)
   }
@@ -291,7 +291,7 @@ object RetrievalQueries {
        |  SELECT doc_id, sum(1.0 / (60 + rank)) AS fused
        |  FROM (${Variations.indices.map(v => s"SELECT * FROM rr_$v").mkString(" UNION ALL ")})
        |  GROUP BY 1)
-       |SELECT doc_id, round(fused, 6) AS fused
+       |SELECT doc_id, floor((fused) * 1e6 + 0.5) / 1e6 AS fused
        |FROM refused ORDER BY fused DESC, doc_id LIMIT $FinalTopK""".stripMargin
   }
 

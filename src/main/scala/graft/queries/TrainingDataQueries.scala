@@ -133,7 +133,7 @@ object TrainingDataQueries {
       .join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
       .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
       .withColumn("jacc",
-        round(col("inter") / (col("ca") + col("cb") - col("inter")), 5))
+        Rounding.r(col("inter") / (col("ca") + col("cb") - col("inter")), 5))
       .filter(col("jacc") >= 0.01)
       .select("doc_a", "doc_b", "jacc")
       .orderBy(desc("jacc"), col("doc_a"), col("doc_b"))
@@ -161,9 +161,9 @@ object TrainingDataQueries {
        |    AND a.lb = b.lb AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |  round(inter / (na.c + nb.c - inter), 5) AS jacc
+       |  floor((inter / (na.c + nb.c - inter)) * 1e5 + 0.5) / 1e5 AS jacc
        |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
-       |WHERE round(inter / (na.c + nb.c - inter), 5) >= 0.01
+       |WHERE floor((inter / (na.c + nb.c - inter)) * 1e5 + 0.5) / 1e5 >= 0.01
        |ORDER BY jacc DESC, doc_a, doc_b LIMIT 200""".stripMargin
 
   // --- MinHash + LSH banding (token-level) ----------------------------------
@@ -213,7 +213,7 @@ object TrainingDataQueries {
       .join(n.toDF("doc_a", "ca"), "doc_a")
       .join(n.toDF("doc_b", "cb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter") / (col("ca") + col("cb") - col("inter")), 5).as("jacc"))
+        Rounding.r(col("inter") / (col("ca") + col("cb") - col("inter")), 5).as("jacc"))
       .orderBy(desc("jacc"), col("doc_a"), col("doc_b"))
   }
 
@@ -253,7 +253,7 @@ object TrainingDataQueries {
        |  JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
        |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b,
-       |  round(i.inter / (na.c + nb.c - i.inter), 5) AS jacc
+       |  floor((i.inter / (na.c + nb.c - i.inter)) * 1e5 + 0.5) / 1e5 AS jacc
        |FROM inter i JOIN n na ON i.doc_a = na.doc_id
        |JOIN n nb ON i.doc_b = nb.doc_id
        |ORDER BY jacc DESC, doc_a, doc_b""".stripMargin
@@ -396,7 +396,7 @@ object TrainingDataQueries {
     val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(expr("graft_cosine(e, qe)"), 4).as("cos"))
+      .select(col("vec_id"), Rounding.r(expr("graft_cosine(e, qe)"), 4).as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(10)
   }
@@ -407,9 +407,9 @@ object TrainingDataQueries {
       |  FROM embeddings),
       |q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
       |SELECT vec_id,
-      |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
+      |  floor((list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
       |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
-      |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+      |     sqrt(list_sum(list_transform(qe, x -> x * x))))) * 1e4 + 0.5) / 1e4 AS cos
       |FROM e, q WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
@@ -474,7 +474,7 @@ object TrainingDataQueries {
       .groupBy("vec_id").agg(first("e").as("e"), first("qe").as("qe"),
         count(lit(1)).as("bands_hit"))
       .select(col("vec_id"), col("bands_hit"),
-        round(expr("graft_cosine(e, qe)"), 4).as("cos"))
+        Rounding.r(expr("graft_cosine(e, qe)"), 4).as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(5)
   }
@@ -488,9 +488,9 @@ object TrainingDataQueries {
        |  FROM sg JOIN q ON sg.band = q.qband AND sg.sig = q.qsig
        |  WHERE sg.vec_id <> 0 GROUP BY 1)
        |SELECT vec_id, bands_hit,
-       |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
+       |  floor((list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
        |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
-       |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+       |     sqrt(list_sum(list_transform(qe, x -> x * x))))) * 1e4 + 0.5) / 1e4 AS cos
        |FROM cand
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
@@ -521,7 +521,7 @@ object TrainingDataQueries {
       .withColumn("cos", expr("graft_cosine(ea, eb)"))
       .filter(col("cos") > 0.3)
       .select(col("id_a"), col("id_b"), col("bands_hit"),
-        round(col("cos"), 4).as("cos"))
+        Rounding.r(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
 
@@ -539,7 +539,7 @@ object TrainingDataQueries {
        |      (sqrt(list_sum(list_transform(ea, x -> x * x))) *
        |       sqrt(list_sum(list_transform(eb, x -> x * x)))) AS cos
        |  FROM cand)
-       |SELECT id_a, id_b, bands_hit, round(cos, 4) AS cos FROM p
+       |SELECT id_a, id_b, bands_hit, floor((cos) * 1e4 + 0.5) / 1e4 AS cos FROM p
        |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin
 
   // --- ANN: IVF cell-probed search, nlist ~ √N + multiprobe -----------------
@@ -574,7 +574,7 @@ object TrainingDataQueries {
     assigned.join(broadcast(qcells), col("cell") === col("qcell"))
       .filter(col("vec_id") =!= col("nlist"))
       .withColumn("cos", cosAgainst("e", "qe"))
-      .select(col("vec_id"), col("cell"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_id"), col("cell"), Rounding.r(col("cos"), 4).as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(5)
   }
@@ -595,9 +595,9 @@ object TrainingDataQueries {
       |assigned AS (SELECT vec_id, e, cid AS cell, nlist FROM scored WHERE rn = 1),
       |q AS (SELECT e AS qe, cid AS qcell FROM scored WHERE vec_id = nlist AND rn <= 2)
       |SELECT vec_id, cell,
-      |  round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
+      |  floor((list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])) /
       |    (sqrt(list_sum(list_transform(e, x -> x * x))) *
-      |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+      |     sqrt(list_sum(list_transform(qe, x -> x * x))))) * 1e4 + 0.5) / 1e4 AS cos
       |FROM assigned JOIN q ON assigned.cell = q.qcell
       |WHERE vec_id <> nlist
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
@@ -630,9 +630,9 @@ object TrainingDataQueries {
         when(col("vavg").isNull, col("te")).otherwise(concat(col("te"), col("vavg"))))
       .select(col("doc_id"),
         size(col("fused")).as("dim"),
-        round(element_at(col("fused"), 1), 4).as("f_first"),
-        round(element_at(col("fused"), size(col("fused"))), 4).as("f_last"),
-        round(expr("aggregate(fused, 0D, (acc, v) -> acc + v)"), 4).as("checksum"))
+        Rounding.r(element_at(col("fused"), 1), 4).as("f_first"),
+        Rounding.r(element_at(col("fused"), size(col("fused"))), 4).as("f_last"),
+        Rounding.r(expr("aggregate(fused, 0D, (acc, v) -> acc + v)"), 4).as("checksum"))
       .orderBy("doc_id")
   }
 
@@ -660,9 +660,9 @@ object TrainingDataQueries {
       |         ELSE list_concat(te, vavg.vavg) END AS fused
       |  FROM t LEFT JOIN vavg ON t.doc_id = vavg.doc_id)
       |SELECT doc_id, len(fused) AS dim,
-      |  round(fused[1], 4) AS f_first,
-      |  round(fused[len(fused)], 4) AS f_last,
-      |  round(list_sum(fused), 4) AS checksum
+      |  floor((fused[1]) * 1e4 + 0.5) / 1e4 AS f_first,
+      |  floor((fused[len(fused)]) * 1e4 + 0.5) / 1e4 AS f_last,
+      |  floor((list_sum(fused)) * 1e4 + 0.5) / 1e4 AS checksum
       |FROM f ORDER BY doc_id""".stripMargin
 
   // --- language ID (stopword-ratio heuristic) -------------------------------
@@ -673,7 +673,7 @@ object TrainingDataQueries {
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     sparkToks(s, dir)
-      .withColumn("ratio", round(
+      .withColumn("ratio", Rounding.r(
         size(filter(col("ts"), x => array_contains(stopArray, x))) /
           greatest(size(col("ts")), lit(1)).cast("double"), 5))
       .withColumn("predicted",
@@ -684,10 +684,10 @@ object TrainingDataQueries {
   private val qLangIdSql =
     s"""WITH $TokensCte
        |SELECT doc_id,
-       |  round(len(list_filter(ts, x -> list_contains($stopListSql, x))) /
-       |    greatest(len(ts), 1)::DOUBLE, 5) AS ratio,
-       |  CASE WHEN round(len(list_filter(ts, x -> list_contains($stopListSql, x))) /
-       |    greatest(len(ts), 1)::DOUBLE, 5) >= 0.12
+       |  floor((len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |    greatest(len(ts), 1)::DOUBLE) * 1e5 + 0.5) / 1e5 AS ratio,
+       |  CASE WHEN floor((len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |    greatest(len(ts), 1)::DOUBLE) * 1e5 + 0.5) / 1e5 >= 0.12
        |    THEN 'en_like' ELSE 'other' END AS predicted
        |FROM toks ORDER BY doc_id""".stripMargin
 
@@ -705,7 +705,7 @@ object TrainingDataQueries {
         expr("aggregate(ts, 0L, (acc, x) -> acc + length(x))") /
           greatest(col("n_toks"), lit(1)).cast("double"))
       .select(col("doc_id"), col("n_toks"),
-        round(col("diversity") * 0.4 + col("stop_ratio") * 0.3 +
+        Rounding.r(col("diversity") * 0.4 + col("stop_ratio") * 0.3 +
           least(col("mean_len") / 10.0, lit(1.0)) * 0.3, 4).as("quality"))
       .orderBy("doc_id")
 
@@ -720,8 +720,8 @@ object TrainingDataQueries {
        |      greatest(len(ts), 1)::DOUBLE AS mean_len
        |  FROM toks)
        |SELECT doc_id, n_toks,
-       |  round(diversity * 0.4 + stop_ratio * 0.3 +
-       |    least(mean_len / 10.0, 1.0) * 0.3, 4) AS quality
+       |  floor((diversity * 0.4 + stop_ratio * 0.3 +
+       |    least(mean_len / 10.0, 1.0) * 0.3) * 1e4 + 0.5) / 1e4 AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
   // --- token counting (whitespace + BPE-ish regex) --------------------------
@@ -811,7 +811,7 @@ object TrainingDataQueries {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     hits.join(totals, "doc_id")
       .select(col("doc_id"), col("n_hits"), col("n_grams"),
-        round(col("n_hits") / col("n_grams").cast("double"), 5).as("contamination"))
+        Rounding.r(col("n_hits") / col("n_grams").cast("double"), 5).as("contamination"))
       .orderBy("doc_id")
   }
 
@@ -829,7 +829,7 @@ object TrainingDataQueries {
        |  SELECT c.doc_id, count(*) AS n_hits
        |  FROM corpus c JOIN bench b ON c.tok = b.tok GROUP BY 1)
        |SELECT h.doc_id, h.n_hits, t.n_grams,
-       |  round(h.n_hits / t.n_grams::DOUBLE, 5) AS contamination
+       |  floor((h.n_hits / t.n_grams::DOUBLE) * 1e5 + 0.5) / 1e5 AS contamination
        |FROM hits h JOIN totals t ON h.doc_id = t.doc_id
        |ORDER BY h.doc_id""".stripMargin
 
@@ -938,14 +938,14 @@ object TrainingDataQueries {
         "transform(sequence(0, size(ts)-3), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3)))")
         .as("tri"))
       .select(col("doc_id"),
-        round((size(col("tri")) - size(array_distinct(col("tri")))) /
+        Rounding.r((size(col("tri")) - size(array_distinct(col("tri")))) /
           size(col("tri")).cast("double"), 5).as("dup_tri_frac"))
     val bi = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))"))
       .as("tok"))
     val biStats = bi.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(round(max(col("c")) / sum(col("c")).cast("double"), 5)
+      .agg(Rounding.r(max(col("c")) / sum(col("c")).cast("double"), 5)
         .as("top_bigram_ratio"))
     triStats.join(biStats, "doc_id")
       .withColumn("flagged",
@@ -961,7 +961,7 @@ object TrainingDataQueries {
        |  FROM toks WHERE len(ts) >= 3),
        |tri_stats AS (
        |  SELECT doc_id,
-       |    round((len(tri) - len(list_distinct(tri))) / len(tri)::DOUBLE, 5)
+       |    floor(((len(tri) - len(list_distinct(tri))) / len(tri)::DOUBLE) * 1e5 + 0.5) / 1e5
        |      AS dup_tri_frac
        |  FROM t3),
        |bi AS (
@@ -970,7 +970,7 @@ object TrainingDataQueries {
        |  FROM toks WHERE len(ts) >= 3),
        |bc AS (SELECT doc_id, tok, count(*) AS c FROM bi GROUP BY 1, 2),
        |bi_stats AS (
-       |  SELECT doc_id, round(max(c) / sum(c)::DOUBLE, 5) AS top_bigram_ratio
+       |  SELECT doc_id, floor((max(c) / sum(c)::DOUBLE) * 1e5 + 0.5) / 1e5 AS top_bigram_ratio
        |  FROM bc GROUP BY 1)
        |SELECT t.doc_id, t.dup_tri_frac, b.top_bigram_ratio,
        |  CASE WHEN t.dup_tri_frac > 0.30 OR b.top_bigram_ratio > 0.18
@@ -1030,14 +1030,14 @@ object TrainingDataQueries {
         // Spark's base64 emits MIME 76-char line chunking; normalize to
         // the unchunked canonical form DuckDB produces
         regexp_replace(base64(encode(col("text"), "UTF-8")), "[\\r\\n]", "").as("b64"),
-        round(greatest(lit(0.0),
+        Rounding.r(greatest(lit(0.0),
           least(lit(1.0), lit(1.0) - col("n_chars") / 1000.0)), 5).as("similarity"))
       .orderBy("doc_id")
 
   private val qHashFuncsSql =
     """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
       |  base64(encode(text)) AS b64,
-      |  round(greatest(0.0, least(1.0, 1.0 - n_chars / 1000.0)), 5) AS similarity
+      |  floor((greatest(0.0, least(1.0, 1.0 - n_chars / 1000.0))) * 1e5 + 0.5) / 1e5 AS similarity
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
   // --- LLM-expansion output parser (F13, query_expansion.py:229-267) --------
@@ -1176,7 +1176,7 @@ object TrainingDataQueries {
         date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 4).as("total_value"))
+        Rounding.r(sum("value"), 4).as("total_value"))
       .drop("sess")
       .orderBy("user_id", "session_start")
   }
@@ -1186,7 +1186,7 @@ object TrainingDataQueries {
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
       |  count(*) AS n_events,
-      |  round(sum(value), 4) AS total_value
+      |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total_value
       |FROM (
       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
       |  FROM (
@@ -1263,7 +1263,7 @@ object TrainingDataQueries {
     kmin.join(exact, "source")
       .select(col("source"), col("exact_distinct"),
         when(col("kk") < KmvK, col("kk").cast("double"))
-          .otherwise(round(lit(KmvK - 1) / (col("hk") / denom), 4))
+          .otherwise(Rounding.r(lit(KmvK - 1) / (col("hk") / denom), 4))
           .as("est_distinct"))
       .orderBy("source")
   }
@@ -1285,7 +1285,7 @@ object TrainingDataQueries {
        |  SELECT source, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
        |SELECT kmin.source, exact.exact_distinct,
        |  CASE WHEN kk < $KmvK THEN kk::DOUBLE
-       |    ELSE round((${KmvK - 1}) / (hk / $denom.0), 4) END AS est_distinct
+       |    ELSE floor(((${KmvK - 1}) / (hk / $denom.0)) * 1e4 + 0.5) / 1e4 END AS est_distinct
        |FROM kmin JOIN exact ON kmin.source = exact.source
        |ORDER BY 1""".stripMargin
   }
@@ -1315,7 +1315,7 @@ object TrainingDataQueries {
           .when(col("frac") < 0.95, lit("val"))
           .otherwise(lit("test")))
       .groupBy("lang", "split")
-      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 2).as("avg_chars"))
+      .agg(count(lit(1)).as("n_docs"), Rounding.r(avg("n_chars"), 2).as("avg_chars"))
       .orderBy("lang", "split")
 
   private val qTrainSplitSql =
@@ -1324,7 +1324,7 @@ object TrainingDataQueries {
        |SELECT lang,
        |  CASE WHEN frac < 0.9 THEN 'train'
        |    WHEN frac < 0.95 THEN 'val' ELSE 'test' END AS split,
-       |  count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+       |  count(*) AS n_docs, floor((avg(n_chars)) * 1e2 + 0.5) / 1e2 AS avg_chars
        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Corpus mixing: per-source keep-rates (derived deterministically from
@@ -1334,7 +1334,7 @@ object TrainingDataQueries {
     */
   private def qCorpusMix(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("w", round(
+      .withColumn("w", Rounding.r(
         lit(0.2) + lit(0.6) * pmod(md5Sid(col("source"), 8), lit(100)) / 100.0, 4))
       .withColumn("keep", hashFrac(col("doc_id")) < col("w"))
       .groupBy("source")
@@ -1345,7 +1345,7 @@ object TrainingDataQueries {
   private val qCorpusMixSql =
     s"""WITH d AS (
        |  SELECT source,
-       |    round(0.2 + 0.6 * ((${md5SidSql("source", 8)} % 100) / 100.0), 4) AS w,
+       |    floor((0.2 + 0.6 * ((${md5SidSql("source", 8)} % 100) / 100.0)) * 1e4 + 0.5) / 1e4 AS w,
        |    $hashFracSql AS frac
        |  FROM documents)
        |SELECT source, any_value(w) AS weight, count(*) AS n_total,
@@ -1371,19 +1371,18 @@ object TrainingDataQueries {
       .withColumn("stop_ratio",
         size(filter(col("ts"), x => array_contains(stopArray, x))) /
           greatest(col("n_toks"), lit(1)).cast("double"))
-      .withColumn("quality", round(
+      .withColumn("quality", Rounding.r(
         size(array_distinct(col("ts"))) /
           greatest(col("n_toks"), lit(1)).cast("double") * 0.4 +
         col("stop_ratio") * 0.3 +
         least(expr("aggregate(ts, 0L, (acc, x) -> acc + length(x))") /
-          greatest(col("n_toks"), lit(1)).cast("double") / 10.0, lit(1.0)) * 0.3,
-        4))
+          greatest(col("n_toks"), lit(1)).cast("double") / 10.0, lit(1.0)) * 0.3, 4))
       .filter(col("first_of_dup") && col("stop_ratio") >= 0.06 &&
         col("quality") >= 0.40 && col("n_toks") >= 20 &&
         hashFrac(col("doc_id")) < 0.9)
       .groupBy("source")
       .agg(count(lit(1)).as("n_selected"), sum("n_toks").as("sum_tokens"),
-        round(avg("quality"), 4).as("avg_quality"))
+        Rounding.r(avg("quality"), 4).as("avg_quality"))
       .orderBy("source")
   }
 
@@ -1397,17 +1396,17 @@ object TrainingDataQueries {
        |  SELECT doc_id, source, rn, len(ts) AS n_toks,
        |    len(list_filter(ts, x -> list_contains($stopListSql, x))) /
        |      greatest(len(ts), 1)::DOUBLE AS stop_ratio,
-       |    round(
+       |    floor((
        |      len(list_distinct(ts)) / greatest(len(ts), 1)::DOUBLE * 0.4 +
        |      (len(list_filter(ts, x -> list_contains($stopListSql, x))) /
        |        greatest(len(ts), 1)::DOUBLE) * 0.3 +
        |      least(coalesce(list_sum(list_transform(ts, x -> len(x))), 0) /
-       |        greatest(len(ts), 1)::DOUBLE / 10.0, 1.0) * 0.3, 4) AS quality,
+       |        greatest(len(ts), 1)::DOUBLE / 10.0, 1.0) * 0.3) * 1e4 + 0.5) / 1e4 AS quality,
        |    $hashFracSql AS frac
        |  FROM t0)
        |SELECT source, count(*) AS n_selected,
        |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
-       |  round(avg(quality), 4) AS avg_quality
+       |  floor((avg(quality)) * 1e4 + 0.5) / 1e4 AS avg_quality
        |FROM m
        |WHERE rn = 1 AND stop_ratio >= 0.06 AND quality >= 0.40
        |  AND n_toks >= 20 AND frac < 0.9
