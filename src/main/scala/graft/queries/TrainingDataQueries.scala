@@ -602,6 +602,125 @@ object TrainingDataQueries {
       |WHERE vec_id <> nlist
       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  // --- ANN recall measurement ----------------------------------------------
+
+  /** DuckDB cosine between two double-list columns — the same
+    * left-to-right accumulation order as `graft_cosine`, so the doubles
+    * match bit-for-bit across engines.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) /
+       |    (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |     sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
+
+  /** Recall@10 of the IVF top-2-multiprobe against the exact brute-force
+    * top-10, measured in-engine over 8 probe vectors — "measure, don't
+    * guess" for the ANN family: the approximation quality of the
+    * `q_ann_ivf` structure is a NUMBER the pipeline reports, not a hope.
+    * The exact leg is a linear scan per probe (that is the point — it is
+    * the ground truth) run over a probe SAMPLE; at 100 TB this query is
+    * the recall-audit job you run on a sampled slice after (re)building
+    * an index, never the serving path. All ranks cut map-side via
+    * partial WindowGroupLimit; centroid/probe tables ride broadcasts.
+    *
+    * Reading the number: the synthetic embeddings are ISOTROPIC random
+    * vectors, so IVF recall here sits near the probed-cell fraction
+    * (2 cells of ~√N ≈ 0.09 at sf0.01 — measured 0.1-0.3), which is the
+    * information-theoretic floor for cluster-free data; on real
+    * embeddings (which cluster) the same structure recalls far higher.
+    * The query's job is to MEASURE that, per corpus.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = embDouble(s, dir)
+    val stats = emb0.agg(count(lit(1)).as("n"))
+      .withColumn("nlist", greatest(lit(8L), floor(sqrt(col("n")))))
+    val emb = emb0.crossJoin(broadcast(stats))
+    val cents = emb.filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val corpus = emb.filter(col("vec_id") >= col("nlist"))
+    val probes = corpus.filter(col("vec_id") < col("nlist") + 8)
+      .select(col("vec_id").as("probe_id"), col("e").as("qe"))
+
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(desc("cos"), col("vec_id"))
+    val exact = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr("graft_cosine(e, qe)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id")
+
+    val wVec = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(e, ce)"))
+      .withColumn("rn", row_number().over(wVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cid").as("cell"))
+    val pcells = probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(qe, ce)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("ccos"), col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("probe_id"), col("cid").as("qcell"), col("qe"))
+    val approx = assigned.join(broadcast(pcells), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr("graft_cosine(e, qe)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id")
+
+    val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("probe_id"), col("n_hit"),
+        (col("n_hit") / 10.0).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  private val qAnnRecallSql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |st AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist FROM e0),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM e0 CROSS JOIN st WHERE vec_id < nlist),
+       |corpus AS (SELECT vec_id, e, nlist FROM e0 CROSS JOIN st WHERE vec_id >= nlist),
+       |probes AS (SELECT vec_id AS probe_id, e AS qe FROM corpus WHERE vec_id < nlist + 8),
+       |exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, c.vec_id, row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("c.e", "p.qe")} DESC, c.vec_id) AS rn
+       |    FROM corpus c CROSS JOIN probes p WHERE c.vec_id <> p.probe_id)
+       |  WHERE rn <= 10),
+       |assigned AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT c.vec_id, c.e, ct.cid AS cell, row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosSql("c.e", "ct.ce")} DESC, ct.cid) AS rn
+       |    FROM corpus c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |pcells AS (
+       |  SELECT probe_id, qcell, qe FROM (
+       |    SELECT p.probe_id, ct.cid AS qcell, p.qe, row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("p.qe", "ct.ce")} DESC, ct.cid) AS rn
+       |    FROM probes p CROSS JOIN cents ct)
+       |  WHERE rn <= 2),
+       |approx AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, a.vec_id, row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("a.e", "p.qe")} DESC, a.vec_id) AS rn
+       |    FROM assigned a JOIN pcells p ON a.cell = p.qcell
+       |    WHERE a.vec_id <> p.probe_id)
+       |  WHERE rn <= 10),
+       |hits AS (
+       |  SELECT e.probe_id, count(*) AS c
+       |  FROM exact e JOIN approx a ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+       |  GROUP BY 1)
+       |SELECT p.probe_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit,
+       |  coalesce(h.c, 0) / 10.0 AS recall
+       |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+       |ORDER BY 1""".stripMargin
+
   // --- A6 visual-fusion aggregate (multimodal_embedder.py:249-271) ----------
   //
   // `fuse_embeddings`: mean of the visual embeddings (axis 0) concatenated
@@ -1632,6 +1751,7 @@ object TrainingDataQueries {
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
@@ -1666,6 +1786,7 @@ object TrainingDataQueries {
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_recall" -> qAnnRecallSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,
