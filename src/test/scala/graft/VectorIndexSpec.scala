@@ -124,6 +124,43 @@ class VectorIndexSpec extends AnyFunSuite {
       "index extended by add covers the union exactly")
   }
 
+  test("on clustered data, a 2-of-16-cell probe recovers >=0.9 recall@10") {
+    // q_ann_recall documents the ISOTROPIC floor (recall ≈ probed
+    // fraction when vectors have no structure); this is the other half
+    // of the claim: on data that DOES cluster — the real-embedding case
+    // — the IVF structure must recover near-exact recall while scanning
+    // a small fraction of the corpus.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    val centers = IndexedSeq.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    val points = (0 until 960).map { i =>
+      val c = centers(i % 16)
+      (f"p$i%04d", c.map(v => (v + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = points.toDF("chunk_id", "embedding")
+    val root = Files.createTempDirectory("vix-recall").toString
+    VectorIndex.build(emb, root, nlist = Some(16))
+
+    val qv = centers(3).map(v => (v + 0.05 * rnd.nextGaussian()).toFloat)
+    def topIds(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.as[(String, Double)].collect()
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+
+    val exact = topIds(emb.select(col("chunk_id"),
+      VectorIndex.dotColumn(qv, col("embedding")).as("score")))
+    val probed = VectorIndex.probe(spark, root, qv, nprobe = 2)
+    val approx = topIds(probed)
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.9, s"clustered recall@10 = $recall, expected >= 0.9")
+    // and the probe really did skip most of the corpus (k-means may
+    // merge a couple of natural clusters into one cell, so the bound is
+    // a third of the corpus, not 2/16 exactly)
+    val scanned = probed.count()
+    assert(scanned <= 960 / 3,
+      s"probe scanned $scanned of 960 rows — pruning did not engage")
+  }
+
   test("cascade delete removes the conversation from the index") {
     val out = store(0 until 5)
     val nlist = Ingestion.buildVectorIndex(spark, out)
