@@ -425,7 +425,46 @@ object RelationalQueries {
       |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MERGE INTO / upsert — the Iceberg row-level operation, as the plan a
+    * copy-on-write MERGE physically runs: one equi-join of target against
+    * source on the merge key decides each row's fate (matched → UPDATE,
+    * source-only → INSERT, target-only → carry forward), then the touched
+    * files are rewritten. The join is a single linear key-partitioned
+    * shuffle (broadcast when the source batch is small — the common CDC
+    * case), and on a real cluster the untouched-partition set is pruned by
+    * the join's runtime filter. Target = the catalog minus one doc_id
+    * stratum; source = an "update batch" with refreshed content hashes.
+    */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("tv"))
+    val source = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), md5(concat(col("text"), lit("+u"))).as("sv"))
+    target.join(source, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("sv"), col("tv")).as("v"),
+        when(col("tv").isNull, "inserted")
+          .when(col("sv").isNull, "kept")
+          .otherwise("updated").as("action"))
+      .orderBy("doc_id")
+  }
+
+  private val qMergeUpsertSql =
+    """WITH tgt AS (
+      |  SELECT doc_id, md5(text) AS tv FROM documents WHERE doc_id % 4 <> 0),
+      |src AS (
+      |  SELECT doc_id, md5(text || '+u') AS sv FROM documents WHERE doc_id % 2 = 0)
+      |SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+      |  coalesce(s.sv, t.tv) AS v,
+      |  CASE WHEN t.tv IS NULL THEN 'inserted'
+      |       WHEN s.sv IS NULL THEN 'kept'
+      |       ELSE 'updated' END AS action
+      |FROM tgt t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pivot" -> (qPivot _),
     "q_set_ops" -> (qSetOps _),
@@ -446,6 +485,7 @@ object RelationalQueries {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_pivot" -> qPivotSql,
     "q_set_ops" -> qSetOpsSql,

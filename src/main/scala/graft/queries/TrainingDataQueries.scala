@@ -1730,7 +1730,150 @@ object TrainingDataQueries {
        |  CAST(sum(off) AS BIGINT) AS sum_off
        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- cross-document duplicated n-gram spans (exact substring dedup) -------
+  //
+  // The Lee et al. "Deduplicating Training Data Makes Language Models
+  // Better" operator at token-n-gram granularity: find every maximal token
+  // span that occurs more than once in the corpus and report, per
+  // document, how much of it is duplicated text (the span-level complement
+  // of the doc-level near-dup family above). Suffix arrays don't
+  // distribute; the cluster-scale form is exactly this plan:
+  //   (1) positional n-grams per document — a narrow array projection;
+  //   (2) one hash aggregation counting occurrences per gram hash
+  //       (partial-agg, linear in corpus tokens);
+  //   (3) equi-join the df≥2 gram set back on the 48-bit gram hash —
+  //       only duplicated grams survive downstream;
+  //   (4) per-document interval merge of overlapping duplicated grams
+  //       (gaps-and-islands over a doc-partitioned window, bounded by
+  //       document length).
+  // No stage is quadratic and no data reaches the driver. Gram identity
+  // is the md5-prefix hash (`md5Sid`), so the shuffle carries 8-byte ids,
+  // not n-token strings — identical in DuckDB, so a 48-bit collision
+  // (negligible anyway) would still compare equal across engines.
+
+  private val DupN = 8
+
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = sparkToks(s, dir)
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("n_toks"))
+    val grams = docs.filter(col("n_toks") >= DupN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts)-${DupN - 1}), i -> struct(i AS p, concat_ws(' ', slice(ts, i, $DupN)) AS g))")).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), md5Sid(col("x.g"), 12).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gh")
+    val ivs = grams.join(dup, "gh")
+      .select(col("doc_id"), col("p").as("st"), (col("p") + lit(DupN - 1)).as("en"))
+    val w = Window.partitionBy("doc_id").orderBy("st")
+    val prevMax = max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = ivs
+      .withColumn("new_grp", when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg((max("en") - min("st") + 1).as("len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"), sum("len").as("dup_tokens"))
+    docs.select("doc_id", "n_toks")
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_toks") > 0,
+          Rounding.r(col("dup_tokens") / col("n_toks").cast("double"), 5))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  private val qDupSpansSql =
+    s"""WITH $TokensCte,
+       |d AS (SELECT doc_id, ts, len(ts)::BIGINT AS n_toks FROM toks),
+       |grams0 AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-${DupN - 1}),
+       |    i -> struct_pack(p := i, g := array_to_string(ts[i : i+${DupN - 1}], ' ')))) AS x
+       |  FROM d WHERE n_toks >= $DupN),
+       |grams AS (
+       |  SELECT doc_id, x.p AS p,
+       |    ('0x' || substr(md5(x.g), 1, 12))::BIGINT AS gh
+       |  FROM grams0),
+       |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+       |ivs AS (
+       |  SELECT g.doc_id, g.p AS st, g.p + ${DupN - 1} AS en
+       |  FROM grams g JOIN dup USING (gh)),
+       |m1 AS (
+       |  SELECT doc_id, st, en,
+       |    max(en) OVER (PARTITION BY doc_id ORDER BY st
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM ivs),
+       |m2 AS (
+       |  SELECT doc_id, st, en,
+       |    CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS new_grp
+       |  FROM m1),
+       |m3 AS (
+       |  SELECT doc_id, st, en,
+       |    sum(new_grp) OVER (PARTITION BY doc_id ORDER BY st
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM m2),
+       |spans AS (
+       |  SELECT doc_id, grp, max(en) - min(st) + 1 AS len
+       |  FROM m3 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans, sum(len) AS dup_tokens
+       |  FROM spans GROUP BY 1)
+       |SELECT d.doc_id, d.n_toks,
+       |  CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CASE WHEN d.n_toks > 0
+       |    THEN ${Rounding.rSql("coalesce(a.dup_tokens, 0) / d.n_toks::DOUBLE", 5)}
+       |    ELSE 0.0 END AS dup_frac
+       |FROM d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // --- Unicode NFC canonicalization (graft_nfc expression) ------------------
+  //
+  // Corpus canonicalization: without NFC, byte-level dedup/hashing treats
+  // `e`+U+0301 and precomposed `é` as different documents. `graft_nfc` is
+  // a codegen'd Catalyst expression (ICU-free, java.text.Normalizer) with
+  // an isNormalized fast path — real corpora are overwhelmingly already
+  // NFC, so the common row is a no-alloc scan. The oracle mirrors it with
+  // DuckDB's nfc_normalize. The synthetic corpus is ASCII, so a
+  // deterministic doc_id-keyed enrichment plants combining-mark sequences
+  // both engines build byte-identically (chr() on the DuckDB side).
+
+  private def qUnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("Cafe"), lit("\u0301"), lit(" nai"), lit("\u0308"),
+            lit("ve "), col("text")))
+          .otherwise(col("text")).as("raw"))
+      .select(col("doc_id"), col("raw"), expr("graft_nfc(raw)").as("norm"))
+      .select(col("doc_id"),
+        md5(col("norm")).as("norm_md5"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(col("norm")).cast("long").as("len_nfc"),
+        (col("norm") =!= col("raw")).cast("int").as("changed"))
+      .orderBy("doc_id")
+  }
+
+  private val qUnicodeNormSql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN 'Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text
+      |      ELSE text END AS raw
+      |  FROM documents)
+      |SELECT doc_id, md5(nfc_normalize(raw)) AS norm_md5,
+      |  CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+      |  CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS changed
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_spans" -> (qDupSpans _),
+    "q_unicode_norm" -> (qUnicodeNorm _),
     "q_sequence_pack" -> (qSequencePack _),
     "q_boilerplate_scrub" -> (qBoilerplateScrub _),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -1766,6 +1909,8 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_dup_spans" -> qDupSpansSql,
+    "q_unicode_norm" -> qUnicodeNormSql,
     "q_sequence_pack" -> qSequencePackSql,
     "q_boilerplate_scrub" -> qBoilerplateScrubSql,
     "q_pii_scrub" -> qPiiScrubSql,

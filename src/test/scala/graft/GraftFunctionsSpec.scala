@@ -49,6 +49,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got == Chunker.splitIntoSentences(text).map(_.text))
   }
 
+  test("graft_nfc composes combining marks and keeps NFC text intact") {
+    import spark.implicits._
+    val decomposed = "Café naïve" // e+U+0301, i+U+0308
+    val composed = "Café naïve"
+    val rows = Seq(decomposed, composed, "plain ascii", null).toDF("t")
+      .selectExpr("graft_nfc(t) AS n").collect()
+    assert(rows(0).getString(0) == composed)
+    assert(rows(1).getString(0) == composed)
+    assert(rows(2).getString(0) == "plain ascii")
+    assert(rows(3).isNullAt(0))
+    // matches java.text.Normalizer on arbitrary mixed content
+    val mixed = "Ǻbc ṩ q̣̇" // multi-mark + ordering cases
+    val got = Seq(mixed).toDF("t").selectExpr("graft_nfc(t)").head.getString(0)
+    assert(got == java.text.Normalizer.normalize(mixed, java.text.Normalizer.Form.NFC))
+  }
+
   test("graft_tokenize matches Tokenizer.tokenize incl. fallback") {
     import spark.implicits._
     val texts = Seq(
