@@ -42,6 +42,37 @@ object RelationalQueries {
   private val qTopkDocsSql =
     "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
 
+  // --- top-k per group WITHOUT a window sort (graft_topk aggregate) --------
+  //
+  // The window idiom (`row_number() OVER (PARTITION BY lang ORDER BY
+  // n_chars DESC) <= 3`) shuffles every row into a per-group sort; the
+  // custom `graft_topk` TypedImperativeAggregate keeps a k-bounded buffer
+  // per group on the map side, so the shuffle carries ≤ k pairs per
+  // (group × map partition) — the difference between sorting 100 TB and
+  // aggregating it. DuckDB oracles it with the window form (same total
+  // order: key DESC, zero-padded doc_id ASC).
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(expr(
+        "graft_topk(CAST(n_chars AS BIGINT), lpad(CAST(doc_id AS STRING), 8, '0'), 3)")
+        .as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("n_chars"), col("col.payload").cast("long").as("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  private val qTopkPerGroupSql =
+    """SELECT lang, rn AS rank, n_chars, doc_id FROM (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |    CAST(doc_id AS BIGINT) AS doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin
+
   // --- first-occurrence dedup (P4/U2)
   private def qWindowDedup(s: SparkSession, dir: String): DataFrame =
     Retrieval.firstWinsDedup(
@@ -465,6 +496,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pivot" -> (qPivot _),
     "q_set_ops" -> (qSetOps _),
@@ -486,6 +518,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_pivot" -> qPivotSql,
     "q_set_ops" -> qSetOpsSql,

@@ -65,6 +65,36 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got == java.text.Normalizer.normalize(mixed, java.text.Normalizer.Form.NFC))
   }
 
+  test("graft_topk plans as partial ObjectHashAggregate and matches the window form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("tk_docs")
+    val agg = spark.sql(
+      """SELECT lang,
+        |  graft_topk(CAST(n_chars AS BIGINT), lpad(CAST(doc_id AS STRING), 8, '0'), 3) AS top
+        |FROM tk_docs GROUP BY lang""".stripMargin)
+    // a TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial (map-side) stage — that partial stage IS the scale claim:
+    // the shuffle carries k-bounded buffers, not the whole group
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.contains("partial_graft_topk"), plan.take(2000))
+
+    import org.apache.spark.sql.functions._
+    val got = agg.select(col("lang"), explode(col("top")).as("x"))
+      .select(col("lang"), col("x.key"), col("x.payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("key").desc, col("payload").asc)
+    val want = docs
+      .select(col("lang"), col("n_chars").cast("long").as("key"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("payload"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("lang", "key", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+
   test("graft_tokenize matches Tokenizer.tokenize incl. fallback") {
     import spark.implicits._
     val texts = Seq(
