@@ -1871,7 +1871,61 @@ object TrainingDataQueries {
       |  CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS changed
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // --- lexical commonness scoring (CCNet-style LM-filter analog) ------------
+  //
+  // CCNet ranks documents by language-model perplexity; the distributed
+  // analog with exact cross-engine semantics scores each document by its
+  // tokens' corpus frequency against a top-V unigram vocabulary:
+  // rare-token-heavy and OOV-heavy documents (gibberish, mojibake, code
+  // dumps in a text corpus) score low. All statistics are INTEGER sums
+  // (no per-token logs), so the result is bit-exact in any engine and
+  // immune to float summation order; production swaps the frequency table
+  // for real LM surprisal without changing the plan.
+  //
+  // Plan at scale: unigram counts = one partial-agg (linear); top-V =
+  // distributed TakeOrdered (V rows to the driver, V=4096 — KBs); vocab
+  // BROADCASTS to a map-side left join; per-doc stats = one partial-agg
+  // keyed on doc_id. The unbounded distinct-token space never shuffles
+  // more than once and never sorts globally.
+
+  private val VocabV = 4096
+
+  private def qLexicalScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = sparkToks(s, dir).select(col("doc_id"), explode(col("ts")).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(VocabV)
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("in_vocab"),
+        sum(coalesce(col("c"), lit(0L))).as("sum_freq"))
+      .select(col("doc_id"), col("n_toks"), col("in_vocab"),
+        Rounding.r(lit(1.0) - col("in_vocab") / col("n_toks").cast("double"), 5)
+          .as("oov_rate"),
+        Rounding.r(col("sum_freq") / col("n_toks").cast("double"), 3)
+          .as("mean_tok_freq"))
+      .orderBy("doc_id")
+  }
+
+  private val qLexicalScoreSql =
+    s"""WITH $TokensCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+       |counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+       |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT $VocabV),
+       |agg AS (
+       |  SELECT t.doc_id, count(*) AS n_toks,
+       |    sum(CASE WHEN v.c IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab,
+       |    sum(coalesce(v.c, 0)) AS sum_freq
+       |  FROM tok t LEFT JOIN vocab v USING (tok)
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       |  CAST(in_vocab AS BIGINT) AS in_vocab,
+       |  ${Rounding.rSql("1.0 - (in_vocab / n_toks::DOUBLE)", 5)} AS oov_rate,
+       |  ${Rounding.rSql("sum_freq / n_toks::DOUBLE", 3)} AS mean_tok_freq
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lexical_score" -> (qLexicalScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_unicode_norm" -> (qUnicodeNorm _),
     "q_sequence_pack" -> (qSequencePack _),
@@ -1909,6 +1963,7 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_lexical_score" -> qLexicalScoreSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_unicode_norm" -> qUnicodeNormSql,
     "q_sequence_pack" -> qSequencePackSql,

@@ -42,6 +42,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!scanLine.contains("text"), s"text column not pruned:\n$scanLine")
   }
 
+  test("q_lexical_score broadcasts the top-V vocab and selects it distributed") {
+    val p = plan("q_lexical_score")
+    // top-V cut = TakeOrderedAndProject (V rows to the driver, not a
+    // global sort); vocab side rides a broadcast to the token join
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q_dup_spans windows are doc-partitioned and the gram agg is partial") {
+    val p = plan("q_dup_spans")
+    // the interval merge must never plan an unpartitioned window — that
+    // would funnel the whole corpus through one task
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(3000))
+    assert(!p.contains("windowspecdefinition(st"),
+      s"unpartitioned window in dup-span merge:\n${p.take(3000)}")
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("q1_agg aggregates with a map-side partial pass") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"), p.take(2000))
