@@ -721,6 +721,123 @@ object TrainingDataQueries {
        |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
        |ORDER BY 1""".stripMargin
 
+  // --- ANN: product quantization (ADC scan) ---------------------------------
+  //
+  // The 100 TB STORAGE path for the ANN family: instead of scanning raw
+  // float vectors (d×4 bytes per row) a PQ index scans m one-byte codes.
+  // Each vector is split into m subspaces; each subspace has a small
+  // codebook and the vector stores only the index of its nearest
+  // codeword (argmin L2). A query is scored with asymmetric distance
+  // computation (ADC): per subspace, a lookup table of query·codeword
+  // dots; the score is the j-ordered sum of the m looked-up terms —
+  // at d=64, m=8 the scan reads 8 codes instead of 64 floats, a 32×
+  // shrink (Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011). Codebook here = the first-ks vectors' slices
+  // (deterministic and SQL-expressible — the same convention as
+  // q_ann_ivf's first-nlist centroids) so DuckDB reproduces the codes
+  // and ADC scores bit-for-bit; a k-means-trained codebook drops in
+  // without changing the encode/ADC plan shape.
+  // Every distance/dot is a left-to-right fold in both engines, and the
+  // over-j sum is an explicit j-ordered fold (collect→sort_array→
+  // aggregate vs list(term ORDER BY j)→list_sum), so the doubles agree
+  // bit-for-bit and only the displayed score needs [[Rounding]].
+
+  private val PqM = 8      // subspaces
+  private val PqKs = 8     // codewords per subspace (first-ks rows)
+  private val PqNq = 4     // probe vectors: vec_id ∈ [ks, ks+4)
+  private val PqTopK = 5
+
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(s, dir)
+    // 0-based subspace j's slice of the vector (subspace width d/m)
+    val svExpr = s"slice(e, j * (size(e) DIV $PqM) + 1, size(e) DIV $PqM)"
+    def subspaces(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"),
+        col("e"))
+      .select(col("vec_id"), col("j"), expr(svExpr).as("sv"))
+
+    val cb = subspaces(emb.filter(col("vec_id") < PqKs))
+      .select(col("vec_id").cast("int").as("cid"), col("j"),
+        col("sv").as("cent"))
+    val subv = subspaces(emb.filter(col("vec_id") >= PqKs))
+
+    // encode: per (vector, subspace) the argmin-L2 codeword (ties → cid).
+    // The codebook rides a broadcast (m·ks rows — KBs at any corpus
+    // size); the rank-1 cut is a partial WindowGroupLimit, map-side.
+    val codes = subv.join(broadcast(cb), Seq("j"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "j", "cid")
+
+    val probesub = subv.filter(col("vec_id") < PqKs + PqNq)
+      .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
+
+    // ADC: term_j = q_sub_j · codeword(code_j); summed in j order
+    val terms = codes.join(broadcast(cb), Seq("j", "cid"))
+      .join(broadcast(probesub), Seq("j"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("term", expr(
+        "aggregate(zip_with(qsv, cent, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+    terms.groupBy("probe_id", "vec_id")
+      .agg(expr(
+        "aggregate(transform(sort_array(collect_list(struct(j, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
+        .as("adc0"))
+      .withColumn("adc", Rounding.r(col("adc0"), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("adc"), col("vec_id"))))
+      .filter(col("rn") <= PqTopK)
+      .select(col("probe_id"), col("vec_id"), col("adc"))
+      .orderBy("probe_id", "vec_id")
+  }
+
+  private val qAnnPqSql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |cb AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, j,
+       |    e[j * (len(e) // $PqM) + 1 : (j + 1) * (len(e) // $PqM)] AS cent
+       |  FROM e0 CROSS JOIN js WHERE vec_id < $PqKs),
+       |subv AS (
+       |  SELECT vec_id, j,
+       |    e[j * (len(e) // $PqM) + 1 : (j + 1) * (len(e) // $PqM)] AS sv
+       |  FROM e0 CROSS JOIN js WHERE vec_id >= $PqKs),
+       |codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT v.vec_id, v.j, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(v.sv)),
+       |          i -> (v.sv[i] - c.cent[i]) * (v.sv[i] - c.cent[i]))) ASC,
+       |        c.cid) AS rn
+       |    FROM subv v JOIN cb c USING (j))
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, j, sv AS qsv FROM subv
+       |  WHERE vec_id < ${PqKs + PqNq}),
+       |terms AS (
+       |  SELECT p.probe_id, cd.vec_id, cd.j,
+       |    list_sum(list_transform(generate_series(1, len(p.qsv)),
+       |      i -> p.qsv[i] * c.cent[i])) AS term
+       |  FROM codes cd
+       |  JOIN cb c ON cd.j = c.j AND cd.cid = c.cid
+       |  JOIN probes p ON cd.j = p.j
+       |  WHERE cd.vec_id <> p.probe_id),
+       |adc AS (
+       |  SELECT probe_id, vec_id,
+       |    ${Rounding.rSql("list_sum(list(term ORDER BY j))", 4)} AS adc
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT probe_id, vec_id, adc FROM (
+       |  SELECT probe_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc DESC, vec_id) AS rn
+       |  FROM adc)
+       |WHERE rn <= $PqTopK ORDER BY probe_id, vec_id""".stripMargin
+
   // --- A6 visual-fusion aggregate (multimodal_embedder.py:249-271) ----------
   //
   // `fuse_embeddings`: mean of the visual embeddings (axis 0) concatenated
@@ -1949,6 +2066,7 @@ object TrainingDataQueries {
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
@@ -1987,6 +2105,7 @@ object TrainingDataQueries {
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_recall" -> qAnnRecallSql,
+    "q_ann_pq" -> qAnnPqSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,
