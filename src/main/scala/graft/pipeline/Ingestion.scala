@@ -123,6 +123,25 @@ object Ingestion {
       emb, graft.retrieval.VectorIndex.indexRoot(outDir), nlist)
   }
 
+  /** Optional ANN storage compression: build the product-quantization
+    * index ([[graft.retrieval.PqIndex]]) over the store's embeddings
+    * table — m bytes per vector instead of dim floats.
+    * [[graft.retrieval.QueryPipeline.query]] auto-detects it (when no
+    * IVF index is present) and swaps its vector source to an ADC scan +
+    * exact rerank. Returns codewords per subspace.
+    */
+  def buildPqIndex(spark: SparkSession, outDir: String,
+      m: Int = graft.retrieval.PqIndex.DefaultM,
+      ks: Int = graft.retrieval.PqIndex.DefaultKs): Int = {
+    val emb = spark.read.parquet(embeddingsDir(outDir))
+      .select(
+        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+          .as("chunk_id"),
+        col("embedding"))
+    graft.retrieval.PqIndex.build(
+      emb, graft.retrieval.PqIndex.indexRoot(outDir), m, ks)
+  }
+
   /** Incremental document add — the reference's per-upload lifecycle
     * (`document_service.py:173-355` processes ONE new document at a time:
     * embed its chunks, `vector_store.add`, `bm25_index.add_documents`)
@@ -158,6 +177,14 @@ object Ingestion {
           .select(concat_ws(":", col("conv_id"), col("turn_idx"),
             col("chunk_index")).as("chunk_id"), col("embedding")),
         vecRoot)
+    // likewise the PQ index: encode against frozen codebooks, append
+    val pqRoot = graft.retrieval.PqIndex.indexRoot(outDir)
+    if (graft.retrieval.PqIndex.exists(pqRoot))
+      graft.retrieval.PqIndex.add(
+        embedded.toDF()
+          .select(concat_ws(":", col("conv_id"), col("turn_idx"),
+            col("chunk_index")).as("chunk_id"), col("embedding")),
+        pqRoot)
     newChunks.count()
   }
 
@@ -196,5 +223,8 @@ object Ingestion {
     val vecRoot = graft.retrieval.VectorIndex.indexRoot(outDir)
     if (graft.retrieval.VectorIndex.exists(vecRoot))
       graft.retrieval.VectorIndex.delete(spark, doomed, "chunk_id", vecRoot)
+    val pqRoot = graft.retrieval.PqIndex.indexRoot(outDir)
+    if (graft.retrieval.PqIndex.exists(pqRoot))
+      graft.retrieval.PqIndex.delete(spark, doomed, "chunk_id", pqRoot)
   }
 }

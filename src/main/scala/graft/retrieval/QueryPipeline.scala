@@ -26,22 +26,33 @@ object QueryPipeline {
   private def chunkId = concat_ws(":",
     col("conv_id"), col("turn_idx"), col("chunk_index"))
 
-  /** The vector retrieval source for one query vector: an IVF probe
-    * (partition-pruned cells) when the store carries the index, else the
-    * exact brute-force dot scan — bit-identical scores either way
-    * (shared dotColumn fold), only the candidate set differs. One
-    * definition for both [[query]] and [[queryExpanded]], so the paths
-    * cannot drift.
+  /** ADC candidates fetched before the exact rerank on the PQ path —
+    * generous (4× the per-source cut) because PQ codes tie within tight
+    * clusters (see [[PqIndex]]).
+    */
+  val PqFetch = 4 * PerSourceFetch
+
+  /** The vector retrieval source for one query vector, by index
+    * preference: an IVF probe (partition-pruned cells) when the store
+    * carries one; else a PQ ADC scan + exact rerank (byte codes — the
+    * storage-compressed path); else the exact brute-force dot scan.
+    * Every path emits scores from the same dotColumn fold, so ranks are
+    * comparable — only the candidate set differs. One definition for
+    * both [[query]] and [[queryExpanded]], so the paths cannot drift.
     */
   private def vecSource(spark: SparkSession, outDir: String,
       qv: Array[Float], nprobe: Int): DataFrame = {
+    val emb = () => spark.read.parquet(Ingestion.embeddingsDir(outDir))
+      .select(chunkId.as("chunk_id"), col("embedding"))
     val base =
       if (VectorIndex.exists(VectorIndex.indexRoot(outDir)))
         VectorIndex.probe(spark, VectorIndex.indexRoot(outDir), qv, nprobe)
+      else if (PqIndex.exists(PqIndex.indexRoot(outDir)))
+        PqIndex.rerank(spark, PqIndex.indexRoot(outDir), qv, emb(),
+          fetch = PqFetch, topK = PerSourceFetch)
       else
-        spark.read.parquet(Ingestion.embeddingsDir(outDir))
-          .select(chunkId.as("chunk_id"),
-            VectorIndex.dotColumn(qv, col("embedding")).as("score"))
+        emb().select(col("chunk_id"),
+          VectorIndex.dotColumn(qv, col("embedding")).as("score"))
     base.orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
   }
 
@@ -91,8 +102,8 @@ object QueryPipeline {
     *
     * Scale shape: BM25 for ALL variations comes from one pass over the
     * postings tables (multi-query scoring tail — one shuffle total, not
-    * one per variation); the vector side is per-variation probes of the
-    * IVF index when present (partition-pruned) or brute scans otherwise;
+    * one per variation); the vector side is per-variation [[vecSource]]
+    * calls (IVF probe, PQ scan+rerank, or brute scan by index presence);
     * the rerank joins the big embeddings table once against the
     * broadcast ≤3·RerankFetch candidate pool.
     */
@@ -101,7 +112,6 @@ object QueryPipeline {
       dim: Int = Ingestion.DefaultDim,
       nprobe: Int = VectorIndex.DefaultNprobe): DataFrame = {
     val variations = (question +: expansions).distinct
-    val useIndex = VectorIndex.exists(VectorIndex.indexRoot(outDir))
 
     // keyword scores for every variation from ONE postings pass
     val post = spark.read.parquet(
@@ -115,14 +125,7 @@ object QueryPipeline {
     // per-variation hybrid ranking, tagged with arrival rank
     val perVariation = variations.zipWithIndex.map { case (q, v) =>
       val qv = Ingestion.hashedEmbedding(q, dim)
-      val vec =
-        (if (useIndex)
-          VectorIndex.probe(spark, VectorIndex.indexRoot(outDir), qv, nprobe)
-        else
-          spark.read.parquet(Ingestion.embeddingsDir(outDir))
-            .select(chunkId.as("chunk_id"),
-              VectorIndex.dotColumn(qv, col("embedding")).as("score")))
-          .orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
+      val vec = vecSource(spark, outDir, qv, nprobe)
       val kw = kwAll.filter(col("v") === v).select("chunk_id", "score")
         .filter(col("score") > 0)
         .orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
