@@ -747,41 +747,54 @@ object TrainingDataQueries {
   private val PqNq = 4     // probe vectors: vec_id ∈ [ks, ks+4)
   private val PqTopK = 5
 
-  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = embDouble(s, dir)
-    // 0-based subspace j's slice of the vector (subspace width d/m)
-    val svExpr = s"slice(e, j * (size(e) DIV $PqM) + 1, size(e) DIV $PqM)"
-    def subspaces(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"),
-        col("e"))
-      .select(col("vec_id"), col("j"), expr(svExpr).as("sv"))
+  // 0-based subspace j's slice of the vector (subspace width d/m)
+  private val pqSvExpr = s"slice(e, j * (size(e) DIV $PqM) + 1, size(e) DIV $PqM)"
+  private def pqSubspaces(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"),
+      col("e"))
+    .select(col("vec_id"), col("j"), expr(pqSvExpr).as("sv"))
 
-    val cb = subspaces(emb.filter(col("vec_id") < PqKs))
+  /** The first-ks-rows codebook of [[qAnnPq]]/[[qPqRecall]]. */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    pqSubspaces(emb.filter(col("vec_id") < PqKs))
       .select(col("vec_id").cast("int").as("cid"), col("j"),
         col("sv").as("cent"))
-    val subv = subspaces(emb.filter(col("vec_id") >= PqKs))
 
-    // encode: per (vector, subspace) the argmin-L2 codeword (ties → cid).
-    // The codebook rides a broadcast (m·ks rows — KBs at any corpus
-    // size); the rank-1 cut is a partial WindowGroupLimit, map-side.
-    val codes = subv.join(broadcast(cb), Seq("j"))
+  /** encode: per (vector, subspace) the argmin-L2 codeword (ties → cid).
+    * The codebook rides a broadcast (m·ks rows — KBs at any corpus
+    * size); the rank-1 cut is a partial WindowGroupLimit, map-side.
+    */
+  private def pqCodes(subv: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    subv.join(broadcast(cb), Seq("j"))
       .withColumn("d2", expr(
         "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))))
       .filter(col("rn") === 1)
       .select("vec_id", "j", "cid")
+  }
 
-    val probesub = subv.filter(col("vec_id") < PqKs + PqNq)
-      .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
-
-    // ADC: term_j = q_sub_j · codeword(code_j); summed in j order
-    val terms = codes.join(broadcast(cb), Seq("j", "cid"))
+  /** ADC terms: term_j = q_sub_j · codeword(code_j), for probes
+    * `(probe_id, j, qsv)`; summed in j order by the callers.
+    */
+  private def pqAdcTerms(codes: DataFrame, cb: DataFrame,
+      probesub: DataFrame): DataFrame =
+    codes.join(broadcast(cb), Seq("j", "cid"))
       .join(broadcast(probesub), Seq("j"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("term", expr(
         "aggregate(zip_with(qsv, cent, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(s, dir)
+    val cb = pqCodebook(emb)
+    val subv = pqSubspaces(emb.filter(col("vec_id") >= PqKs))
+    val codes = pqCodes(subv, cb)
+    val probesub = subv.filter(col("vec_id") < PqKs + PqNq)
+      .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
+    val terms = pqAdcTerms(codes, cb, probesub)
     terms.groupBy("probe_id", "vec_id")
       .agg(expr(
         "aggregate(transform(sort_array(collect_list(struct(j, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
@@ -837,6 +850,144 @@ object TrainingDataQueries {
        |      ORDER BY adc DESC, vec_id) AS rn
        |  FROM adc)
        |WHERE rn <= $PqTopK ORDER BY probe_id, vec_id""".stripMargin
+
+  // --- PQ recall measurement -------------------------------------------------
+
+  private val PqRecallFetch = 50
+
+  /** Recall@10 of the PQ path (ADC fetch of [[PqRecallFetch]] candidates
+    * + exact dot-product rerank) against the brute-force top-10, measured
+    * in-engine over 8 probes — the `q_ann_recall` audit for the PQ
+    * structure: codes quantize away within-cluster detail, so the fetch
+    * width F is the recall knob, and this query reports what a given F
+    * actually buys ON THIS CORPUS. Same first-ks codebook convention as
+    * `q_ann_pq` (SQL-expressible, so DuckDB reproduces codes, ADC ranks,
+    * and the final recall numbers exactly). Metric is dot product on
+    * both legs — the quantity ADC approximates. On isotropic synthetic
+    * vectors the byte codes carry little signal (the floor); on real
+    * clustered embeddings the same structure recalls far higher — the
+    * query's job is to MEASURE that, per corpus.
+    */
+  private def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(s, dir)
+    val corpus = emb.filter(col("vec_id") >= PqKs)
+    val probes = corpus.filter(col("vec_id") < PqKs + 8)
+      .select(col("vec_id").as("probe_id"), col("e").as("qe"))
+    val dotQ = expr(
+      "aggregate(zip_with(e, qe, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    val wProbe = Window.partitionBy("probe_id").orderBy(desc("dot"), col("vec_id"))
+
+    val exact = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("dot", dotQ)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id")
+
+    val cb = pqCodebook(emb)
+    val subv = pqSubspaces(corpus)
+    val codes = pqCodes(subv, cb)
+    val probesub = subv.filter(col("vec_id") < PqKs + 8)
+      .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
+    val fetched = pqAdcTerms(codes, cb, probesub)
+      .groupBy("probe_id", "vec_id")
+      .agg(expr(
+        "aggregate(transform(sort_array(collect_list(struct(j, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
+        .as("adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("adc"), col("vec_id"))))
+      .filter(col("rn") <= PqRecallFetch)
+      .select("probe_id", "vec_id")
+
+    val approx = fetched
+      .join(corpus.select("vec_id", "e"), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("dot", dotQ)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id")
+
+    val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("probe_id"), col("n_hit"),
+        (col("n_hit") / 10.0).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  private val qPqRecallSql = {
+    val dotCE = "list_sum(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * p.qe[i]))"
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |cb AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, j,
+       |    e[j * (len(e) // $PqM) + 1 : (j + 1) * (len(e) // $PqM)] AS cent
+       |  FROM e0 CROSS JOIN js WHERE vec_id < $PqKs),
+       |corpus AS (SELECT vec_id, e FROM e0 WHERE vec_id >= $PqKs),
+       |probes AS (SELECT vec_id AS probe_id, e AS qe FROM corpus
+       |  WHERE vec_id < ${PqKs + 8}),
+       |exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, c.vec_id, row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY $dotCE DESC, c.vec_id) AS rn
+       |    FROM corpus c CROSS JOIN probes p WHERE c.vec_id <> p.probe_id)
+       |  WHERE rn <= 10),
+       |subv AS (
+       |  SELECT vec_id, j,
+       |    e[j * (len(e) // $PqM) + 1 : (j + 1) * (len(e) // $PqM)] AS sv
+       |  FROM e0 CROSS JOIN js WHERE vec_id >= $PqKs),
+       |codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT v.vec_id, v.j, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(v.sv)),
+       |          i -> (v.sv[i] - c.cent[i]) * (v.sv[i] - c.cent[i]))) ASC,
+       |        c.cid) AS rn
+       |    FROM subv v JOIN cb c USING (j))
+       |  WHERE rn = 1),
+       |probesub AS (
+       |  SELECT vec_id AS probe_id, j, sv AS qsv FROM subv
+       |  WHERE vec_id < ${PqKs + 8}),
+       |terms AS (
+       |  SELECT p.probe_id, cd.vec_id, cd.j,
+       |    list_sum(list_transform(generate_series(1, len(p.qsv)),
+       |      i -> p.qsv[i] * c.cent[i])) AS term
+       |  FROM codes cd
+       |  JOIN cb c ON cd.j = c.j AND cd.cid = c.cid
+       |  JOIN probesub p ON cd.j = p.j
+       |  WHERE cd.vec_id <> p.probe_id),
+       |adc AS (
+       |  SELECT probe_id, vec_id, list_sum(list(term ORDER BY j)) AS adc
+       |  FROM terms GROUP BY 1, 2),
+       |fetched AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adc DESC, vec_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= $PqRecallFetch),
+       |approx AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT f.probe_id, f.vec_id, row_number() OVER (PARTITION BY f.probe_id
+       |      ORDER BY $dotCE DESC, f.vec_id) AS rn
+       |    FROM fetched f
+       |    JOIN corpus c ON f.vec_id = c.vec_id
+       |    JOIN probes p ON f.probe_id = p.probe_id)
+       |  WHERE rn <= 10),
+       |hits AS (
+       |  SELECT e.probe_id, count(*) AS c
+       |  FROM exact e JOIN approx a
+       |    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+       |  GROUP BY 1)
+       |SELECT p.probe_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit,
+       |  coalesce(h.c, 0) / 10.0 AS recall
+       |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+       |ORDER BY 1""".stripMargin
+  }
 
   // --- A6 visual-fusion aggregate (multimodal_embedder.py:249-271) ----------
   //
@@ -2067,6 +2218,7 @@ object TrainingDataQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_pq_recall" -> (qPqRecall _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
@@ -2106,6 +2258,7 @@ object TrainingDataQueries {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
+    "q_pq_recall" -> qPqRecallSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,

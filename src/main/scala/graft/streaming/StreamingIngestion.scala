@@ -120,6 +120,9 @@ object StreamingIngestion {
     val vecRoot = graft.retrieval.VectorIndex.indexRoot(storeDir)
     if (graft.retrieval.VectorIndex.exists(vecRoot))
       graft.retrieval.VectorIndex.delete(spark, chunkIds, "chunk_id", vecRoot)
+    val pqRoot = graft.retrieval.PqIndex.indexRoot(storeDir)
+    if (graft.retrieval.PqIndex.exists(pqRoot))
+      graft.retrieval.PqIndex.delete(spark, chunkIds, "chunk_id", pqRoot)
   }
 
   /** Ingest one micro-batch under the two-phase marker protocol.
@@ -190,6 +193,10 @@ object StreamingIngestion {
       if (graft.retrieval.VectorIndex.exists(vecRoot))
         graft.retrieval.VectorIndex.add(
           derived.toDF().select(chunkIdCol, col("embedding")), vecRoot)
+      val pqRoot = graft.retrieval.PqIndex.indexRoot(storeDir)
+      if (graft.retrieval.PqIndex.exists(pqRoot))
+        graft.retrieval.PqIndex.add(
+          derived.toDF().select(chunkIdCol, col("embedding")), pqRoot)
 
       val n = derived.count()
       // atomic intent → commit flip seals the batch
@@ -298,6 +305,9 @@ object StreamingIngestion {
     val vecRoot = graft.retrieval.VectorIndex.indexRoot(storeDir)
     if (graft.retrieval.VectorIndex.exists(vecRoot))
       graft.retrieval.VectorIndex.compact(spark, vecRoot)
+    val pqRoot = graft.retrieval.PqIndex.indexRoot(storeDir)
+    if (graft.retrieval.PqIndex.exists(pqRoot))
+      graft.retrieval.PqIndex.compact(spark, pqRoot)
   }
 
   /** Wire a landing directory of turn parquet files into a continuously

@@ -160,6 +160,33 @@ class StreamingIngestionSpec extends AnyFunSuite {
       "second batch's conversations are probeable")
   }
 
+  test("streamed batches extend an existing PQ index") {
+    import spark.implicits._
+    import graft.retrieval.PqIndex
+    val store = Files.createTempDirectory("si-pq").toString
+    StreamingIngestion.processBatch(
+      spark.createDataset(turns(0 until 3)), store, 0L, nBuckets = NBuckets)
+    Ingestion.buildPqIndex(spark, store, m = 8, ks = 16)
+    StreamingIngestion.processBatch(
+      spark.createDataset(turns(3 until 5)), store, 1L, nBuckets = NBuckets)
+
+    val qv = Ingestion.hashedEmbedding("tool output table")
+    val n = spark.read.parquet(StreamingIngestion.embeddingsDir(store)).count()
+    val scanned = PqIndex
+      .scan(spark, PqIndex.indexRoot(store), qv, topK = n.toInt)
+      .as[(String, Double)].collect().map(_._1).toSet
+    val all = spark.read.parquet(StreamingIngestion.embeddingsDir(store))
+      .select(org.apache.spark.sql.functions.concat_ws(":",
+        org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.col("turn_idx"),
+        org.apache.spark.sql.functions.col("chunk_index")).as("chunk_id"))
+      .as[String].collect().toSet
+    assert(scanned == all,
+      "PQ codes extended per batch cover every streamed chunk")
+    assert(scanned.exists(_.startsWith("conv-000004:")),
+      "second batch's conversations are scannable")
+  }
+
   test("compaction folds batches without changing content or query results") {
     import spark.implicits._
     val store = Files.createTempDirectory("si-compact").toString
