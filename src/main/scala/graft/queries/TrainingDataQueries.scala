@@ -989,6 +989,98 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- DSIR importance weights (hashed n-gram data selection) ---------------
+  //
+  // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+  // score each corpus document by how target-like its hashed n-gram
+  // (unigram + bigram) feature distribution is, against a TARGET slice —
+  // here source='src0', the curated-domain stand-in — versus the full
+  // corpus as the background. The classic estimator sums log(p_t/p_s)
+  // over grams; transcendental logs are not bit-reproducible across
+  // engines AND a float sum over an unordered groupBy is
+  // schedule-dependent, so the score here is the integer-exact linear
+  // discriminant with add-1 smoothing:
+  //
+  //   w[b]  = (cnt_t[b]+1)·(S+B) − (cnt_s[b]+1)·(T+B)   (sign of p̂_t−p̂_s)
+  //   score = Σ_b c_doc[b] · w[b]                        (all int64)
+  //
+  // — same selection ORDER semantics (target-like ⇒ positive), exactly
+  // reproducible. Plan shape at 100 TB: gram explode is narrow; bucket
+  // stats collapse to B=256 rows by one partial agg (map-side combine);
+  // the per-doc pass is one (doc_id, b) partial agg joined against the
+  // BROADCAST 256-row weight table, then a per-doc integer sum — no
+  // shuffle wider than (doc_id, b), nothing quadratic, the weight table
+  // is O(B) at any corpus size.
+
+  private val DsirB = 256
+
+  /** Unigrams + bigrams (occurrence-counted, NOT distinct — DSIR uses
+    * the feature distribution, not the set).
+    */
+  private val dsirGramsExpr =
+    "concat(ts, CASE WHEN size(ts) >= 2 THEN transform(sequence(0, size(ts)-2), " +
+      "i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2))) " +
+      "ELSE slice(ts, 1, 0) END)"
+
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), simpleTokens(col("text")).as("ts"))
+    val db = docs.filter(size(col("ts")) >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr(dsirGramsExpr)).as("g"))
+      .withColumn("b", pmod(md5Sid(col("g"), 8), lit(DsirB)))
+      .select("doc_id", "source", "b")
+    val isTgt = when(col("source") === "src0", 1L).otherwise(0L)
+    val tot = db.agg(count(lit(1)).as("s_tot"), sum(isTgt).as("t_tot"))
+    val wt = db.groupBy("b")
+      .agg(count(lit(1)).as("cs"), sum(isTgt).as("ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        ((col("ct") + 1) * (col("s_tot") + DsirB) -
+          (col("cs") + 1) * (col("t_tot") + DsirB)).as("w"))
+    val scored = db.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(wt), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w")).as("iw_score"), sum("c").as("n_grams"))
+    t(s, dir, "documents").select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("iw_score", "n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val qDsirWeightsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source,
+       |    unnest(ts || CASE WHEN len(ts) >= 2 THEN list_transform(
+       |      generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1])
+       |      ELSE [] END) AS g
+       |  FROM toks WHERE len(ts) >= 1),
+       |db AS (
+       |  SELECT doc_id, source,
+       |    ${md5SidSql("g", 8)} % $DsirB AS b
+       |  FROM grams),
+       |tot AS (
+       |  SELECT count(*) AS s_tot,
+       |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_tot FROM db),
+       |wt AS (
+       |  SELECT b, (ct + 1) * (s_tot + $DsirB) - (cs + 1) * (t_tot + $DsirB) AS w
+       |  FROM (SELECT b, count(*) AS cs,
+       |      sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+       |    FROM db GROUP BY 1) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS iw_score,
+       |    CAST(sum(c) AS BIGINT) AS n_grams
+       |  FROM (SELECT doc_id, b, count(*) AS c FROM db GROUP BY 1, 2)
+       |  JOIN wt USING (b) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.iw_score, 0) AS iw_score,
+       |  coalesce(sc.n_grams, 0) AS n_grams
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY 1""".stripMargin
+
   // --- A6 visual-fusion aggregate (multimodal_embedder.py:249-271) ----------
   //
   // `fuse_embeddings`: mean of the visual embeddings (axis 0) concatenated
@@ -2219,6 +2311,7 @@ object TrainingDataQueries {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_pq_recall" -> (qPqRecall _),
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
@@ -2259,6 +2352,7 @@ object TrainingDataQueries {
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_pq_recall" -> qPqRecallSql,
+    "q_dsir_weights" -> qDsirWeightsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,
