@@ -762,18 +762,19 @@ object TrainingDataQueries {
 
   /** encode: per (vector, subspace) the argmin-L2 codeword (ties → cid).
     * The codebook rides a broadcast (m·ks rows — KBs at any corpus
-    * size); the rank-1 cut is a partial WindowGroupLimit, map-side.
+    * size); the argmin is `min(struct(d2, cid))` — struct ordering IS
+    * (d2 asc, cid asc), and unlike a row_number window the min is a
+    * PARTIAL hash aggregate: each task reduces its ks candidate rows per
+    * (vector, subspace) to one before the shuffle, so the exchange
+    * carries N·m rows, not N·m·ks.
     */
-  private def pqCodes(subv: DataFrame, cb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def pqCodes(subv: DataFrame, cb: DataFrame): DataFrame =
     subv.join(broadcast(cb), Seq("j"))
       .withColumn("d2", expr(
         "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select("vec_id", "j", "cid")
-  }
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.cid").as("cid"))
 
   /** ADC terms: term_j = q_sub_j · codeword(code_j), for probes
     * `(probe_id, j, qsv)`; summed in j order by the callers.

@@ -190,6 +190,62 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(tied == 0)
   }
 
+  test("graft_pq_encode / graft_pq_adc / graft_bytes match the reference folds in codegen") {
+    import org.apache.spark.sql.functions.{call_function, col, typedlit}
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val m = 4; val ks = 8; val w = 8
+    val books: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      IndexedSeq.fill(m)(IndexedSeq.fill(ks)(Seq.fill(w)(rng.nextDouble() * 2 - 1)))
+    val vecs = (0 until 120).map(_ => Seq.fill(m * w)(rng.nextDouble() * 2 - 1))
+
+    // driver reference encode: argmin L2 per subspace, same loop order
+    def encRef(e: Seq[Double]): Seq[Int] = books.zipWithIndex.map { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) =>
+        var d2 = 0.0; var i = 0
+        while (i < w) { val dx = e(j * w + i) - cent(i); d2 += dx * dx; i += 1 }
+        (d2, c)
+      }.min._2
+    }
+    val booksLit = typedlit(books)
+    val got = vecs.toDF("e")
+      .select(call_function("graft_bytes",
+        call_function("graft_pq_encode", col("e"), booksLit)).as("codes"))
+      .as[Seq[Int]].collect()
+    vecs.zip(got).foreach { case (e, codes) => assert(codes == encRef(e)) }
+
+    // ADC score == the j-ordered driver fold over the same LUT, bit-for-bit
+    val q = Array.fill(m * w)(rng.nextDouble() * 2 - 1)
+    val lut: IndexedSeq[IndexedSeq[Double]] = books.zipWithIndex.map { case (book, j) =>
+      book.map { cent =>
+        var s = 0.0; var i = 0
+        while (i < w) { s += q(j * w + i) * cent(i); i += 1 }
+        s
+      }
+    }
+    val lutLit = typedlit(lut)
+    val adc = vecs.toDF("e")
+      .select(call_function("graft_pq_adc",
+        call_function("graft_pq_encode", col("e"), booksLit), lutLit).as("s"))
+      .as[Double].collect()
+    vecs.zip(adc).foreach { case (e, s) =>
+      val want = encRef(e).zipWithIndex
+        .foldLeft(0.0) { case (acc, (c, j)) => acc + lut(j)(c) }
+      assert(java.lang.Double.doubleToLongBits(want) ==
+        java.lang.Double.doubleToLongBits(s), s"$want vs $s")
+    }
+
+    // codegen residency over a real scan (encode reads the m·w prefix)
+    val scanned = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("CAST(embedding AS array<double>) AS e")
+      .select(call_function("graft_pq_adc",
+        call_function("graft_pq_encode", col("e"), booksLit), lutLit).as("s"))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_pq_adc.*"),
+      s"projection not codegen'd:\n$plan")
+    assert(scanned.collect().nonEmpty)
+  }
+
   test("graft_lsh_sigs matches the transform/aggregate composition for varying r") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
