@@ -142,6 +142,23 @@ object Ingestion {
       emb, graft.retrieval.PqIndex.indexRoot(outDir), m, ks)
   }
 
+  /** Optional combined acceleration: build the IVF-PQ index
+    * ([[graft.retrieval.IvfPqIndex]]) — partition-pruned cells AND
+    * byte-compressed codes. Returns `(nlist, ks)`.
+    */
+  def buildIvfPqIndex(spark: SparkSession, outDir: String,
+      nlist: Option[Int] = None,
+      m: Int = graft.retrieval.PqIndex.DefaultM,
+      ks: Int = graft.retrieval.PqIndex.DefaultKs): (Int, Int) = {
+    val emb = spark.read.parquet(embeddingsDir(outDir))
+      .select(
+        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+          .as("chunk_id"),
+        col("embedding"))
+    graft.retrieval.IvfPqIndex.build(
+      emb, graft.retrieval.IvfPqIndex.indexRoot(outDir), nlist, m, ks)
+  }
+
   /** Incremental document add — the reference's per-upload lifecycle
     * (`document_service.py:173-355` processes ONE new document at a time:
     * embed its chunks, `vector_store.add`, `bm25_index.add_documents`)
@@ -177,7 +194,8 @@ object Ingestion {
           .select(concat_ws(":", col("conv_id"), col("turn_idx"),
             col("chunk_index")).as("chunk_id"), col("embedding")),
         vecRoot)
-    // likewise the PQ index: encode against frozen codebooks, append
+    // likewise the PQ / IVF-PQ indexes: encode against frozen
+    // codebooks (and frozen coarse centroids), append
     val pqRoot = graft.retrieval.PqIndex.indexRoot(outDir)
     if (graft.retrieval.PqIndex.exists(pqRoot))
       graft.retrieval.PqIndex.add(
@@ -185,6 +203,13 @@ object Ingestion {
           .select(concat_ws(":", col("conv_id"), col("turn_idx"),
             col("chunk_index")).as("chunk_id"), col("embedding")),
         pqRoot)
+    val ivfPqRoot = graft.retrieval.IvfPqIndex.indexRoot(outDir)
+    if (graft.retrieval.IvfPqIndex.exists(ivfPqRoot))
+      graft.retrieval.IvfPqIndex.add(
+        embedded.toDF()
+          .select(concat_ws(":", col("conv_id"), col("turn_idx"),
+            col("chunk_index")).as("chunk_id"), col("embedding")),
+        ivfPqRoot)
     newChunks.count()
   }
 
@@ -226,5 +251,8 @@ object Ingestion {
     val pqRoot = graft.retrieval.PqIndex.indexRoot(outDir)
     if (graft.retrieval.PqIndex.exists(pqRoot))
       graft.retrieval.PqIndex.delete(spark, doomed, "chunk_id", pqRoot)
+    val ivfPqRoot = graft.retrieval.IvfPqIndex.indexRoot(outDir)
+    if (graft.retrieval.IvfPqIndex.exists(ivfPqRoot))
+      graft.retrieval.IvfPqIndex.delete(spark, doomed, "chunk_id", ivfPqRoot)
   }
 }

@@ -56,7 +56,7 @@ object PqIndex {
   /** codebooks[j][c] = codeword c of subspace j. */
   type Books = IndexedSeq[IndexedSeq[Seq[Double]]]
 
-  private def encodeCol(books: Books): Column =
+  private[retrieval] def encodeCol(books: Books): Column =
     call_function("graft_pq_encode",
       col("embedding").cast("array<double>"), typedlit(books))
 
@@ -65,21 +65,23 @@ object PqIndex {
     * subspace actually trained (< the requested ks when the corpus holds
     * fewer vectors).
     */
-  def build(emb: DataFrame, root: String, m: Int = DefaultM,
-      ks: Int = DefaultKs, iters: Int = DefaultIters): Int = {
-    require(ks >= 1 && ks <= 256, s"ks must be in [1,256] (byte codes), got $ks")
-    val spark = emb.sparkSession
+  /** Deterministic per-subspace k-means over `(chunk_id, embedding)`
+    * rows: seeds are the ks smallest-`xxhash64(chunk_id)` vectors (the
+    * same seedless uniform sample VectorIndex uses, so any re-run
+    * reproduces it), each sliced into the m subspace codebooks, then
+    * `iters` Lloyd rounds where assignment is the codegen'd
+    * `graft_pq_encode` (ALL m subspaces encoded in one narrow pass).
+    * Shared by [[build]] and the [[IvfPqIndex]] residual quantizer.
+    */
+  def train(e: DataFrame, m: Int, ks: Int, iters: Int): Books = {
+    val spark = e.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    val e = emb.select(col("chunk_id"), col("embedding"))
 
     val dim = e.select(size(col("embedding"))).as[Int].first()
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val w = dim / m
 
-    // deterministic seeds: smallest-hash vectors, each sliced into the m
-    // subspace codebooks (the same seedless uniform sample VectorIndex
-    // uses, so any re-run reproduces it)
     val seeds = e
       .orderBy(xxhash64(col("chunk_id")), col("chunk_id"))
       .limit(ks)
@@ -109,6 +111,17 @@ object PqIndex {
       books = books.indices.map(j =>
         books(j).indices.map(c => means.getOrElse((j, c), books(j)(c))).toIndexedSeq)
     }
+    books
+  }
+
+  def build(emb: DataFrame, root: String, m: Int = DefaultM,
+      ks: Int = DefaultKs, iters: Int = DefaultIters): Int = {
+    require(ks >= 1 && ks <= 256, s"ks must be in [1,256] (byte codes), got $ks")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = emb.select(col("chunk_id"), col("embedding"))
+    val books = train(e, m, ks, iters)
 
     val v = VersionedDir.nextVersion(root)
     spark.createDataset(for {

@@ -33,12 +33,13 @@ object QueryPipeline {
   val PqFetch = 4 * PerSourceFetch
 
   /** The vector retrieval source for one query vector, by index
-    * preference: an IVF probe (partition-pruned cells) when the store
-    * carries one; else a PQ ADC scan + exact rerank (byte codes — the
-    * storage-compressed path); else the exact brute-force dot scan.
-    * Every path emits scores from the same dotColumn fold, so ranks are
-    * comparable — only the candidate set differs. One definition for
-    * both [[query]] and [[queryExpanded]], so the paths cannot drift.
+    * preference: an IVF probe (partition-pruned cells, exact scores)
+    * when the store carries one; else an IVF-PQ probe + exact rerank
+    * (partition-pruned AND byte-compressed); else a PQ ADC scan + exact
+    * rerank; else the exact brute-force dot scan. Every path emits
+    * scores from the same dotColumn fold, so ranks are comparable —
+    * only the candidate set differs. One definition for both [[query]]
+    * and [[queryExpanded]], so the paths cannot drift.
     */
   private def vecSource(spark: SparkSession, outDir: String,
       qv: Array[Float], nprobe: Int): DataFrame = {
@@ -47,6 +48,9 @@ object QueryPipeline {
     val base =
       if (VectorIndex.exists(VectorIndex.indexRoot(outDir)))
         VectorIndex.probe(spark, VectorIndex.indexRoot(outDir), qv, nprobe)
+      else if (IvfPqIndex.exists(IvfPqIndex.indexRoot(outDir)))
+        IvfPqIndex.rerank(spark, IvfPqIndex.indexRoot(outDir), qv, emb(),
+          nprobe = nprobe, fetch = PqFetch, topK = PerSourceFetch)
       else if (PqIndex.exists(PqIndex.indexRoot(outDir)))
         PqIndex.rerank(spark, PqIndex.indexRoot(outDir), qv, emb(),
           fetch = PqFetch, topK = PerSourceFetch)

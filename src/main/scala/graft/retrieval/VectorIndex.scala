@@ -64,7 +64,7 @@ object VectorIndex {
       .getOrElse(lit(0.0))
 
   /** Cell assignment column against a centroid literal. */
-  private def cellCol(cents: Seq[Seq[Double]]): Column =
+  private[retrieval] def cellCol(cents: Seq[Seq[Double]]): Column =
     call_function("graft_best_cell",
       col("embedding").cast("array<double>"), typedlit(cents))
 
@@ -73,17 +73,16 @@ object VectorIndex {
     * actually written (less than the requested nlist when the corpus
     * holds fewer vectors).
     */
-  def build(emb: DataFrame, root: String, nlist: Option[Int] = None,
-      iters: Int = DefaultIters): Int = {
-    val spark = emb.sparkSession
+  /** Deterministic k-means over `(chunk_id, embedding)` rows: seeds are
+    * the k smallest-`xxhash64(chunk_id)` vectors (a uniform, seedless
+    * sample any re-run reproduces), then `iters` Lloyd rounds with the
+    * codegen'd `graft_best_cell` assignment. Shared by the IVF build and
+    * the [[IvfPqIndex]] coarse quantizer.
+    */
+  def trainCentroids(e: DataFrame, k: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+    val spark = e.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    val e = emb.select(col("chunk_id"), col("embedding"))
-
-    val n = e.count()
-    val k = nlist.getOrElse(math.max(8, math.sqrt(n.toDouble).toInt))
-
-    // deterministic seed sample: smallest-hash vectors, spread uniformly
     var cents: IndexedSeq[Seq[Double]] = e
       .orderBy(xxhash64(col("chunk_id")), col("chunk_id"))
       .limit(k)
@@ -106,6 +105,22 @@ object VectorIndex {
       // empty cells keep their previous centroid
       cents = cents.indices.map(c => normalize(means.getOrElse(c, cents(c))))
     }
+    cents
+  }
+
+  /** `nlist = max(8, ⌊√N⌋)` unless overridden. */
+  def defaultNlist(n: Long): Int = math.max(8, math.sqrt(n.toDouble).toInt)
+
+  def build(emb: DataFrame, root: String, nlist: Option[Int] = None,
+      iters: Int = DefaultIters): Int = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = emb.select(col("chunk_id"), col("embedding"))
+
+    val n = e.count()
+    val k = nlist.getOrElse(defaultNlist(n))
+    val cents = trainCentroids(e, k, iters)
 
     val v = VersionedDir.nextVersion(root)
     spark.createDataset(cents.zipWithIndex.map { case (c, i) => (i, c) })

@@ -123,6 +123,9 @@ object StreamingIngestion {
     val pqRoot = graft.retrieval.PqIndex.indexRoot(storeDir)
     if (graft.retrieval.PqIndex.exists(pqRoot))
       graft.retrieval.PqIndex.delete(spark, chunkIds, "chunk_id", pqRoot)
+    val ivfPqRoot = graft.retrieval.IvfPqIndex.indexRoot(storeDir)
+    if (graft.retrieval.IvfPqIndex.exists(ivfPqRoot))
+      graft.retrieval.IvfPqIndex.delete(spark, chunkIds, "chunk_id", ivfPqRoot)
   }
 
   /** Ingest one micro-batch under the two-phase marker protocol.
@@ -197,6 +200,10 @@ object StreamingIngestion {
       if (graft.retrieval.PqIndex.exists(pqRoot))
         graft.retrieval.PqIndex.add(
           derived.toDF().select(chunkIdCol, col("embedding")), pqRoot)
+      val ivfPqRoot = graft.retrieval.IvfPqIndex.indexRoot(storeDir)
+      if (graft.retrieval.IvfPqIndex.exists(ivfPqRoot))
+        graft.retrieval.IvfPqIndex.add(
+          derived.toDF().select(chunkIdCol, col("embedding")), ivfPqRoot)
 
       val n = derived.count()
       // atomic intent → commit flip seals the batch
@@ -308,6 +315,9 @@ object StreamingIngestion {
     val pqRoot = graft.retrieval.PqIndex.indexRoot(storeDir)
     if (graft.retrieval.PqIndex.exists(pqRoot))
       graft.retrieval.PqIndex.compact(spark, pqRoot)
+    val ivfPqRoot = graft.retrieval.IvfPqIndex.indexRoot(storeDir)
+    if (graft.retrieval.IvfPqIndex.exists(ivfPqRoot))
+      graft.retrieval.IvfPqIndex.compact(spark, ivfPqRoot)
   }
 
   /** Wire a landing directory of turn parquet files into a continuously

@@ -140,6 +140,22 @@ class PqIndexSpec extends AnyFunSuite {
     assert(extra.forall { case (id, _) => ids.contains(id) })
   }
 
+  test("corpus smaller than ks trains a truncated codebook and stays exact") {
+    val points = clustered(5)
+    val root = Files.createTempDirectory("pqix-tiny").toString
+    val trained = PqIndex.build(points.toDF("chunk_id", "embedding"), root,
+      m = M, ks = Ks)
+    assert(trained == 5, "codebook truncates to the corpus size")
+    val emb = points.toDF("chunk_id", "embedding")
+    val qv = points(2)._2.toArray
+    val exact = emb.select(col("chunk_id"),
+      VectorIndex.dotColumn(qv, col("embedding")).as("score"))
+      .as[(String, Double)].collect().sortBy { case (id, s) => (-s, id) }.toSeq
+    val got = PqIndex.rerank(spark, root, qv, emb, fetch = 5, topK = 5)
+      .as[(String, Double)].collect().toSeq
+    assert(got == exact)
+  }
+
   test("QueryPipeline auto-detects the PQ index; full-coverage fetch stays exact") {
     import graft.fixtures.TranscriptGen
     import graft.pipeline.{ExtractionPipeline, Ingestion}
