@@ -176,41 +176,35 @@ object Ingestion {
     */
   def add(spark: SparkSession, outDir: String, stagingDir: String,
       dim: Int = DefaultDim): Long = {
-    val embedded = embeddedChunks(spark, stagingDir, dim)
-    embedded.write.mode("append").partitionBy("bucket")
-      .parquet(embeddingsDir(outDir))
-    val newChunks = spark.read.parquet(ExtractionPipeline.chunksDir(stagingDir))
-      .select(
-        concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
-          .as("chunk_id"),
-        col("content"))
-    Bm25IndexTables.add(newChunks, "chunk_id", "content", indexDir(outDir))
-    // extend the IVF vector index if the store carries one (frozen
-    // centroids, append-to-cell — the IVF standard incremental add)
-    val vecRoot = graft.retrieval.VectorIndex.indexRoot(outDir)
-    if (graft.retrieval.VectorIndex.exists(vecRoot))
-      graft.retrieval.VectorIndex.add(
-        embedded.toDF()
-          .select(concat_ws(":", col("conv_id"), col("turn_idx"),
-            col("chunk_index")).as("chunk_id"), col("embedding")),
-        vecRoot)
-    // likewise the PQ / IVF-PQ indexes: encode against frozen
-    // codebooks (and frozen coarse centroids), append
-    val pqRoot = graft.retrieval.PqIndex.indexRoot(outDir)
-    if (graft.retrieval.PqIndex.exists(pqRoot))
-      graft.retrieval.PqIndex.add(
-        embedded.toDF()
-          .select(concat_ws(":", col("conv_id"), col("turn_idx"),
-            col("chunk_index")).as("chunk_id"), col("embedding")),
-        pqRoot)
-    val ivfPqRoot = graft.retrieval.IvfPqIndex.indexRoot(outDir)
-    if (graft.retrieval.IvfPqIndex.exists(ivfPqRoot))
-      graft.retrieval.IvfPqIndex.add(
-        embedded.toDF()
-          .select(concat_ws(":", col("conv_id"), col("turn_idx"),
-            col("chunk_index")).as("chunk_id"), col("embedding")),
-        ivfPqRoot)
-    newChunks.count()
+    // persisted: the parquet append plus up to three index adds each
+    // consume this frame — without the cache every consumer re-reads the
+    // staging parquet and recomputes the hashed embeddings from scratch
+    val embedded = embeddedChunks(spark, stagingDir, dim).persist()
+    try {
+      embedded.write.mode("append").partitionBy("bucket")
+        .parquet(embeddingsDir(outDir))
+      val newChunks = spark.read.parquet(ExtractionPipeline.chunksDir(stagingDir))
+        .select(
+          concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+            .as("chunk_id"),
+          col("content"))
+      Bm25IndexTables.add(newChunks, "chunk_id", "content", indexDir(outDir))
+      // extend whichever vector index families the store carries (frozen
+      // centroids/codebooks, append — the standard incremental add)
+      val embWithId = embedded.toDF()
+        .select(concat_ws(":", col("conv_id"), col("turn_idx"),
+          col("chunk_index")).as("chunk_id"), col("embedding"))
+      val vecRoot = graft.retrieval.VectorIndex.indexRoot(outDir)
+      if (graft.retrieval.VectorIndex.exists(vecRoot))
+        graft.retrieval.VectorIndex.add(embWithId, vecRoot)
+      val pqRoot = graft.retrieval.PqIndex.indexRoot(outDir)
+      if (graft.retrieval.PqIndex.exists(pqRoot))
+        graft.retrieval.PqIndex.add(embWithId, pqRoot)
+      val ivfPqRoot = graft.retrieval.IvfPqIndex.indexRoot(outDir)
+      if (graft.retrieval.IvfPqIndex.exists(ivfPqRoot))
+        graft.retrieval.IvfPqIndex.add(embWithId, ivfPqRoot)
+      newChunks.count()
+    } finally embedded.unpersist()
   }
 
   /** Cascade delete of whole documents (conversations) from the STORING

@@ -998,20 +998,26 @@ object TrainingDataQueries {
   // here source='src0', the curated-domain stand-in — versus the full
   // corpus as the background. The classic estimator sums log(p_t/p_s)
   // over grams; transcendental logs are not bit-reproducible across
-  // engines AND a float sum over an unordered groupBy is
-  // schedule-dependent, so the score here is the integer-exact linear
-  // discriminant with add-1 smoothing:
+  // engines, so the weight is the smoothed probability DIFFERENCE
   //
-  //   w[b]  = (cnt_t[b]+1)·(S+B) − (cnt_s[b]+1)·(T+B)   (sign of p̂_t−p̂_s)
-  //   score = Σ_b c_doc[b] · w[b]                        (all int64)
+  //   w[b]  = (cnt_t[b]+1)/(T+B) − (cnt_s[b]+1)/(S+B)   (p̂_t − p̂_s)
+  //   score = Σ_b c_doc[b] · w[b]
   //
-  // — same selection ORDER semantics (target-like ⇒ positive), exactly
-  // reproducible. Plan shape at 100 TB: gram explode is narrow; bucket
-  // stats collapse to B=256 rows by one partial agg (map-side combine);
-  // the per-doc pass is one (doc_id, b) partial agg joined against the
-  // BROADCAST 256-row weight table, then a per-doc integer sum — no
-  // shuffle wider than (doc_id, b), nothing quadratic, the weight table
-  // is O(B) at any corpus size.
+  // — same selection ORDER semantics (target-like ⇒ positive). Each
+  // division and product is a single exactly-rounded IEEE op, and the
+  // per-doc Σ_b is an explicit b-ORDERED fold (collect→sort_array→
+  // aggregate vs list(term ORDER BY b)→list_sum — at most B=256 terms
+  // per doc), so the doubles agree bit-for-bit across engines and
+  // partition schedules at ANY corpus size; only the displayed score
+  // needs [[Rounding]]. (An earlier integer cross-multiplied form,
+  // (ct+1)(S+B) − (cs+1)(T+B), was exact at test scale but its product
+  // of two corpus-sized counts overflows int64 around 10¹² grams —
+  // exactly the scale the query targets.) Plan shape at 100 TB: gram
+  // explode is narrow; bucket stats collapse to B=256 rows by one
+  // partial agg (map-side combine); the per-doc pass is one (doc_id, b)
+  // partial agg joined against the BROADCAST 256-row weight table, then
+  // the bounded per-doc fold — no shuffle wider than (doc_id, b),
+  // nothing quadratic, the weight table is O(B) at any corpus size.
 
   private val DsirB = 256
 
@@ -1037,15 +1043,20 @@ object TrainingDataQueries {
       .agg(count(lit(1)).as("cs"), sum(isTgt).as("ct"))
       .crossJoin(broadcast(tot))
       .select(col("b"),
-        ((col("ct") + 1) * (col("s_tot") + DsirB) -
-          (col("cs") + 1) * (col("t_tot") + DsirB)).as("w"))
+        ((col("ct") + 1).cast("double") / (col("t_tot") + DsirB) -
+          (col("cs") + 1).cast("double") / (col("s_tot") + DsirB)).as("w"))
     val scored = db.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .join(broadcast(wt), "b")
+      .withColumn("term", col("c") * col("w"))
       .groupBy("doc_id")
-      .agg(sum(col("c") * col("w")).as("iw_score"), sum("c").as("n_grams"))
+      .agg(expr(
+        "aggregate(transform(sort_array(collect_list(struct(b, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
+        .as("iw0"), sum("c").as("n_grams"))
+      .select(col("doc_id"), Rounding.r(col("iw0") * 1e6, 4).as("iw_score"),
+        col("n_grams"))
     t(s, dir, "documents").select("doc_id")
       .join(scored, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("iw_score", "n_grams"))
+      .na.fill(0L, Seq("n_grams")).na.fill(0.0, Seq("iw_score"))
       .orderBy("doc_id")
   }
 
@@ -1068,16 +1079,21 @@ object TrainingDataQueries {
        |  SELECT count(*) AS s_tot,
        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_tot FROM db),
        |wt AS (
-       |  SELECT b, (ct + 1) * (s_tot + $DsirB) - (cs + 1) * (t_tot + $DsirB) AS w
+       |  SELECT b, (ct + 1)::DOUBLE / (t_tot + $DsirB)
+       |    - (cs + 1)::DOUBLE / (s_tot + $DsirB) AS w
        |  FROM (SELECT b, count(*) AS cs,
        |      sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
        |    FROM db GROUP BY 1) CROSS JOIN tot),
        |sc AS (
-       |  SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS iw_score,
+       |  SELECT doc_id, list_sum(list(term ORDER BY b)) AS iw0,
        |    CAST(sum(c) AS BIGINT) AS n_grams
-       |  FROM (SELECT doc_id, b, count(*) AS c FROM db GROUP BY 1, 2)
-       |  JOIN wt USING (b) GROUP BY 1)
-       |SELECT d.doc_id, coalesce(sc.iw_score, 0) AS iw_score,
+       |  FROM (
+       |    SELECT p.doc_id, p.b, p.c, p.c * w.w AS term
+       |    FROM (SELECT doc_id, b, count(*) AS c FROM db GROUP BY 1, 2) p
+       |    JOIN wt w USING (b))
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(${Rounding.rSql("sc.iw0 * 1e6", 4)}, 0.0) AS iw_score,
        |  coalesce(sc.n_grams, 0) AS n_grams
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY 1""".stripMargin

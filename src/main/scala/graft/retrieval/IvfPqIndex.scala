@@ -47,13 +47,12 @@ object IvfPqIndex {
 
   def exists(root: String): Boolean = Files.exists(Paths.get(root, "current"))
 
-  private def loadCentroids(spark: SparkSession, root: String): IndexedSeq[Seq[Double]] = {
-    import spark.implicits._
-    spark.read.parquet(centroidsDir(root))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
-  }
+  /** The `centroids`/`codebooks` table names match [[VectorIndex]] and
+    * [[PqIndex]]'s layouts, so their readers apply directly.
+    */
+  private def loadCentroids(spark: SparkSession, root: String): IndexedSeq[Seq[Double]] =
+    VectorIndex.loadCentroids(spark, root)
 
-  /** `loadBooks` shares PqIndex's table name, so its reader applies. */
   def loadBooks(spark: SparkSession, root: String): PqIndex.Books =
     PqIndex.loadBooks(spark, root)
 
@@ -202,12 +201,7 @@ object IvfPqIndex {
     * the candidate set.
     */
   def rerank(spark: SparkSession, root: String, qv: Array[Float],
-      emb: DataFrame, nprobe: Int, fetch: Int, topK: Int): DataFrame = {
-    val cand = probe(spark, root, qv, nprobe, fetch).select("chunk_id")
-    emb.join(broadcast(cand), "chunk_id")
-      .select(col("chunk_id"),
-        VectorIndex.dotColumn(qv, col("embedding")).as("score"))
-      .orderBy(desc("score"), col("chunk_id"))
-      .limit(topK)
-  }
+      emb: DataFrame, nprobe: Int, fetch: Int, topK: Int): DataFrame =
+    VectorIndex.rerankExact(
+      probe(spark, root, qv, nprobe, fetch).select("chunk_id"), emb, qv, topK)
 }

@@ -74,6 +74,7 @@ object PqIndex {
     * Shared by [[build]] and the [[IvfPqIndex]] residual quantizer.
     */
   def train(e: DataFrame, m: Int, ks: Int, iters: Int): Books = {
+    require(ks >= 1 && ks <= 256, s"ks must be in [1,256] (byte codes), got $ks")
     val spark = e.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -228,12 +229,7 @@ object PqIndex {
     * to [[VectorIndex.dotColumn]] on the candidate set.
     */
   def rerank(spark: SparkSession, root: String, qv: Array[Float],
-      emb: DataFrame, fetch: Int, topK: Int): DataFrame = {
-    val cand = scan(spark, root, qv, fetch).select("chunk_id")
-    emb.join(broadcast(cand), "chunk_id")
-      .select(col("chunk_id"),
-        VectorIndex.dotColumn(qv, col("embedding")).as("score"))
-      .orderBy(desc("score"), col("chunk_id"))
-      .limit(topK)
-  }
+      emb: DataFrame, fetch: Int, topK: Int): DataFrame =
+    VectorIndex.rerankExact(
+      scan(spark, root, qv, fetch).select("chunk_id"), emb, qv, topK)
 }

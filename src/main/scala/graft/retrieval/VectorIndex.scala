@@ -135,7 +135,10 @@ object VectorIndex {
     cents.length
   }
 
-  private def loadCentroids(spark: SparkSession, root: String): IndexedSeq[Seq[Double]] = {
+  /** Reads the `centroids` table under `root`'s current version —
+    * shared with [[IvfPqIndex]], whose layout uses the same table name.
+    */
+  private[retrieval] def loadCentroids(spark: SparkSession, root: String): IndexedSeq[Seq[Double]] = {
     import spark.implicits._
     spark.read.parquet(centroidsDir(root))
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
@@ -189,6 +192,19 @@ object VectorIndex {
     VersionedDir.flip(root, v)
     VersionedDir.gc(root, v)
   }
+
+  /** Exact re-scoring of a small candidate set against the raw
+    * embeddings table: broadcast semi-join, the shared [[dotColumn]]
+    * fold, deterministic (score desc, chunk_id) cut — the rerank tail
+    * [[PqIndex]] and [[IvfPqIndex]] both end in, kept in ONE place so
+    * the bit-exactness contract with the brute-force scan cannot drift.
+    */
+  private[retrieval] def rerankExact(cand: DataFrame, emb: DataFrame,
+      qv: Array[Float], topK: Int): DataFrame =
+    emb.join(broadcast(cand), "chunk_id")
+      .select(col("chunk_id"), dotColumn(qv, col("embedding")).as("score"))
+      .orderBy(desc("score"), col("chunk_id"))
+      .limit(topK)
 
   /** Probe: rank cells by centroid dot on the DRIVER (the centroid table
     * is √N-small), then scan only the top-`nprobe` cells — a
