@@ -97,6 +97,38 @@ object ExtractionPipeline {
       col("bucket").isin(m.completed.keys.toSeq.map(Integer.valueOf): _*))
   }
 
+  /** Incremental read (Iceberg's append-scan emulation): the rows added
+    * between two committed snapshots. Buckets are write-once and commits
+    * are append-only, so the delta is EXACTLY the buckets in `toId`'s
+    * manifest that `fromId`'s lacks — a partition-pruned scan of only
+    * the new buckets' files, letting a downstream consumer re-process
+    * an increment without ever re-reading (or diffing) the 100 TB of
+    * already-consumed history. `fromId = 0` means "from the beginning"
+    * (every bucket of `toId` is new).
+    */
+  def tableChanges(spark: SparkSession, outDir: String, table: String,
+      fromId: Long, toId: Long): DataFrame = {
+    val known = TableIO.snapshots(outDir).toSet
+    require(fromId == 0L || known.contains(fromId), s"unknown snapshot $fromId")
+    require(known.contains(toId), s"unknown snapshot $toId")
+    val before =
+      if (fromId == 0L) Set.empty[Int]
+      else TableIO.readAt(outDir, fromId).completed.keySet
+    val after = TableIO.readAt(outDir, toId).completed.keySet
+    require(before.subsetOf(after),
+      s"snapshot $fromId is not an ancestor of $toId (commits are append-only)")
+    val added = (after -- before).toSeq
+    val dir = table match {
+      case "extracted" => extractedDir(outDir)
+      case "chunks" => chunksDir(outDir)
+      case other =>
+        throw new IllegalArgumentException(s"no bucket table named '$other'")
+    }
+    val base = spark.read.parquet(dir)
+    if (added.isEmpty) base.limit(0)
+    else base.filter(col("bucket").isin(added.map(Integer.valueOf): _*))
+  }
+
   /** Row-level twin of the SQL bucket expression below — same xxhash64
     * chain (seed 42 → conv_id → salt), same pmod. Used by the streaming
     * path so streamed and batch outputs land in the SAME partition

@@ -72,4 +72,50 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(second.nonEmpty && second.max <= first.max,
       "restart from scratch must not accumulate stale history")
   }
+
+  test("tableChanges reads exactly the increment between two snapshots") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tt-inc").toString
+    val turns = spark.createDataset(
+      (0 until 8).flatMap(i => TranscriptGen.conversation(19L, i.toLong)))
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 8, waves = 4, resume = false))
+    val snaps = TableIO.snapshots(out)
+    assert(snaps.size >= 2)
+    val (s1, s2) = (snaps.head, snaps.last)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Int, Int)] =
+      df.select("conv_id", "turn_idx", "bucket")
+        .as[(String, Int, Int)].collect().toSet
+
+    // delta(s1 → s2) == tableAt(s2) − tableAt(s1), row-for-row
+    val delta = ExtractionPipeline.tableChanges(spark, out, "extracted", s1, s2)
+    val want = rows(ExtractionPipeline.tableAt(spark, out, "extracted", s2)) --
+      rows(ExtractionPipeline.tableAt(spark, out, "extracted", s1))
+    assert(rows(delta) == want && want.nonEmpty)
+
+    // from-the-beginning delta is the whole snapshot; empty delta at s==s
+    assert(rows(ExtractionPipeline.tableChanges(spark, out, "extracted", 0L, s1)) ==
+      rows(ExtractionPipeline.tableAt(spark, out, "extracted", s1)))
+    assert(ExtractionPipeline.tableChanges(spark, out, "extracted", s2, s2).count() == 0)
+
+    // the increment scan is partition-pruned to the new buckets only
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    delta.collect()
+    val scan = scans(delta.queryExecution.executedPlan).head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+      s"bucket must be a partition filter, got: ${scan.partitionFilters}")
+
+    // a non-ancestor 'from' is rejected loudly (append-only contract)
+    intercept[IllegalArgumentException] {
+      ExtractionPipeline.tableChanges(spark, out, "extracted", 999L, s2)
+    }
+  }
 }
