@@ -990,6 +990,151 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- ANN: IVF-PQ composed (the IVFADC oracle) ------------------------------
+  //
+  // The composed q_ann_ivf × q_ann_pq math of [[graft.retrieval
+  // .IvfPqIndex]], SQL-expressible end-to-end so DuckDB independently
+  // reproduces cell routing, residual codes, AND the final ADC scores:
+  // centroids = the first-nlist vectors (nlist = max(8, ⌊√N⌋)); every
+  // corpus vector routes to its max-dot cell and is PQ-encoded on the
+  // RESIDUAL e − centroid, against a codebook built from the first-ks
+  // corpus residuals; a probe scores
+  //   score(v) = q·centroid(cell_v) + Σ_j q_subj · codeword(code_vj)
+  // — the ADC identity. Every dot/argmin is a left-to-right fold and the
+  // over-j sum is j-ordered in both engines, so the doubles agree
+  // bit-for-bit; only the displayed score is rounded.
+
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = embDouble(s, dir)
+    val stats = emb0.agg(count(lit(1)).as("n"))
+      .withColumn("nlist", greatest(lit(8L), floor(sqrt(col("n")))))
+    val emb = emb0.crossJoin(broadcast(stats)).select("vec_id", "e", "nlist")
+    val cents = emb.filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val dotEC = expr(
+      "aggregate(zip_with(e, ce, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+
+    // cell routing (argmax dot, ties → lowest cid) + in-place residual;
+    // the real index does this as one codegen'd narrow pass
+    // (graft_best_cell + graft_pq_encode) — here the unrolled join form
+    // keeps the math SQL-expressible for the oracle
+    val routed = emb.filter(col("vec_id") >= col("nlist"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", dotEC)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("dot"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nlist"), col("cid").as("cell"),
+        expr("zip_with(e, ce, (a, b) -> a - b)").as("r"))
+
+    // residual codebook: the first-ks corpus residuals, sliced
+    val cb = pqSubspaces(routed.filter(col("vec_id") < col("nlist") + PqKs)
+        .select((col("vec_id") - col("nlist")).as("vec_id"), col("r").as("e")))
+      .select(col("vec_id").cast("int").as("cid"), col("j"),
+        col("sv").as("cent"))
+    val codes = pqCodes(
+      pqSubspaces(routed.select(col("vec_id"), col("r").as("e"))), cb)
+
+    // probes: the 4 corpus vectors after the codebook rows; the shared
+    // LUT terms come from the probe's FULL subvectors (codewords decode
+    // in global coordinates once the centroid term is added back)
+    val probes = emb
+      .filter(col("vec_id") >= col("nlist") + PqKs &&
+        col("vec_id") < col("nlist") + PqKs + PqNq)
+    val probesub = pqSubspaces(probes.select(col("vec_id"), col("e")))
+      .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
+    val adc = pqAdcTerms(codes, cb, probesub)
+      .groupBy("probe_id", "vec_id")
+      .agg(expr(
+        "aggregate(transform(sort_array(collect_list(struct(j, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
+        .as("adc0"))
+
+    // per-(probe, cell) constant q·centroid — 4·nlist rows, broadcast
+    val qc = probes.select(col("vec_id").as("probe_id"), col("e"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qc", dotEC)
+      .select(col("probe_id"), col("cid").as("cell"), col("qc"))
+
+    adc.join(routed.select("vec_id", "cell"), "vec_id")
+      .join(broadcast(qc), Seq("probe_id", "cell"))
+      .withColumn("score", Rounding.r(col("adc0") + col("qc"), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("score"), col("vec_id"))))
+      .filter(col("rn") <= PqTopK)
+      .select(col("probe_id"), col("vec_id"), col("score"))
+      .orderBy("probe_id", "vec_id")
+  }
+
+  private val qAnnIvfPqSql = {
+    val sl = s"[j * (len(r) // $PqM) + 1 : (j + 1) * (len(r) // $PqM)]"
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |st AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist FROM e0),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM e0 CROSS JOIN st WHERE vec_id < nlist),
+       |routed AS (
+       |  SELECT vec_id, nlist, cid AS cell,
+       |    list_transform(generate_series(1, len(e)), i -> e[i] - ce[i]) AS r
+       |  FROM (
+       |    SELECT e0.vec_id, st.nlist, c.cid, e0.e, c.ce,
+       |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(e0.e)),
+       |          i -> e0.e[i] * c.ce[i])) DESC, c.cid) AS rn
+       |    FROM e0 CROSS JOIN st CROSS JOIN cents c WHERE e0.vec_id >= st.nlist)
+       |  WHERE rn = 1),
+       |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |cb AS (
+       |  SELECT CAST(vec_id - nlist AS INT) AS cid, j, r$sl AS cent
+       |  FROM routed CROSS JOIN js WHERE vec_id < nlist + $PqKs),
+       |subv AS (
+       |  SELECT vec_id, j, r$sl AS sv FROM routed CROSS JOIN js),
+       |codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT v.vec_id, v.j, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(v.sv)),
+       |          i -> (v.sv[i] - c.cent[i]) * (v.sv[i] - c.cent[i]))) ASC,
+       |        c.cid) AS rn
+       |    FROM subv v JOIN cb c USING (j))
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, e AS qe FROM e0 CROSS JOIN st
+       |  WHERE vec_id >= nlist + $PqKs AND vec_id < nlist + ${PqKs + PqNq}),
+       |probesub AS (
+       |  SELECT probe_id, j,
+       |    qe[j * (len(qe) // $PqM) + 1 : (j + 1) * (len(qe) // $PqM)] AS qsv
+       |  FROM probes CROSS JOIN js),
+       |terms AS (
+       |  SELECT p.probe_id, cd.vec_id, cd.j,
+       |    list_sum(list_transform(generate_series(1, len(p.qsv)),
+       |      i -> p.qsv[i] * c.cent[i])) AS term
+       |  FROM codes cd
+       |  JOIN cb c ON cd.j = c.j AND cd.cid = c.cid
+       |  JOIN probesub p ON cd.j = p.j
+       |  WHERE cd.vec_id <> p.probe_id),
+       |adc AS (
+       |  SELECT probe_id, vec_id, list_sum(list(term ORDER BY j)) AS adc0
+       |  FROM terms GROUP BY 1, 2),
+       |qc AS (
+       |  SELECT p.probe_id, c.cid AS cell,
+       |    list_sum(list_transform(generate_series(1, len(p.qe)),
+       |      i -> p.qe[i] * c.ce[i])) AS qc
+       |  FROM probes p CROSS JOIN cents c),
+       |sc AS (
+       |  SELECT a.probe_id, a.vec_id,
+       |    ${Rounding.rSql("a.adc0 + q.qc", 4)} AS score
+       |  FROM adc a
+       |  JOIN routed t ON a.vec_id = t.vec_id
+       |  JOIN qc q ON q.probe_id = a.probe_id AND q.cell = t.cell)
+       |SELECT probe_id, vec_id, score FROM (
+       |  SELECT probe_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, vec_id) AS rn
+       |  FROM sc)
+       |WHERE rn <= $PqTopK ORDER BY probe_id, vec_id""".stripMargin
+  }
+
   // --- DSIR importance weights (hashed n-gram data selection) ---------------
   //
   // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
@@ -2328,6 +2473,7 @@ object TrainingDataQueries {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_pq_recall" -> (qPqRecall _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_visual_fusion" -> (qVisualFusion _),
@@ -2369,6 +2515,7 @@ object TrainingDataQueries {
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_pq_recall" -> qPqRecallSql,
+    "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_visual_fusion" -> qVisualFusionSql,
