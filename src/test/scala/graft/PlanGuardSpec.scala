@@ -140,4 +140,34 @@ class PlanGuardSpec extends AnyFunSuite {
       s"vec_id filters not pushed to the scan:\n${p.take(3000)}")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q_ann_pq encodes via broadcast codebook and a PARTIAL argmin aggregate") {
+    // the codeword assignment must be min(struct) with a map-side
+    // partial (the shuffle carries one row per (vector, subspace), not
+    // ks) — and the codebook rides broadcasts, never a shuffle join
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"argmin must have a partial (map-side) phase:\n${p.take(3000)}")
+  }
+
+  test("q_ann_ivfpq keeps centroid/codebook joins on broadcasts; one keyed join") {
+    val p = plan("q_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the ONLY shuffle join allowed is the vec_id-keyed cell attach
+    // (two corpus-sized sides — a keyed equi-join IS the scale-correct
+    // plan for the oracle formulation; the real IvfPqIndex stores the
+    // cell with the codes, so it has no join at all); everything
+    // touching the O(√N) centroids / O(m·ks) codebook must broadcast
+    assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1,
+      s"more than one shuffle join in the IVFADC oracle:\n${p.take(3000)}")
+  }
+
+  test("q_dsir_weights joins the O(B) weight table as a broadcast") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // bucket stats must partial-aggregate map-side before the shuffle
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"bucket counts must have a partial phase:\n${p.take(3000)}")
+  }
 }
