@@ -72,6 +72,23 @@ class PqIndexSpec extends AnyFunSuite {
     assert(books.length == M && books.forall(_.length == Ks))
   }
 
+  test("codes parquet is at least 8x smaller on disk than the raw embeddings") {
+    // the storage CLAIM, measured: m=4 bytes/vector vs 32 floats — the
+    // parquet files (with their own encodings on both sides) must show
+    // a large real shrink, not just a logical one
+    val points = clustered(2000)
+    val root = buildIndex(points)
+    val rawDir = Files.createTempDirectory("pq-raw").toString
+    points.toDF("chunk_id", "embedding").write.mode("overwrite").parquet(rawDir)
+    def bytes(dir: String): Long =
+      scala.util.Using.resource(Files.walk(java.nio.file.Paths.get(dir)))(
+        _.filter(p => p.toString.endsWith(".parquet")).mapToLong(Files.size).sum())
+    val raw = bytes(rawDir)
+    val codes = bytes(PqIndex.codesDir(root))
+    assert(codes * 8 < raw,
+      s"codes $codes B vs raw $raw B — expected >= 8x shrink")
+  }
+
   test("ADC scan matches a driver-side recompute bit-for-bit") {
     val points = clustered(200)
     val root = buildIndex(points)
