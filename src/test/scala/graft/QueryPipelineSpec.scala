@@ -43,6 +43,33 @@ class QueryPipelineSpec extends AnyFunSuite {
     assert(hits.exists(h => terms.exists(h.getAs[String]("content").toLowerCase.contains)))
   }
 
+  test("keyword-miss query degrades to vector-only ranking (source fallback)") {
+    import spark.implicits._
+    // the reference's hybrid search still answers when one source comes
+    // back empty (hybrid_search.py fallback paths): a query whose tokens
+    // never occur in the corpus zeroes every BM25 score (filtered by the
+    // score>0 gate), so the fused ranking must equal the pure vector
+    // ranking — weighted RRF over one non-empty list
+    val q = "zzxqv qqwzk vbnmx"
+    val post = spark.read.parquet(
+      Bm25IndexTables.postingsDir(Ingestion.indexDir(outDir)))
+    assert(post.filter(col("term").isin(q.split(" ").toSeq: _*)).count() == 0,
+      "fixture: query terms must miss the corpus")
+    val hits = QueryPipeline.query(spark, outDir, q, topK = 10)
+      .select("chunk_id").as[String].collect().toSeq
+    assert(hits.nonEmpty, "vector side alone must still answer")
+
+    val qv = Ingestion.hashedEmbedding(q)
+    val want = spark.read.parquet(Ingestion.embeddingsDir(outDir))
+      .select(concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+        .as("chunk_id"),
+        graft.retrieval.VectorIndex.dotColumn(qv, col("embedding")).as("score"))
+      .as[(String, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    assert(hits.sorted == want.sorted,
+      "fused == pure-vector top-k when the keyword list is empty")
+  }
+
   test("query is deterministic across runs") {
     val q = "the table of content"
     val a = QueryPipeline.query(spark, outDir, q).collect().map(_.getAs[String]("chunk_id"))
