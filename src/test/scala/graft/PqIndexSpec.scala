@@ -199,6 +199,33 @@ class PqIndexSpec extends AnyFunSuite {
       "PQ-indexed store at full-coverage fetch == unindexed brute force")
   }
 
+  test("a crashed rebuild's partial version dir is invisible and overwritten") {
+    val points = clustered(100)
+    val root = buildIndex(points)
+    val booksBefore = PqIndex.loadBooks(spark, root)
+    val qv = points(5)._2.toArray
+    val before = PqIndex.scan(spark, root, qv, topK = 100)
+      .as[(String, Double)].collect().toSeq
+
+    // simulate a rebuild that died after writing partial files but
+    // BEFORE the pointer flip: junk under the next version dir
+    val junk = java.nio.file.Paths.get(root, "v2", "codes")
+    Files.createDirectories(junk)
+    Files.write(junk.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+
+    // readers resolve through the pointer — the crash residue is invisible
+    assert(PqIndex.loadBooks(spark, root) == booksBefore)
+    assert(PqIndex.scan(spark, root, qv, topK = 100)
+      .as[(String, Double)].collect().toSeq == before)
+
+    // the next build claims v2, overwrites the residue, and flips
+    PqIndex.build(points.toDF("chunk_id", "embedding"), root, m = M, ks = Ks)
+    val after = PqIndex.scan(spark, root, qv, topK = 100)
+      .as[(String, Double)].collect().toSeq
+    assert(after.map(_._1).toSet == before.map(_._1).toSet,
+      "rebuild over crash residue serves the full corpus")
+  }
+
   test("delete removes ids; compact preserves scan output exactly") {
     val points = clustered(200)
     val root = buildIndex(points)
