@@ -80,6 +80,42 @@ class TurnAssemblerSpec extends AnyFunSuite {
     assert(out.count(_.conv_id == "a") == 2 && out.count(_.conv_id == "b") == 2)
   }
 
+  test("assemble composes with streaming extraction in one DAG") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // shuffled input WITH duplicate deliveries: the assembler dedups and
+    // orders; extraction downstream sees each turn exactly once
+    val turns = (0 until 2).flatMap(i => TranscriptGen.conversation(31L, i.toLong))
+    val feed = new scala.util.Random(3).shuffle(turns ++ turns.take(5))
+
+    val input = MemoryStream[Turn]
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try graft.streaming.StreamingExtraction
+        .extracted(TurnAssembler.assemble(input.toDS()))
+        .writeStream.format("memory").queryName("ta_extract")
+        .outputMode(OutputMode.Append()).start()
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    try {
+      feed.grouped(9).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("ta_extract")
+      .select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val want = graft.streaming.StreamingExtraction
+      .extracted(spark.createDataset(turns))
+      .select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == want,
+      "assembled-stream extraction == direct batch extraction, exactly once")
+  }
+
   test("gap-free shuffled input reassembles to the batch sort order") {
     import spark.implicits._
     val turns = (0 until 3).flatMap(i => TranscriptGen.conversation(29L, i.toLong))
