@@ -82,20 +82,26 @@ object ExtractionPipeline {
     * partition-pruned scan (only those buckets' files open). Current
     * snapshot ids: [[TableIO.snapshots]].
     */
-  def tableAt(spark: SparkSession, outDir: String, table: String,
-      snapshotId: Long): DataFrame = {
-    val m = TableIO.readAt(outDir, snapshotId)
-    val dir = table match {
+  private def bucketTableDir(outDir: String, table: String): String =
+    table match {
       case "extracted" => extractedDir(outDir)
       case "chunks" => chunksDir(outDir)
       case other =>
         throw new IllegalArgumentException(s"no bucket table named '$other'")
     }
-    val base = spark.read.parquet(dir)
-    if (m.completed.isEmpty) base.limit(0)
-    else base.filter(
-      col("bucket").isin(m.completed.keys.toSeq.map(Integer.valueOf): _*))
+
+  /** Partition-pruned read of a bucket table restricted to `buckets`. */
+  private def bucketsOf(spark: SparkSession, outDir: String, table: String,
+      buckets: Iterable[Int]): DataFrame = {
+    val base = spark.read.parquet(bucketTableDir(outDir, table))
+    if (buckets.isEmpty) base.limit(0)
+    else base.filter(col("bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
   }
+
+  def tableAt(spark: SparkSession, outDir: String, table: String,
+      snapshotId: Long): DataFrame =
+    bucketsOf(spark, outDir, table,
+      TableIO.readAt(outDir, snapshotId).completed.keys)
 
   /** Incremental read (Iceberg's append-scan emulation): the rows added
     * between two committed snapshots. Buckets are write-once and commits
@@ -108,25 +114,18 @@ object ExtractionPipeline {
     */
   def tableChanges(spark: SparkSession, outDir: String, table: String,
       fromId: Long, toId: Long): DataFrame = {
-    val known = TableIO.snapshots(outDir).toSet
-    require(fromId == 0L || known.contains(fromId), s"unknown snapshot $fromId")
-    require(known.contains(toId), s"unknown snapshot $toId")
-    val before =
-      if (fromId == 0L) Set.empty[Int]
-      else TableIO.readAt(outDir, fromId).completed.keySet
-    val after = TableIO.readAt(outDir, toId).completed.keySet
+    // STRICT manifest reads: a torn snapshot file (TableIO.commit's
+    // documented crash window) degrading to Empty would silently turn
+    // "delta since fromId" into "everything" — fail loudly instead
+    def strict(id: Long): Set[Int] = TableIO.readAtStrict(outDir, id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $id is missing or unreadable — cannot compute a delta"))
+      .completed.keySet
+    val before = if (fromId == 0L) Set.empty[Int] else strict(fromId)
+    val after = strict(toId)
     require(before.subsetOf(after),
       s"snapshot $fromId is not an ancestor of $toId (commits are append-only)")
-    val added = (after -- before).toSeq
-    val dir = table match {
-      case "extracted" => extractedDir(outDir)
-      case "chunks" => chunksDir(outDir)
-      case other =>
-        throw new IllegalArgumentException(s"no bucket table named '$other'")
-    }
-    val base = spark.read.parquet(dir)
-    if (added.isEmpty) base.limit(0)
-    else base.filter(col("bucket").isin(added.map(Integer.valueOf): _*))
+    bucketsOf(spark, outDir, table, after -- before)
   }
 
   /** Row-level twin of the SQL bucket expression below — same xxhash64

@@ -105,6 +105,21 @@ object TableIO {
     catch { case scala.util.control.NonFatal(_) => Empty }
   }
 
+  /** [[readAt]] that DISTINGUISHES "snapshot absent/torn" (None) from a
+    * committed empty manifest. Consumers whose correctness depends on
+    * the manifest's contents being real — incremental deltas, not
+    * point-in-time degradable reads — must use this: a torn
+    * `manifest-v<id>.json` (the documented [[commit]] crash window)
+    * degrading to Empty would silently turn "delta since id" into
+    * "everything".
+    */
+  def readAtStrict(tableDir: String, id: Long): Option[Manifest] = {
+    val p = snapshotPath(tableDir, id)
+    if (!Files.exists(p)) return None
+    try Some(parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def clear(tableDir: String): Unit = {
     val p = manifestPath(tableDir)
     if (Files.exists(p)) Files.delete(p)

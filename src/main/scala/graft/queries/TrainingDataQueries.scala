@@ -747,6 +747,16 @@ object TrainingDataQueries {
   private val PqNq = 4     // probe vectors: vec_id ∈ [ks, ks+4)
   private val PqTopK = 5
 
+  /** The KEY-ordered double fold: collect (key, value) pairs, sort by
+    * key, fold values left-to-right — THE cross-engine bit-
+    * reproducibility contract for float sums over unordered groupBys
+    * (DuckDB twin: `list_sum(list(value ORDER BY key))`). One
+    * definition for every query that relies on it, so the contract
+    * cannot drift per copy.
+    */
+  private def orderedSum(key: String, value: String): Column = expr(
+    s"aggregate(transform(sort_array(collect_list(struct($key, $value))), s -> s.$value), 0D, (acc, x) -> acc + x)")
+
   // 0-based subspace j's slice of the vector (subspace width d/m)
   private val pqSvExpr = s"slice(e, j * (size(e) DIV $PqM) + 1, size(e) DIV $PqM)"
   private def pqSubspaces(df: DataFrame): DataFrame = df
@@ -797,9 +807,7 @@ object TrainingDataQueries {
       .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
     val terms = pqAdcTerms(codes, cb, probesub)
     terms.groupBy("probe_id", "vec_id")
-      .agg(expr(
-        "aggregate(transform(sort_array(collect_list(struct(j, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
-        .as("adc0"))
+      .agg(orderedSum("j", "term").as("adc0"))
       .withColumn("adc", Rounding.r(col("adc0"), 4))
       .withColumn("rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(desc("adc"), col("vec_id"))))
@@ -893,9 +901,7 @@ object TrainingDataQueries {
       .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
     val fetched = pqAdcTerms(codes, cb, probesub)
       .groupBy("probe_id", "vec_id")
-      .agg(expr(
-        "aggregate(transform(sort_array(collect_list(struct(j, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
-        .as("adc"))
+      .agg(orderedSum("j", "term").as("adc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(desc("adc"), col("vec_id"))))
       .filter(col("rn") <= PqRecallFetch)
@@ -1046,9 +1052,7 @@ object TrainingDataQueries {
       .select(col("vec_id").as("probe_id"), col("j"), col("sv").as("qsv"))
     val adc = pqAdcTerms(codes, cb, probesub)
       .groupBy("probe_id", "vec_id")
-      .agg(expr(
-        "aggregate(transform(sort_array(collect_list(struct(j, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
-        .as("adc0"))
+      .agg(orderedSum("j", "term").as("adc0"))
 
     // per-(probe, cell) constant q·centroid — 4·nlist rows, broadcast
     val qc = probes.select(col("vec_id").as("probe_id"), col("e"))
@@ -1194,9 +1198,7 @@ object TrainingDataQueries {
       .join(broadcast(wt), "b")
       .withColumn("term", col("c") * col("w"))
       .groupBy("doc_id")
-      .agg(expr(
-        "aggregate(transform(sort_array(collect_list(struct(b, term))), s -> s.term), 0D, (acc, x) -> acc + x)")
-        .as("iw0"), sum("c").as("n_grams"))
+      .agg(orderedSum("b", "term").as("iw0"), sum("c").as("n_grams"))
       .select(col("doc_id"), Rounding.r(col("iw0") * 1e6, 4).as("iw_score"),
         col("n_grams"))
     t(s, dir, "documents").select("doc_id")

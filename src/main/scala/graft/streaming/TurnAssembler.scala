@@ -30,7 +30,18 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * released turn leaves the store immediately. For abandoned
   * conversations pass a TTL, which bounds state by wall-clock age
   * (`TTLConfig` is per-state-variable; TTL requires
-  * `TimeMode.ProcessingTime`).
+  * `TimeMode.ProcessingTime`). TTL semantics are WHOLESALE abandonment:
+  * pick a TTL far above the worst-case out-of-orderness window, so only
+  * conversations idle that long age out (the frontier is rewritten on
+  * every batch that touches the key, keeping it at least as fresh as
+  * the buffers; a buffered turn expiring while the conversation stays
+  * active would otherwise leave its gap unfillable).
+  *
+  * Contract: `turn_idx` is 0-based and contiguous per conversation
+  * (the `input_hint` schema). Negative indices are rejected loudly; a
+  * conversation whose indices start above 0 buffers until its 0 arrives
+  * — by design, since a missing prefix is indistinguishable from an
+  * out-of-order one.
   *
   * The batch twin of this operator is a plain
   * `sortWithinPartitions(conv_id, turn_idx)` after the bucket
@@ -53,6 +64,11 @@ object TurnAssembler {
         timerValues: TimerValues): Iterator[Turn] = {
       val released = if (nextIdx.exists()) nextIdx.get() else 0
       rows.foreach { t =>
+        // the contract is 0-based contiguous turn_idx (input_hint int32
+        // from 0) — a negative index would silently disappear behind the
+        // frontier, so reject it loudly
+        if (t.turn_idx < 0) throw new IllegalArgumentException(
+          s"TurnAssembler: negative turn_idx ${t.turn_idx} for conversation $key")
         // drop duplicates of released or buffered indices
         if (t.turn_idx >= released && !buffered.containsKey(t.turn_idx))
           buffered.updateValue(t.turn_idx, t)
@@ -65,8 +81,12 @@ object TurnAssembler {
         buffered.removeKey(n)
         n += 1
       }
-      if (n != released) nextIdx.update(n)
-      else if (!nextIdx.exists()) nextIdx.update(0)
+      // write the frontier EVERY batch, not only on release: a TTL'd
+      // ValueState renews on write, so an active conversation stuck
+      // behind a gap keeps its frontier alive as long as turns keep
+      // arriving — otherwise the frontier could expire while buffers
+      // live, resetting to 0 and re-emitting released turns
+      nextIdx.update(n)
       out.result().iterator
     }
   }
