@@ -116,8 +116,17 @@ object TableIO {
   def readAtStrict(tableDir: String, id: Long): Option[Manifest] = {
     val p = snapshotPath(tableDir, id)
     if (!Files.exists(p)) return None
-    try Some(parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
-    catch { case scala.util.control.NonFatal(_) => None }
+    val raw =
+      try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val m =
+      try parse(raw)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    // integrity: snapshot files are only ever produced by render(), so
+    // an intact file round-trips byte-for-byte; a TRUNCATED file would
+    // otherwise regex-parse to a silently PARTIAL bucket set — the
+    // worst failure mode for a delta (missing rows, no error)
+    if (render(m) == raw) Some(m) else None
   }
 
   def clear(tableDir: String): Unit = {

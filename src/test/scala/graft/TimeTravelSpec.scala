@@ -117,5 +117,16 @@ class TimeTravelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ExtractionPipeline.tableChanges(spark, out, "extracted", 999L, s2)
     }
+
+    // a TORN snapshot file (the commit crash window) must fail the delta
+    // loudly — tableAt may degrade to empty, but "delta since a manifest
+    // we cannot read" silently becoming "everything" would be data
+    // re-processing at 100 TB scale
+    val torn = java.nio.file.Paths.get(out, s"manifest-v$s1.json")
+    java.nio.file.Files.write(torn, Array[Byte]('{', 'x'))
+    intercept[IllegalArgumentException] {
+      ExtractionPipeline.tableChanges(spark, out, "extracted", s1, s2)
+    }
+    assert(TableIO.readAtStrict(out, s1).isEmpty, "strict read reports the tear")
   }
 }

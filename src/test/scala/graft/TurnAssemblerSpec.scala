@@ -80,6 +80,34 @@ class TurnAssemblerSpec extends AnyFunSuite {
     assert(out.count(_.conv_id == "a") == 2 && out.count(_.conv_id == "b") == 2)
   }
 
+  test("a negative turn_idx fails the stream loudly, not silently") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try TurnAssembler.assemble(input.toDS()).writeStream
+        .format("memory").queryName("ta_neg").outputMode(OutputMode.Append())
+        .start()
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    try {
+      input.addData(turn("c1", -1))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).exists(c => c.getMessage != null &&
+          c.getMessage.contains("negative turn_idx")), ex.getMessage)
+    } finally q.stop()
+  }
+
   test("assemble composes with streaming extraction in one DAG") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
