@@ -1139,6 +1139,69 @@ object TrainingDataQueries {
        |WHERE rn <= $PqTopK ORDER BY probe_id, vec_id""".stripMargin
   }
 
+  // --- cluster × source mixture audit ---------------------------------------
+  //
+  // The diversity-audit primitive behind cluster-balanced curation
+  // (SemDeDup / cluster-stratified sampling): assign every document's
+  // embedding to a centroid, then report the cluster × source mixture —
+  // which sources dominate which semantic clusters, and each source's
+  // share of its cluster. K here is a REPORTING granularity (8), not an
+  // index parameter; the trained, corpus-scaled clustering is
+  // [[graft.retrieval.VectorIndex]]'s k-means — this query uses the
+  // same first-K deterministic centroid convention as q_ann_ivf so the
+  // assignment is SQL-expressible and the oracle independently
+  // reproduces it. Plan: broadcast K centroids → narrow argmax per row
+  // (min(struct) partial agg) → (cluster, source) hash agg — one small
+  // shuffle at any corpus size. Share = count/cluster-total with both
+  // operands from the SAME agg (exact integer division, rounded once).
+
+  private val MixK = 8
+
+  private def qClusterMix(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDouble(s, dir)
+    val cents = emb.filter(col("vec_id") < MixK)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assigned = emb.filter(col("vec_id") >= MixK)
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(e, ce, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("dot")), col("cid"))).as("m"))
+      .select(col("vec_id").as("doc_id"), col("m.cid").as("cluster"))
+    val mix = assigned
+      .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("cluster", "source").agg(count(lit(1)).as("n_docs"))
+    val totals = mix.groupBy("cluster").agg(sum("n_docs").as("cluster_total"))
+    mix.join(broadcast(totals), "cluster")
+      .select(col("cluster"), col("source"), col("n_docs"),
+        Rounding.r(col("n_docs").cast("double") / col("cluster_total"), 4)
+          .as("share"))
+      .orderBy("cluster", "source")
+  }
+
+  private val qClusterMixSql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM e0 WHERE vec_id < $MixK),
+       |assigned AS (
+       |  SELECT vec_id AS doc_id, cid AS cluster FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(v.e)),
+       |          i -> v.e[i] * c.ce[i])) DESC, c.cid) AS rn
+       |    FROM e0 v CROSS JOIN cents c WHERE v.vec_id >= $MixK)
+       |  WHERE rn = 1),
+       |mix AS (
+       |  SELECT cluster, source, count(*) AS n_docs
+       |  FROM assigned a JOIN documents d ON a.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT cluster, sum(n_docs) AS cluster_total FROM mix GROUP BY 1)
+       |SELECT m.cluster, m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+       |  ${Rounding.rSql("m.n_docs::DOUBLE / t.cluster_total", 4)} AS share
+       |FROM mix m JOIN tot t ON m.cluster = t.cluster
+       |ORDER BY 1, 2""".stripMargin
+
   // --- DSIR importance weights (hashed n-gram data selection) ---------------
   //
   // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
@@ -2477,6 +2540,7 @@ object TrainingDataQueries {
     "q_pq_recall" -> (qPqRecall _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_cluster_mix" -> (qClusterMix _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
@@ -2519,6 +2583,7 @@ object TrainingDataQueries {
     "q_pq_recall" -> qPqRecallSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_dsir_weights" -> qDsirWeightsSql,
+    "q_cluster_mix" -> qClusterMixSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,
