@@ -33,9 +33,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RetrievalQueries.queries ++
-      TrainingDataQueries.queries
+      TrainingDataQueries.queries ++ CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RetrievalQueries.oracles ++
-      TrainingDataQueries.oracles
+      TrainingDataQueries.oracles ++ CurationQueries.oracles
 }

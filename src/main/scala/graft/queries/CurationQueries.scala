@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.queries.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the reference — the document-quality
+  * and redundancy audits a pretraining pipeline runs corpus-wide, each a
+  * Catalyst-only plan with an exact DuckDB oracle.
+  *
+  * Scale notes (tested at sf, designed for 100 TB):
+  *  - every per-document rule (`q_gopher_rules`) is a narrow codegen'd
+  *    projection — zero shuffles;
+  *  - paragraph dedup shuffles on the SEGMENT HASH (linear, partial-agg)
+  *    then joins back on the same key — no pair space, no windows;
+  *  - n-gram diversity is a two-level aggregation ((source, gram) then
+  *    source) — the distinct count never funnels through one task;
+  *  - collocation lift joins the bigram table to the unigram counts on
+  *    the word key (linear shuffles; vocabulary ≪ corpus) and cuts with
+  *    a distributed TakeOrdered;
+  *  - SemDeDup's cost is Σ|cell|² by design (Abbas et al. 2023): the
+  *    pairwise join is confined to centroid cells, never the corpus.
+  *
+  * Floats follow the repo's cross-engine discipline: IEEE primitives
+  * only (mul/div/add/sqrt/floor — bit-identical in Spark and DuckDB),
+  * no transcendentals (collocation strength is the raw likelihood RATIO,
+  * monotone in PMI, instead of its log), `Rounding.r` on every reported
+  * double, deterministic tie-breaks on every ordering.
+  */
+object CurationQueries {
+
+  /** Whitespace tokenizer (column form) — same as the dedup family's. */
+  private def simpleTokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  private val TokensCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB cosine with graft_cosine's accumulation order (bit-exact). */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) /
+       |    (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |     sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
+
+  // --- Gopher document-quality rules (Rae et al. 2021, §A1.1) ---------------
+  //
+  // The standard document-level repetition-free quality gate: word-count
+  // window, mean word length window, symbol-to-word ratio, bullet-/
+  // ellipsis-line fractions, alphabetic-word fraction, minimum "essential
+  // stopword" hits. One narrow pass over the corpus — each rule is a
+  // per-row column expression, so the filter costs a single codegen'd
+  // scan at any corpus size and composes with `q_training_select`'s
+  // funnel for free.
+
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val gopherStopArray = array(GopherStops.map(lit): _*)
+    t(s, dir, "documents")
+      .withColumn("ts", simpleTokens(col("text")))
+      .withColumn("lines", filter(split(col("text"), "\n"), x => x =!= ""))
+      .withColumn("n_words", size(col("ts")))
+      .withColumn("dw", greatest(col("n_words"), lit(1)).cast("double"))
+      .withColumn("dl", greatest(size(col("lines")), lit(1)).cast("double"))
+      .withColumn("mean_wlen", Rounding.r(
+        expr("aggregate(ts, 0L, (acc, x) -> acc + length(x))") / col("dw"), 4))
+      .withColumn("alpha_frac", Rounding.r(
+        size(filter(col("ts"), x => x.rlike("[a-z]"))) / col("dw"), 4))
+      .withColumn("sym_ratio", Rounding.r(
+        regexp_count(col("text"), lit("#|\\.\\.\\.")) / col("dw"), 4))
+      .withColumn("bullet_frac", Rounding.r(
+        size(filter(col("lines"), x => x.rlike("^[-*•]"))) / col("dl"), 4))
+      .withColumn("ellipsis_frac", Rounding.r(
+        size(filter(col("lines"), x => x.rlike("(\\.\\.\\.|…)$"))) / col("dl"), 4))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("ts")), gopherStopArray)))
+      .withColumn("pass",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+          col("sym_ratio") < 0.1 && col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 && col("alpha_frac") > 0.8 &&
+          col("n_stop") >= 2).cast("int"))
+      .select("doc_id", "n_words", "mean_wlen", "alpha_frac", "sym_ratio",
+        "bullet_frac", "ellipsis_frac", "n_stop", "pass")
+      .orderBy("doc_id")
+  }
+
+  private val qGopherRulesSql = {
+    val stops = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH $TokensCte,
+       |li AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+       |  FROM documents),
+       |m AS (
+       |  SELECT t.doc_id,
+       |    len(ts) AS n_words,
+       |    greatest(len(ts), 1)::DOUBLE AS dw,
+       |    greatest(len(lines), 1)::DOUBLE AS dl,
+       |    ${Rounding.rSql("coalesce(list_sum(list_transform(ts, x -> len(x))), 0) / greatest(len(ts), 1)::DOUBLE", 4)} AS mean_wlen,
+       |    ${Rounding.rSql("len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) / greatest(len(ts), 1)::DOUBLE", 4)} AS alpha_frac,
+       |    ${Rounding.rSql("len(regexp_extract_all(text, '#|\\.\\.\\.')) / greatest(len(ts), 1)::DOUBLE", 4)} AS sym_ratio,
+       |    ${Rounding.rSql("len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) / greatest(len(lines), 1)::DOUBLE", 4)} AS bullet_frac,
+       |    ${Rounding.rSql("len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$$'))) / greatest(len(lines), 1)::DOUBLE", 4)} AS ellipsis_frac,
+       |    len(list_intersect(list_distinct(ts), $stops)) AS n_stop
+       |  FROM toks t JOIN li ON t.doc_id = li.doc_id)
+       |SELECT doc_id, n_words, mean_wlen, alpha_frac, sym_ratio, bullet_frac,
+       |  ellipsis_frac, n_stop,
+       |  CASE WHEN n_words >= 50 AND n_words <= 100000
+       |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+       |    AND sym_ratio < 0.1 AND bullet_frac < 0.9
+       |    AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+       |    AND n_stop >= 2 THEN 1 ELSE 0 END AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // --- paragraph-level exact dedup (RefinedWeb / Falcon discipline) ---------
+  //
+  // Document-level dedup misses the boilerplate that repeats INSIDE
+  // otherwise-unique documents (footers, license blurbs, nav text); the
+  // standard fix hashes each segment and drops/flags segments whose
+  // corpus document-frequency is ≥ 2. Plan: explode → distinct
+  // (doc, hash) → hash-partial-agg df per segment → equi-join back on
+  // the hash → per-doc counters. Every stage is linear in segments; the
+  // join key is the 128-bit digest, so skew is bounded by the most
+  // duplicated segment (exactly the thing being measured). The synthetic
+  // corpus has no natural cross-doc segments, so a deterministic footer
+  // is appended to every 5th doc in BOTH engines (the `q_pii_scrub`
+  // enrichment discipline) to exercise hits and misses.
+
+  private val Footer =
+    "The quick brown boilerplate footer appears across many documents in this corpus"
+
+  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("text2",
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(". " + Footer)))
+        .otherwise(col("text")))
+    val segs = docs
+      .select(col("doc_id"), explode(split(col("text2"), "\\. ")).as("seg"))
+      .filter(length(col("seg")) >= 20)
+      .select(col("doc_id"), md5(col("seg")).as("h"))
+      .distinct()
+    val df = segs.groupBy("h").agg(count(lit(1)).as("df"))
+    val tot = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    val dup = segs.join(df.filter(col("df") >= 2), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_frac",
+        Rounding.r(col("n_dup") / col("n_segs").cast("double"), 4))
+      .select("doc_id", "n_segs", "n_dup", "dup_frac")
+      .orderBy("doc_id")
+  }
+
+  private val qParagraphDedupSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || '. $Footer' ELSE text END AS text2
+       |  FROM documents),
+       |segs AS (
+       |  SELECT DISTINCT doc_id, md5(seg) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text2, '. ')) AS seg FROM d)
+       |  WHERE len(seg) >= 20),
+       |df AS (SELECT h, count(*) AS df FROM segs GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1),
+       |dup AS (
+       |  SELECT doc_id, count(*) AS n_dup
+       |  FROM segs JOIN df USING (h) WHERE df.df >= 2 GROUP BY 1)
+       |SELECT t.doc_id, t.n_segs,
+       |  coalesce(u.n_dup, 0) AS n_dup,
+       |  ${Rounding.rSql("coalesce(u.n_dup, 0) / t.n_segs::DOUBLE", 4)} AS dup_frac
+       |FROM tot t LEFT JOIN dup u ON t.doc_id = u.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // --- corpus n-gram diversity audit ----------------------------------------
+  //
+  // Distinct-trigram ratio per source: the corpus-level self-repetition
+  // signal (a source whose ratio collapses is template spam). Two-level
+  // aggregation — (source, trigram) partial-agg counts, then a per-source
+  // rollup — so the distinct count is computed without `countDistinct`'s
+  // per-group state or any single-task funnel.
+
+  private def qNgramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tri = t(s, dir, "documents")
+      .select(col("source"), simpleTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ts)-3), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3)))"))
+        .as("tri"))
+    tri.groupBy("source", "tri").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("distinct_trigrams"), sum("c").as("total_trigrams"))
+      .withColumn("diversity", Rounding.r(
+        col("distinct_trigrams") / col("total_trigrams").cast("double"), 4))
+      .select("source", "distinct_trigrams", "total_trigrams", "diversity")
+      .orderBy("source")
+  }
+
+  private val qNgramDiversitySql =
+    """WITH toks AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |tri AS (
+      |  SELECT source, unnest(list_transform(
+      |    generate_series(1, len(ts)-2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tri
+      |  FROM toks WHERE len(ts) >= 3),
+      |g AS (SELECT source, tri, count(*) AS c FROM tri GROUP BY 1, 2)
+      |SELECT source, count(*) AS distinct_trigrams,
+      |  CAST(sum(c) AS BIGINT) AS total_trigrams,
+      |  floor((count(*) / sum(c)::DOUBLE) * 1e4 + 0.5) / 1e4 AS diversity
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- collocation mining (PMI-ranked bigrams) -------------------------------
+  //
+  // Corpus collocations: bigrams whose observed frequency beats the
+  // independence expectation. Strength is the raw likelihood ratio
+  // `lift = P(ab) / (P(a)·P(b))` — MONOTONE in PMI (= ln lift) but free
+  // of `ln`, whose libm rounding differs across engines; every op left
+  // is an IEEE primitive both engines execute bit-identically. Plan:
+  // unigram + bigram hash aggs (partial), two equi-joins of the bigram
+  // table against the unigram counts on the word key (vocabulary ≪
+  // corpus; AQE broadcasts when it fits), distributed TakeOrdered cut.
+
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), simpleTokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> struct(element_at(ts, i+1) AS w1, element_at(ts, i+2) AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 3)
+    val nu = uni.agg(sum("cw").as("nu"))
+    val nb = toks.filter(size(col("ts")) >= 2)
+      .agg(sum(size(col("ts")) - 1).cast("long").as("nb"))
+    bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "ca"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cb"), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("lift", Rounding.r(
+        (col("c2").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("nu")) * (col("cb").cast("double") / col("nu"))), 4))
+      .select("w1", "w2", "c2", "lift")
+      .orderBy(desc("lift"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val qCollocationsSql =
+    s"""WITH $TokensCte,
+       |uni AS (SELECT unnest(ts) AS w FROM toks),
+       |cu AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+       |bi AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+       |    i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b
+       |  FROM toks WHERE len(ts) >= 2),
+       |cb AS (
+       |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c2
+       |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 3),
+       |nu AS (SELECT CAST(sum(cw) AS BIGINT) AS nu FROM cu),
+       |nb AS (SELECT CAST(sum(len(ts) - 1) AS BIGINT) AS nb FROM toks WHERE len(ts) >= 2)
+       |SELECT cb.w1, cb.w2, cb.c2,
+       |  ${Rounding.rSql("(cb.c2::DOUBLE / nb.nb) / ((a.cw::DOUBLE / nu.nu) * (b.cw::DOUBLE / nu.nu))", 4)} AS lift
+       |FROM cb
+       |JOIN cu a ON cb.w1 = a.w
+       |JOIN cu b ON cb.w2 = b.w
+       |CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY lift DESC, cb.w1, cb.w2 LIMIT 20""".stripMargin
+
+  // --- SemDeDup (Abbas et al. 2023): semantic near-dup pruning --------------
+  //
+  // Embedding-space dedup that exact/MinHash hashing cannot see: cluster
+  // the corpus (deterministic centroid seeding shared with `q_ann_ivf`,
+  // nlist ~ √N so cells stay √N-sized), then compare pairs ONLY within a
+  // cell — Σ|cell|² total work, the paper's own cost model — and drop
+  // the larger id of any pair with cosine ≥ τ. The isotropic synthetic
+  // vectors have no natural near-dups (max pair cosine ≈ 0.44), so every
+  // 50th vector gets a deterministic perturbed twin (+0.05 on the first
+  // coordinate, IEEE-exact in both engines) to exercise real hits under
+  // a τ = 0.99 gate.
+
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb0 = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("e"))
+    val aug = emb0.unionByName(
+      emb0.filter(col("vec_id") % 50 === 0).select(
+        (col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(e, (x, i) -> IF(i = 0, x + cast(0.05 AS double), x))").as("e")))
+    val stats = aug.agg(count(lit(1)).as("n"))
+      .withColumn("nlist", greatest(lit(8L), floor(sqrt(col("n")))))
+    val cents = emb0.crossJoin(broadcast(stats))
+      .filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assigned = aug.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(e, ce)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cid").as("cell"))
+    val a = assigned.select(col("vec_id").as("keep_vec"), col("e").as("ea"), col("cell"))
+    val b = assigned.select(col("vec_id").as("drop_vec"), col("e").as("eb"), col("cell"))
+    a.join(b, Seq("cell")).filter(col("keep_vec") < col("drop_vec"))
+      .withColumn("cos", expr("graft_cosine(ea, eb)"))
+      .filter(col("cos") >= 0.99)
+      .select(col("keep_vec"), col("drop_vec"), col("cell"),
+        Rounding.r(col("cos"), 4).as("cos"))
+      .orderBy("keep_vec", "drop_vec")
+  }
+
+  private val qSemDedupSql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |aug AS (
+       |  SELECT vec_id, e FROM e0
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list_transform(generate_series(1, len(e)),
+       |      i -> CASE WHEN i = 1 THEN e[i] + 0.05 ELSE e[i] END) AS e
+       |  FROM e0 WHERE vec_id % 50 = 0),
+       |st AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS nlist FROM aug),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM e0 CROSS JOIN st WHERE vec_id < nlist),
+       |scored AS (
+       |  SELECT aug.vec_id, aug.e, cents.cid,
+       |    row_number() OVER (PARTITION BY aug.vec_id ORDER BY
+       |      ${cosSql("aug.e", "cents.ce")} DESC, cents.cid) AS rn
+       |  FROM aug CROSS JOIN cents),
+       |assigned AS (SELECT vec_id, e, cid AS cell FROM scored WHERE rn = 1)
+       |SELECT a.vec_id AS keep_vec, b.vec_id AS drop_vec, a.cell,
+       |  ${Rounding.rSql(cosSql("a.e", "b.e"), 4)} AS cos
+       |FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.e", "b.e")} >= 0.99
+       |ORDER BY keep_vec, drop_vec""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> (qGopherRules _),
+    "q_paragraph_dedup" -> (qParagraphDedup _),
+    "q_ngram_diversity" -> (qNgramDiversity _),
+    "q_collocations" -> (qCollocations _),
+    "q_semdedup" -> (qSemDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_gopher_rules" -> qGopherRulesSql,
+    "q_paragraph_dedup" -> qParagraphDedupSql,
+    "q_ngram_diversity" -> qNgramDiversitySql,
+    "q_collocations" -> qCollocationsSql,
+    "q_semdedup" -> qSemDedupSql)
+}
