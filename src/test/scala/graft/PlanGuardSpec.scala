@@ -170,4 +170,37 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"bucket counts must have a partial phase:\n${p.take(3000)}")
   }
+
+  test("q_gopher_rules is a pure per-row scan — no joins, no aggregates") {
+    // every rule is a column expression; a join or aggregate appearing
+    // here means someone broke the one-narrow-pass contract
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Join"), s"q_gopher_rules must not join:\n${p.take(3000)}")
+    assert(!p.contains("HashAggregate"),
+      s"q_gopher_rules must not aggregate:\n${p.take(3000)}")
+  }
+
+  test("q_paragraph_dedup aggregates segment df with a map-side partial pass") {
+    val p = plan("q_paragraph_dedup")
+    assert(p.contains("partial_count"),
+      s"segment df must partial-aggregate before the shuffle:\n${p.take(3000)}")
+  }
+
+  test("q_collocations cuts with a distributed TakeOrdered, partial-agged counts") {
+    val p = plan("q_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("partial_count"),
+      s"unigram/bigram counts must have a partial phase:\n${p.take(3000)}")
+  }
+
+  test("q_semdedup broadcasts centroids and confines the pair join to cells") {
+    val p = plan("q_semdedup")
+    // centroid assignment = broadcast nested loop against O(√N) cents;
+    // the pairwise stage must be a CELL-keyed equi-join (SMJ/SHJ on
+    // cell), never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"pair stage must be a cell equi-join:\n${p.take(3000)}")
+  }
 }
