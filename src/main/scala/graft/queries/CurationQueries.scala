@@ -340,7 +340,55 @@ object CurationQueries {
        |WHERE ${cosSql("a.e", "b.e")} >= 0.99
        |ORDER BY keep_vec, drop_vec""".stripMargin
 
+  // --- blocked fuzzy matching (entity-resolution / fuzzy-key dedup) ---------
+  //
+  // Edit-distance matching that hashing cannot see (typo'd titles, OCR
+  // noise, near-identical keys). The standard blocked-ER shape: a cheap
+  // deterministic blocking key (8-char prefix of the normalized title)
+  // confines the quadratic Levenshtein stage to Σ|block|² candidate
+  // pairs, and a block-size cap — `max(32, N/50)`, the `q_ngram_jaccard`
+  // df-cap discipline — drops template-spam blocks that would otherwise
+  // blow the pair space up at corpus scale (a dropped block is boilerplate
+  // by definition, not a fuzzy-match candidate). Levenshtein itself has
+  // identical unit-cost semantics in Spark and DuckDB, so the oracle
+  // checks the distances exactly.
+
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val t0 = t(s, dir, "documents")
+      .select(col("doc_id"), lower(substring(col("text"), 1, 40)).as("ttl"))
+      .withColumn("blk", substring(col("ttl"), 1, 8))
+    val n = t0.agg(count(lit(1)).as("n"))
+    val bc = t0.groupBy("blk").agg(count(lit(1)).as("bc"))
+    val sized = t0.join(bc, "blk").crossJoin(broadcast(n))
+      .filter(col("bc") <= greatest(lit(32.0), col("n") / lit(50.0)))
+    val a = sized.select(col("blk"), col("doc_id").as("doc_a"), col("ttl").as("ta"))
+    val b = sized.select(col("blk"), col("doc_id").as("doc_b"), col("ttl").as("tb"))
+    a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 5)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val qFuzzyMatchSql =
+    """WITH t AS (
+      |  SELECT doc_id, lower(substr(text, 1, 40)) AS ttl,
+      |    substr(lower(substr(text, 1, 40)), 1, 8) AS blk
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n FROM t),
+      |bc AS (SELECT blk, count(*) AS c FROM t GROUP BY 1),
+      |s AS (
+      |  SELECT t.doc_id, t.ttl, t.blk FROM t
+      |  JOIN bc ON t.blk = bc.blk CROSS JOIN n
+      |  WHERE bc.c <= greatest(32.0, n.n / 50.0))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(a.ttl, b.ttl) AS dist
+      |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.ttl, b.ttl) <= 5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_paragraph_dedup" -> (qParagraphDedup _),
     "q_ngram_diversity" -> (qNgramDiversity _),
@@ -348,6 +396,7 @@ object CurationQueries {
     "q_semdedup" -> (qSemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_paragraph_dedup" -> qParagraphDedupSql,
     "q_ngram_diversity" -> qNgramDiversitySql,

@@ -193,6 +193,15 @@ class PlanGuardSpec extends AnyFunSuite {
       s"unigram/bigram counts must have a partial phase:\n${p.take(3000)}")
   }
 
+  test("q_fuzzy_match partial-aggregates block sizes and equi-joins on the block key") {
+    val p = plan("q_fuzzy_match")
+    assert(p.contains("partial_count"),
+      s"block-size counts must have a partial phase:\n${p.take(3000)}")
+    // the Levenshtein pair stage must ride the blk equi-join, never a
+    // cartesian (the global guard) — and the 1-row N rides a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q_semdedup broadcasts centroids and confines the pair join to cells") {
     val p = plan("q_semdedup")
     // centroid assignment = broadcast nested loop against O(√N) cents;
