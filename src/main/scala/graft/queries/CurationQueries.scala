@@ -283,7 +283,13 @@ object CurationQueries {
   // vectors have no natural near-dups (max pair cosine ≈ 0.44), so every
   // 50th vector gets a deterministic perturbed twin (+0.05 on the first
   // coordinate, IEEE-exact in both engines) to exercise real hits under
-  // a τ = 0.99 gate.
+  // a τ = 0.99 gate. Twins whose perturbation flips the argmax cell land
+  // in different cells and are (deterministically, in both engines)
+  // missed — the paper's own known failure mode at cluster boundaries;
+  // on isotropic vectors the cell margins are thin, so a fraction of
+  // twins splits (38/100 caught at sf0.1). Real embedding corpora
+  // cluster, widening margins; the miss rate is what `q_ann_recall`-style
+  // audits exist to measure.
 
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
