@@ -119,6 +119,35 @@ object PdfFile {
         .filter(s => Extractor.sniff(s) == "pdf")
     }
 
+  /** Content streams with CID/ToUnicode decoding applied (see
+    * [[CidDecode]]): font-local glyph codes are remapped to Unicode
+    * through each font's `/ToUnicode` CMap before parsing. Files
+    * without `/ToUnicode` (all synthetic fixtures) take the plain
+    * [[contentStreams]] path untouched.
+    */
+  def decodedContentStreams(bytes: Array[Byte]): Vector[String] = {
+    val raw = new String(bytes, "ISO-8859-1")
+    if (!raw.contains("/ToUnicode")) contentStreams(bytes)
+    else {
+      val objs = objects(bytes)
+      def payloadOf(rs: RawStream): Option[String] =
+        (if (rs.dict.contains("/FlateDecode")) inflate(rs.data) else Some(rs.data))
+          .map(new String(_, "ISO-8859-1"))
+      val cmaps = objs.flatMap { rs =>
+        payloadOf(rs)
+          .filter(s => s.contains("beginbfchar") || s.contains("beginbfrange"))
+          .map(s => rs.objNum -> CidDecode.parseCmap(s))
+      }.toMap
+      val tables = CidDecode.fontTables(
+        raw, objs.map(rs => rs.objNum -> rs.dict).toMap, cmaps)
+      objs.flatMap { rs =>
+        payloadOf(rs).filter(s => Extractor.sniff(s) == "pdf").map { s =>
+          tables.get(rs.objNum).map(f => CidDecode.rewrite(s, f)).getOrElse(s)
+        }
+      }
+    }
+  }
+
   /** An image XObject: undecoded payload + the intrinsic metadata its
     * stream dictionary declares — the reference's ImageBlock shape
     * (`app/models/parsing.py:20-29`: bytes + page + format), which also
@@ -179,7 +208,7 @@ object PdfFile {
     */
   def extractStats(bytes: Array[Byte]): (Vector[Pdf.PageText], Int, Int) = {
     val streams =
-      try contentStreams(bytes)
+      try decodedContentStreams(bytes)
       catch { case scala.util.control.NonFatal(_) => Vector.empty[String] }
     var failed = 0
     val pages = streams.zipWithIndex.flatMap { case (s, pg) =>
