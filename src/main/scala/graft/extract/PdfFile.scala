@@ -125,10 +125,14 @@ object PdfFile {
     * without `/ToUnicode` (all synthetic fixtures) take the plain
     * [[contentStreams]] path untouched.
     */
+  private val ToUnicodeMarker = "/ToUnicode".getBytes("ISO-8859-1")
+
   def decodedContentStreams(bytes: Array[Byte]): Vector[String] = {
-    val raw = new String(bytes, "ISO-8859-1")
-    if (!raw.contains("/ToUnicode")) contentStreams(bytes)
+    // byte-level guard: the common no-CMap path (every synthetic
+    // fixture) must not pay a whole-file String copy
+    if (indexOf(bytes, ToUnicodeMarker, 0) < 0) contentStreams(bytes)
     else {
+      val raw = new String(bytes, "ISO-8859-1")
       val objs = objects(bytes)
       def payloadOf(rs: RawStream): Option[String] =
         (if (rs.dict.contains("/FlateDecode")) inflate(rs.data) else Some(rs.data))
