@@ -360,18 +360,26 @@ object CurationQueries {
   // checks the distances exactly.
 
   private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the 48-byte (doc_id, ttl, blk) projection feeds the
+    // block-size agg AND both sides of the pair join — one decode of the
+    // wide text column total instead of three
     val t0 = t(s, dir, "documents")
       .select(col("doc_id"), lower(substring(col("text"), 1, 40)).as("ttl"))
       .withColumn("blk", substring(col("ttl"), 1, 8))
-    val n = t0.agg(count(lit(1)).as("n"))
+      .persist()
     val bc = t0.groupBy("blk").agg(count(lit(1)).as("bc"))
+    // corpus size from the block counts (no re-scan of documents)
+    val n = bc.agg(sum("bc").as("n"))
     val sized = t0.join(bc, "blk").crossJoin(broadcast(n))
       .filter(col("bc") <= greatest(lit(32.0), col("n") / lit(50.0)))
     val a = sized.select(col("blk"), col("doc_id").as("doc_a"), col("ttl").as("ta"))
     val b = sized.select(col("blk"), col("doc_id").as("doc_b"), col("ttl").as("tb"))
     a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= 5)
+      // banded DP with early abandon: O(len·k) per pair instead of
+      // O(len²); returns -1 above the threshold, so the filter keeps
+      // exactly the rows the unbounded form kept with dist <= 5
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 5))
+      .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
   }
