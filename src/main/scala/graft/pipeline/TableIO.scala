@@ -129,6 +129,24 @@ object TableIO {
     if (render(m) == raw) Some(m) else None
   }
 
+  /** Expire old snapshots, keeping the newest `keepLast` (Iceberg's
+    * `expireSnapshots` emulation — bounds metadata growth on a table
+    * that commits every micro-batch forever). Commits are append-only
+    * and buckets write-once, so every bucket an expired manifest lists
+    * is still listed by a retained one — expiration deletes ONLY
+    * metadata files, never data, and `readAt`/`tableChanges` on an
+    * expired id degrade exactly like the documented absent-snapshot
+    * cases (Empty / rejected), not into wrong answers. The live
+    * `manifest.json` is never touched.
+    */
+  def expireSnapshots(tableDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val ids = snapshots(tableDir)
+    val expire = ids.dropRight(keepLast)
+    expire.foreach(id => Files.deleteIfExists(snapshotPath(tableDir, id)))
+    expire
+  }
+
   def clear(tableDir: String): Unit = {
     val p = manifestPath(tableDir)
     if (Files.exists(p)) Files.delete(p)

@@ -401,7 +401,105 @@ object CurationQueries {
       |WHERE levenshtein(a.ttl, b.ttl) <= 5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- BPE merge learning (tokenizer vocabulary induction) ------------------
+  //
+  // The canonical tokenizer-training primitive (Sennrich et al. 2016):
+  // repeatedly find the corpus-wide most frequent adjacent token pair and
+  // merge it. Trained the way WordPiece/BPE trainers actually scale — over
+  // the WORD-FREQUENCY table (zipf-bounded vocabulary of word types), not
+  // the raw token stream, so after the first aggregation each round touches
+  // |vocab| rows regardless of corpus size. Per round: one keyed partial
+  // agg (pair counts) + a distributed TakeOrdered(1) + a broadcast-apply
+  // narrow pass. Nothing quadratic, nothing driver-side.
+  //
+  // Exact cross-engine trick: a word's tokenization is kept as a single
+  // string `_t1__t2__..._tn_` (tokens double-separator-joined, single
+  // separators at the ends). A token-level adjacent pair (x, y) then
+  // occurs iff the string `_x__y_` occurs, and the greedy leftmost
+  // non-overlapping merge BPE specifies is EXACTLY what literal
+  // `replace()` executes in both Spark and DuckDB — `_a__a__a__a_` with
+  // pair `_a__a_` -> `_aa__aa_`, boundaries intact, no cross-token false
+  // matches (`_b__c_` never matches inside `_ab__cd_`). Tokens are
+  // [a-z]+ so the separator is unambiguous.
+
+  private def bpeApply(toks: DataFrame, best: DataFrame): DataFrame =
+    toks.crossJoin(broadcast(best.select(col("p").as("bp"))))
+      .withColumn("tok", expr(
+        "replace(tok, bp, concat('_', replace(substring(bp, 2, length(bp)-2), '__', ''), '_'))"))
+      .select("tok", "wc")
+
+  private def bpePairs(toks: DataFrame): DataFrame =
+    toks
+      .withColumn("a", split(expr("substring(tok, 2, length(tok)-2)"), "__"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a)-2)," +
+          " i -> concat('_', element_at(a, i+1), '__', element_at(a, i+2), '_'))")).as("p"),
+        col("wc"))
+      .groupBy("p").agg(sum("wc").as("freq"))
+
+  private def bpeBest(pairs: DataFrame): DataFrame =
+    pairs.orderBy(desc("freq"), asc("p")).limit(1)
+
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(2, 12))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    // chars double-separator-joined: "the" -> "_t__h__e_"
+    val t0 = words.select(
+      expr("substring(concat('_', regexp_replace(word, '(.)', '$1__')), 1, length(word)*3)").as("tok"),
+      col("wc"))
+      .persist()
+    var toks = t0
+    val rounds = (1 to 3).map { r =>
+      val best = bpeBest(bpePairs(toks)).persist()
+      val row = best.select(lit(r).as("round"),
+        expr("replace(substring(p, 2, length(p)-2), '__', ' ')").as("pair"),
+        col("freq"))
+      toks = bpeApply(toks, best).persist()
+      row
+    }
+    rounds.reduce(_.unionAll(_)).orderBy("round")
+  }
+
+  private val qBpeMergesSql = {
+    def round(i: Int): String =
+      s"""pc$i AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(a)-1),
+         |      j -> '_' || a[j] || '__' || a[j+1] || '_')) AS p, wc
+         |    FROM (SELECT string_split(substr(tok, 2, length(tok)-2), '__') AS a, wc
+         |          FROM t${i - 1})
+         |    WHERE len(a) >= 2)
+         |  GROUP BY 1),
+         |b$i AS (SELECT p, freq FROM pc$i ORDER BY freq DESC, p LIMIT 1),
+         |t$i AS (
+         |  SELECT replace(tok, (SELECT p FROM b$i),
+         |    '_' || replace(substr((SELECT p FROM b$i), 2,
+         |      length((SELECT p FROM b$i)) - 2), '__', '') || '_') AS tok, wc
+         |  FROM t${i - 1})""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1),
+       |t0 AS (
+       |  SELECT substr('_' || regexp_replace(word, '(.)', '\\1__', 'g'),
+       |                1, length(word)*3) AS tok, wc
+       |  FROM words),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT round, replace(substr(p, 2, length(p)-2), '__', ' ') AS pair, freq
+       |FROM (SELECT 1 AS round, p, freq FROM b1 UNION ALL
+       |      SELECT 2, p, freq FROM b2 UNION ALL
+       |      SELECT 3, p, freq FROM b3)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_paragraph_dedup" -> (qParagraphDedup _),
@@ -410,6 +508,7 @@ object CurationQueries {
     "q_semdedup" -> (qSemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_paragraph_dedup" -> qParagraphDedupSql,

@@ -202,6 +202,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q_bpe_merges partial-aggregates pair counts, argmaxes distributed, applies via broadcast") {
+    val p = plan("q_bpe_merges")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"pair counts must have a map-side partial phase:\n${p.take(3000)}")
+    // per-round argmax = distributed TakeOrdered(1), never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the 1-row best pair rides a broadcast into the apply pass
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q_semdedup broadcasts centroids and confines the pair join to cells") {
     val p = plan("q_semdedup")
     // centroid assignment = broadcast nested loop against O(√N) cents;

@@ -129,4 +129,33 @@ class TimeTravelSpec extends AnyFunSuite {
     }
     assert(TableIO.readAtStrict(out, s1).isEmpty, "strict read reports the tear")
   }
+
+  test("expireSnapshots bounds metadata: deletes only old manifests, never data") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ttexp").toString
+    val turns = spark.createDataset(
+      (0 until 8).flatMap(i => TranscriptGen.conversation(23L, i.toLong)))
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 8, waves = 4, resume = false))
+    val ext = ExtractionPipeline.extractedDir(out)
+    val snaps = TableIO.snapshots(out)
+    assert(snaps.size >= 3, s"need history to expire: $snaps")
+    val before = spark.read.parquet(ext).count()
+
+    val expired = TableIO.expireSnapshots(out, keepLast = 2)
+    assert(expired == snaps.dropRight(2))
+    assert(TableIO.snapshots(out) == snaps.takeRight(2))
+    // the live table and the retained snapshots are untouched
+    assert(spark.read.parquet(ext).count() == before)
+    assert(TableIO.read(out).snapshotId == snaps.last)
+    val kept = ExtractionPipeline.tableAt(spark, out, "extracted", snaps.last)
+    assert(kept.count() == before)
+    // an expired id degrades exactly like an absent snapshot
+    assert(ExtractionPipeline.tableAt(spark, out, "extracted", snaps.head).count() == 0)
+    assert(TableIO.readAtStrict(out, snaps.head).isEmpty)
+    // expiring everything but one still leaves the newest readable
+    TableIO.expireSnapshots(out, keepLast = 1)
+    assert(TableIO.snapshots(out) == Seq(snaps.last))
+    intercept[IllegalArgumentException](TableIO.expireSnapshots(out, 0))
+  }
 }
