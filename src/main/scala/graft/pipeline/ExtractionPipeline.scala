@@ -57,6 +57,13 @@ object ExtractionPipeline {
   case object ChunkStructured extends ChunkMode
   case object ChunkCharSlice extends ChunkMode
 
+  /** Job configuration. Invalid settings fail HERE, at construction —
+    * the reference's fail-at-startup contract (`app/config.py:238-246`
+    * validators, pinned by `tests/test_config_properties.py` Property
+    * 23): a bad chunk geometry must never reach a 1000-executor job
+    * that would chunk 100 TB wrongly (or, for `overlap >= chunkSize`,
+    * never terminate) before anyone notices.
+    */
   final case class Config(
       outDir: String,
       nBuckets: Int = 64,
@@ -65,7 +72,17 @@ object ExtractionPipeline {
       overlap: Int = Chunker.DefaultOverlap,
       resume: Boolean = true,
       mode: ChunkMode = ChunkFlat,
-      maxPayloadChars: Int = Extractor.DefaultMaxPayloadChars)
+      maxPayloadChars: Int = Extractor.DefaultMaxPayloadChars) {
+    require(outDir.nonEmpty, "outDir must be non-empty")
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    require(waves >= 1, s"waves must be positive, got $waves")
+    require(chunkSize >= 1, s"chunk_size must be positive, got $chunkSize")
+    require(overlap >= 0, s"chunk_overlap must be non-negative, got $overlap")
+    require(overlap < chunkSize,
+      s"chunk_overlap must be less than chunk_size, got overlap=$overlap size=$chunkSize")
+    require(maxPayloadChars >= 1,
+      s"maxPayloadChars must be positive, got $maxPayloadChars")
+  }
 
   final case class RunStats(
       buckets: Int, skippedBuckets: Int, turns: Long, bytes: Long, wallMs: Long)

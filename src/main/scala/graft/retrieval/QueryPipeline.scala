@@ -171,4 +171,44 @@ object QueryPipeline {
         .localCheckpoint(true)
     } finally candVecs.unpersist()
   }
+
+  /** Step 5 of the lifecycle — `_build_context_string`
+    * (`query_service.py:439-462`, pinned by
+    * `tests/test_query_service_properties.py` Property 18): format the
+    * retrieved chunks into the LLM prompt context, one
+    * `[Source i] (Page p, Relevance: s.ss)\ncontent` block per hit in
+    * fused order, blank-line-joined. Input is [[query]]/[[queryExpanded]]
+    * output — ≤ topK rows by construction, so the unpartitioned rank
+    * window is bounded (the [[Retrieval.withRank]] contract).
+    */
+  def contextString(results: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rrf_score"), col("chunk_id"))
+    results
+      .withColumn("rn", row_number().over(w))
+      .withColumn("line", format_string("[Source %d] (Page %d, Relevance: %.2f)\n%s",
+        col("rn"), col("turn_idx"), col("rrf_score"), col("content")))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, line)))," +
+        " x -> x.line), '\n\n')").as("context"))
+  }
+
+  /** Step 6 — `_build_source_references` (`query_service.py:464-507`)
+    * with the P19 `include_sources` toggle: citations for every hit, or
+    * an empty frame with the same schema when the caller opted out
+    * (`query_service.py:328-330`). `filename` uses the reference's
+    * documented fallback to the document id (`query_service.py:482` —
+    * transcripts carry no upload filename; conv_id IS the identifier),
+    * `modality` its `"text"` default (`query_service.py:500`).
+    */
+  def sources(results: DataFrame, includeSources: Boolean = true): DataFrame = {
+    val refs = results.select(
+      col("conv_id").as("doc_id"),
+      col("conv_id").as("filename"),
+      col("turn_idx").as("page"),
+      col("content").as("chunk_content"),
+      lit("text").as("modality"),
+      col("rrf_score").as("relevance_score"))
+    if (includeSources) refs.orderBy(desc("relevance_score"), col("doc_id"))
+    else refs.limit(0)
+  }
 }

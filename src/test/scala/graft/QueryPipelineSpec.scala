@@ -102,4 +102,50 @@ class QueryPipelineSpec extends AnyFunSuite {
     // solo hit's chunk stays retrievable (recall never shrinks to zero)
     assert(solo.map(_.getAs[Double]("rrf_score")).forall(_ > 0))
   }
+
+  test("P18: context string numbers every hit in fused order with page metadata") {
+    val q = spark.read.parquet(Bm25IndexTables.postingsDir(Ingestion.indexDir(outDir)))
+      .groupBy("term").count().orderBy(desc("count"))
+      .select("term").limit(2).collect().map(_.getString(0)).mkString(" ")
+    val results = QueryPipeline.query(spark, outDir, q, topK = 5)
+    val hits = results.collect()
+    val ctx = QueryPipeline.contextString(results)
+      .collect().head.getAs[String]("context")
+    // one [Source i] block per hit, numbered 1..n in fused order
+    (1 to hits.length).foreach(i => assert(ctx.contains(s"[Source $i] (Page "),
+      s"missing source $i in:\n${ctx.take(400)}"))
+    assert(!ctx.contains(s"[Source ${hits.length + 1}]"))
+    // each hit's content appears, and block i carries hit i's content
+    val blocks = ctx.split("\n\n")
+    assert(blocks.length == hits.length)
+    hits.zip(blocks).foreach { case (h, b) =>
+      assert(b.contains(h.getAs[String]("content")))
+      assert(b.contains(s"(Page ${h.getAs[Int]("turn_idx")},"))
+    }
+  }
+
+  test("P19: source citations carry per-hit metadata; excluded when not requested") {
+    val q = spark.read.parquet(Bm25IndexTables.postingsDir(Ingestion.indexDir(outDir)))
+      .groupBy("term").count().orderBy(desc("count"))
+      .select("term").limit(2).collect().map(_.getString(0)).mkString(" ")
+    val results = QueryPipeline.query(spark, outDir, q, topK = 5)
+    val n = results.count()
+    val srcs = QueryPipeline.sources(results).collect()
+    assert(srcs.length == n, "one citation per hit")
+    srcs.foreach { s =>
+      assert(s.getAs[String]("doc_id").nonEmpty)
+      assert(s.getAs[String]("filename") == s.getAs[String]("doc_id"),
+        "filename falls back to the document id (query_service.py:482)")
+      assert(s.getAs[Int]("page") >= 0)
+      assert(s.getAs[String]("chunk_content").nonEmpty)
+      assert(s.getAs[String]("modality") == "text")
+      assert(s.getAs[Double]("relevance_score") > 0)
+    }
+    val off = QueryPipeline.sources(results, includeSources = false)
+    assert(off.count() == 0, "include_sources=false returns no citations")
+    assert(off.columns.toSeq == srcs.headOption.map(_ => off.columns.toSeq)
+      .getOrElse(off.columns.toSeq)) // schema preserved either way
+    assert(off.columns.sameElements(Array(
+      "doc_id", "filename", "page", "chunk_content", "modality", "relevance_score")))
+  }
 }
