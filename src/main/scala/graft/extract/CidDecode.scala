@@ -113,6 +113,41 @@ object CidDecode {
       m.group(1).toIntOption.map(_ -> m.group(2))
     }.toMap
 
+  private val IntRe = """\d+""".r
+
+  /** Expand a `/Type /ObjStm` compressed object stream (PDF 32000-1
+    * §7.5.7) into (objNum → body) pairs. PDF ≥ 1.5 writers routinely
+    * pack page and font dictionaries here — without this, the
+    * object-graph resolution above sees none of them. Layout: the dict
+    * declares `/N` object count and `/First` body offset; the payload
+    * opens with N (objnum, offset) integer pairs, bodies concatenated
+    * from `First` on, no `obj/endobj` wrappers. Tolerant of damage:
+    * short headers or out-of-range offsets yield fewer (or zero)
+    * bodies, never a throw.
+    */
+  def parseObjStm(dict: String, payload: String): Seq[(Int, String)] = {
+    val n = """/N\s+(\d+)""".r.findFirstMatchIn(dict)
+      .flatMap(_.group(1).toIntOption).filter(_ > 0)
+    val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict)
+      .flatMap(_.group(1).toIntOption)
+    (n, first) match {
+      case (Some(cnt), Some(f)) if f > 0 && f <= payload.length =>
+        val ints = IntRe.findAllIn(payload.substring(0, f))
+          .flatMap(_.toIntOption).take(2 * cnt).toVector
+        val pairs = ints.grouped(2).collect { case Vector(o, off) => (o, off) }.toVector
+        pairs.zipWithIndex.flatMap { case ((objNum, off), k) =>
+          val s = f.toLong + off
+          if (s >= payload.length || s < 0) None
+          else {
+            val e = pairs.lift(k + 1).map(p => math.min(f.toLong + p._2, payload.length))
+              .getOrElse(payload.length.toLong)
+            if (e <= s) None else Some(objNum -> payload.substring(s.toInt, e.toInt))
+          }
+        }
+      case _ => Nil
+    }
+  }
+
   private val RefAfter = """(\d+)\s+\d+\s+R""".r
 
   private def refAfter(body: String, key: String): Option[Int] = {
@@ -152,9 +187,12 @@ object CidDecode {
     */
   def fontTables(raw: String,
       streamDicts: Map[Int, String],
-      cmaps: Map[Int, CMap]): Map[Int, Map[String, CMap]] = {
+      cmaps: Map[Int, CMap],
+      objStmBodies: Map[Int, String] = Map.empty): Map[Int, Map[String, CMap]] = {
     if (cmaps.isEmpty) return Map.empty
-    val bodies = objectBodies(raw)
+    // ObjStm-packed dicts lose ties on collision to plain objects
+    // (incremental updates append plain objects that supersede)
+    val bodies = objStmBodies ++ objectBodies(raw)
     def toCmaps(refs: Map[String, Int]): Map[String, CMap] =
       refs.flatMap { case (name, fontObj) =>
         bodies.get(fontObj)

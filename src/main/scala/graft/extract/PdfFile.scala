@@ -126,11 +126,15 @@ object PdfFile {
     * [[contentStreams]] path untouched.
     */
   private val ToUnicodeMarker = "/ToUnicode".getBytes("ISO-8859-1")
+  private val ObjStmMarker = "/ObjStm".getBytes("ISO-8859-1")
 
   def decodedContentStreams(bytes: Array[Byte]): Vector[String] = {
     // byte-level guard: the common no-CMap path (every synthetic
-    // fixture) must not pay a whole-file String copy
-    if (indexOf(bytes, ToUnicodeMarker, 0) < 0) contentStreams(bytes)
+    // fixture) must not pay a whole-file String copy. A /ToUnicode ref
+    // may hide INSIDE a compressed /ObjStm, so ObjStm presence also
+    // takes the resolving path.
+    if (indexOf(bytes, ToUnicodeMarker, 0) < 0 &&
+      indexOf(bytes, ObjStmMarker, 0) < 0) contentStreams(bytes)
     else {
       val raw = new String(bytes, "ISO-8859-1")
       val objs = objects(bytes)
@@ -142,8 +146,15 @@ object PdfFile {
           .filter(s => s.contains("beginbfchar") || s.contains("beginbfrange"))
           .map(s => rs.objNum -> CidDecode.parseCmap(s))
       }.toMap
+      // PDF >= 1.5 packs page/font dicts into /ObjStm streams — expand
+      // them so the object-graph resolution sees those dictionaries too
+      val objStmBodies = objs.flatMap { rs =>
+        if (rs.dict.contains("/ObjStm"))
+          payloadOf(rs).toSeq.flatMap(p => CidDecode.parseObjStm(rs.dict, p))
+        else Nil
+      }.toMap
       val tables = CidDecode.fontTables(
-        raw, objs.map(rs => rs.objNum -> rs.dict).toMap, cmaps)
+        raw, objs.map(rs => rs.objNum -> rs.dict).toMap, cmaps, objStmBodies)
       objs.flatMap { rs =>
         payloadOf(rs).filter(s => Extractor.sniff(s) == "pdf").map { s =>
           tables.get(rs.objNum).map(f => CidDecode.rewrite(s, f)).getOrElse(s)

@@ -65,6 +65,53 @@ class CidDecodeSpec extends AnyFunSuite {
     assert(PdfFile.decodedContentStreams(pdfBytes) == PdfFile.contentStreams(pdfBytes))
   }
 
+  test("parseObjStm: expands packed dicts; tolerant of damaged headers") {
+    val b1 = "<< /Type /Page /Contents 9 0 R >>"
+    val b2 = "<< /Type /Font /ToUnicode 7 0 R >>"
+    val header = "4 0 5 " + b1.length
+    val payload = header + b1 + b2
+    val dict = s"<< /Type /ObjStm /N 2 /First ${header.length} >>"
+    val out = CidDecode.parseObjStm(dict, payload)
+    assert(out == Seq(4 -> b1, 5 -> b2))
+    // damage: offset past payload, missing /First, zero /N — no throw
+    assert(CidDecode.parseObjStm("<< /ObjStm /N 2 /First 9999 >>", payload).isEmpty)
+    assert(CidDecode.parseObjStm("<< /ObjStm /N 2 >>", payload).isEmpty)
+    assert(CidDecode.parseObjStm("<< /ObjStm /N 0 /First 4 >>", payload).isEmpty)
+    assert(CidDecode.parseObjStm(dict, "1 2").isEmpty)
+  }
+
+  test("CID decode resolves page/font dicts packed in a Flate ObjStm (PDF 1.5+)") {
+    def deflate(s: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    // object graph: page(4) -> contents(9) + resources font C1 -> font(5)
+    // -> ToUnicode(7); page + font dicts live INSIDE the ObjStm(3)
+    val pageBody = "<< /Type /Page /Contents 9 0 R /Resources << /Font << /C1 5 0 R >> >> >>"
+    val fontBody = "<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>"
+    val header = s"4 0 5 ${pageBody.length}"
+    val stmPayload = header + pageBody + fontBody
+    val packed = deflate(stmPayload.getBytes("ISO-8859-1"))
+    val cmap = ("/CIDInit 1 begincodespacerange <00> <FF> endcodespacerange\n" +
+      "2 beginbfchar <01> <0048> <02> <0069> endbfchar endcmap").getBytes("ISO-8859-1")
+    val content = "BT /C1 12 Tf 72 720 Td () Tj ET".getBytes("ISO-8859-1")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"3 0 obj\n<< /Type /ObjStm /N 2 /First ${header.length} /Filter /FlateDecode /Length ${packed.length} >>\nstream\n")
+    bos.write(packed); w("\nendstream\nendobj\n")
+    w(s"7 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+    bos.write(cmap); w("\nendstream\nendobj\n")
+    w(s"9 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    bos.write(content); w("\nendstream\nendobj\n%%EOF")
+    val text = PdfFile.mainText(bos.toByteArray)
+    assert(text == "Hi", s"expected CID-decoded 'Hi', got '$text'")
+  }
+
   test("total on hostile input: binary garbage, truncated cmaps, cyclic refs") {
     val junk = Array.tabulate[Byte](4096)(i => ((i * 31 + 7) & 0xFF).toByte)
     PdfFile.decodedContentStreams(junk)
