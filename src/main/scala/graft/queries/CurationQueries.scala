@@ -498,7 +498,88 @@ object CurationQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // --- trained linear quality probe (in-engine learning) --------------------
+  //
+  // The quality-classifier recipe every pretraining pipeline runs (CCNet /
+  // LLaMA-style: label a seed, train a linear probe on hashed features,
+  // score the corpus) — trained IN the engine. The least-squares solve
+  // w = (XᵀX)⁻¹ Xᵀy is approximated by the order-2 Neumann truncation
+  //   w  ∝  2λ·a − G·a,   a = Xᵀy,  G = XᵀX,  λ = N·D ≥ ||G||
+  // which needs only INTEGER tensor aggregates (a: D-vector, G: D×D) —
+  // order-independent and bit-identical across engines, where float GD
+  // sums would differ by accumulation order. Training state is O(D²)
+  // regardless of corpus size; the feature pass is one (doc, bucket)
+  // distinct + a D²-bounded pair agg; scoring is a broadcast-sized join
+  // back on the bucket key. |v_j| ≤ 3·D·N² bounds int64 up to N ≈ 4·10⁸
+  // docs — past that, train a/G on a deterministic hash-sample (the
+  // standard probe practice; same remedy as q_dsir_weights).
+
+  private def md5Bucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 6), 16, 10).cast("long"), lit(buckets))
+
+  private val ProbeD = 16
+
+  private def qLinearProbe(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(simpleTokens(col("text"))).as("tok"))
+      .persist() // feeds features AND labels — one tokenize pass
+    // hashed binary features: x_ij = 1 iff doc i has a token in bucket j
+    val feats = toks
+      .select(col("doc_id"), md5Bucket(col("tok"), ProbeD).as("j"))
+      .distinct().persist() // both sides of the Gram pair join + scoring
+    // weak seed label: "contains the top English stopword"
+    val labels = toks.groupBy("doc_id")
+      .agg(max(when(col("tok") === "the", 1L).otherwise(0L)).as("y"))
+    val n = labels.agg(count(lit(1)).as("n"))
+    val a = feats.join(labels.filter(col("y") === 1), "doc_id")
+      .groupBy("j").agg(count(lit(1)).as("a"))
+    val g = feats.join(feats.select(col("doc_id"), col("j").as("k")), "doc_id")
+      .groupBy("j", "k").agg(count(lit(1)).as("g"))
+    val ga = g.join(a.select(col("j").as("k"), col("a").as("ak")), "k")
+      .groupBy("j").agg(sum(col("g") * col("ak")).as("ga"))
+    val v = a.join(ga, Seq("j"), "full").crossJoin(broadcast(n))
+      .select(col("j"),
+        (lit(2L) * col("n") * lit(ProbeD.toLong) * coalesce(col("a"), lit(0L)) -
+          coalesce(col("ga"), lit(0L))).as("v"))
+    feats.join(v, "j")
+      .groupBy("doc_id").agg(sum("v").as("score"))
+      .join(labels, "doc_id")
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+      .select("doc_id", "y", "score")
+  }
+
+  private val qLinearProbeSql =
+    s"""WITH $TokensCte,
+       |tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+       |feats AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 6))::BIGINT % $ProbeD AS j
+       |  FROM tok),
+       |labels AS (
+       |  SELECT doc_id, CAST(max(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM tok GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM labels),
+       |a AS (
+       |  SELECT j, CAST(count(*) AS BIGINT) AS a FROM feats
+       |  JOIN labels USING (doc_id) WHERE y = 1 GROUP BY 1),
+       |g AS (
+       |  SELECT f1.j AS j, f2.j AS k, CAST(count(*) AS BIGINT) AS g
+       |  FROM feats f1 JOIN feats f2 USING (doc_id) GROUP BY 1, 2),
+       |ga AS (
+       |  SELECT g.j, CAST(sum(g.g * a.a) AS BIGINT) AS ga
+       |  FROM g JOIN a ON g.k = a.j GROUP BY 1),
+       |v AS (
+       |  SELECT COALESCE(a.j, ga.j) AS j,
+       |    2 * n.n * $ProbeD * COALESCE(a.a, 0) - COALESCE(ga.ga, 0) AS v
+       |  FROM a FULL JOIN ga ON a.j = ga.j CROSS JOIN n)
+       |SELECT doc_id, y, score FROM (
+       |  SELECT feats.doc_id, CAST(sum(v.v) AS BIGINT) AS score
+       |  FROM feats JOIN v USING (j) GROUP BY 1) s
+       |JOIN labels USING (doc_id)
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linear_probe" -> (qLinearProbe _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_gopher_rules" -> (qGopherRules _),
@@ -508,6 +589,7 @@ object CurationQueries {
     "q_semdedup" -> (qSemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q_linear_probe" -> qLinearProbeSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_gopher_rules" -> qGopherRulesSql,

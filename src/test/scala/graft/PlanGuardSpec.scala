@@ -212,6 +212,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q_linear_probe trains via bounded integer aggregates and broadcast scale") {
+    val p = plan("q_linear_probe")
+    // a (D-vector) and G (DxD Gram) aggregates must partial-agg map-side
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+    // the 1-row corpus size rides a broadcast into the weight build
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // top-20 scoring cut is a distributed TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q_semdedup broadcasts centroids and confines the pair join to cells") {
     val p = plan("q_semdedup")
     // centroid assignment = broadcast nested loop against O(√N) cents;
