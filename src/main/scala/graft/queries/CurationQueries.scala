@@ -519,7 +519,10 @@ object CurationQueries {
 
   private val ProbeD = 16
 
-  private def qLinearProbe(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, y, score) for the whole corpus — shared by the probe's
+    * top-k query and its AUC evaluation.
+    */
+  private def probeScores(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(simpleTokens(col("text"))).as("tok"))
       .persist() // feeds features AND labels — one tokenize pass
@@ -544,12 +547,16 @@ object CurationQueries {
     feats.join(v, "j")
       .groupBy("doc_id").agg(sum("v").as("score"))
       .join(labels, "doc_id")
-      .orderBy(desc("score"), col("doc_id")).limit(20)
       .select("doc_id", "y", "score")
   }
 
-  private val qLinearProbeSql =
-    s"""WITH $TokensCte,
+  private def qLinearProbe(s: SparkSession, dir: String): DataFrame =
+    probeScores(s, dir)
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+      .select("doc_id", "y", "score")
+
+  private val ProbeCtes =
+    s"""$TokensCte,
        |tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
        |feats AS (
        |  SELECT DISTINCT doc_id,
@@ -571,15 +578,65 @@ object CurationQueries {
        |v AS (
        |  SELECT COALESCE(a.j, ga.j) AS j,
        |    2 * n.n * $ProbeD * COALESCE(a.a, 0) - COALESCE(ga.ga, 0) AS v
-       |  FROM a FULL JOIN ga ON a.j = ga.j CROSS JOIN n)
-       |SELECT doc_id, y, score FROM (
-       |  SELECT feats.doc_id, CAST(sum(v.v) AS BIGINT) AS score
-       |  FROM feats JOIN v USING (j) GROUP BY 1) s
-       |JOIN labels USING (doc_id)
+       |  FROM a FULL JOIN ga ON a.j = ga.j CROSS JOIN n),
+       |scores AS (
+       |  SELECT s.doc_id, labels.y, s.score FROM (
+       |    SELECT feats.doc_id, CAST(sum(v.v) AS BIGINT) AS score
+       |    FROM feats JOIN v USING (j) GROUP BY 1) s
+       |  JOIN labels USING (doc_id))""".stripMargin
+
+  private val qLinearProbeSql =
+    s"""WITH $ProbeCtes
+       |SELECT doc_id, y, score FROM scores
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // Exact AUC of the probe, in-engine (the evaluate leg of the
+  // train → score → evaluate loop): Mann-Whitney U over a DETERMINISTIC
+  // md5-ordered eval sample — a distributed TakeOrdered of bounded size,
+  // so the global rank window is bounded (the withRank contract) at any
+  // corpus size, which is how probe eval actually runs at 100 TB.
+  // Ties break by doc_id (a fixed convention both engines execute
+  // identically; integer scores tie often). All integer arithmetic:
+  // U = Σ r_pos − P(P+1)/2, auc_micros = ⌊10⁶·U/(P·N)⌋.
+
+  private val AucEvalSize = 2000
+
+  private def qProbeAuc(s: SparkSession, dir: String): DataFrame = {
+    val eval0 = probeScores(s, dir)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(AucEvalSize)
+    val ranked = eval0.withColumn("r", row_number().over(
+      Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+    ranked.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("neg"),
+      sum(when(col("y") === 1, col("r")).otherwise(0L)).as("rsum"))
+      .select(col("pos"), col("neg"),
+        expr("rsum - (pos * (pos + 1)) div 2").as("u"),
+        expr("(1000000 * (rsum - (pos * (pos + 1)) div 2)) div (pos * neg)")
+          .as("auc_micros"))
+  }
+
+  private val qProbeAucSql =
+    s"""WITH $ProbeCtes,
+       |eval AS (
+       |  SELECT * FROM scores ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |  LIMIT $AucEvalSize),
+       |ranked AS (
+       |  SELECT y, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS r
+       |  FROM eval),
+       |agg AS (
+       |  SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+       |    CAST(sum(CASE WHEN y = 1 THEN r ELSE 0 END) AS BIGINT) AS rsum
+       |  FROM ranked)
+       |SELECT pos, neg, rsum - (pos * (pos + 1)) // 2 AS u,
+       |  (1000000 * (rsum - (pos * (pos + 1)) // 2)) // (pos * neg) AS auc_micros
+       |FROM agg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_linear_probe" -> (qLinearProbe _),
+    "q_probe_auc" -> (qProbeAuc _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_gopher_rules" -> (qGopherRules _),
@@ -590,6 +647,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_linear_probe" -> qLinearProbeSql,
+    "q_probe_auc" -> qProbeAucSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_gopher_rules" -> qGopherRulesSql,

@@ -60,9 +60,21 @@ object QueryPipeline {
     base.orderBy(desc("score"), col("chunk_id")).limit(PerSourceFetch)
   }
 
+  /** The reference API's request-validation bounds
+    * (`app/models/query.py:10` — `top_k` ∈ [1, 20], pinned by
+    * `tests/test_api_properties.py` P27 "invalid query params return
+    * 422"): rejected eagerly, before any plan is built.
+    */
+  val MaxTopK = 20
+
+  private def validateTopK(topK: Int): Unit =
+    require(topK >= 1 && topK <= MaxTopK,
+      s"top_k must be in [1, $MaxTopK], got $topK")
+
   def query(spark: SparkSession, outDir: String, question: String,
       topK: Int = 10, dim: Int = Ingestion.DefaultDim,
       nprobe: Int = VectorIndex.DefaultNprobe): DataFrame = {
+    validateTopK(topK)
     val qv = Ingestion.hashedEmbedding(question, dim)
 
     // vector source: IVF probe when indexed (partition-pruned — the
@@ -115,6 +127,7 @@ object QueryPipeline {
       expansions: Seq[String] = Nil, topK: Int = FinalTopK,
       dim: Int = Ingestion.DefaultDim,
       nprobe: Int = VectorIndex.DefaultNprobe): DataFrame = {
+    validateTopK(topK)
     val variations = (question +: expansions).distinct
 
     // keyword scores for every variation from ONE postings pass

@@ -223,6 +223,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q_probe_auc samples via distributed TakeOrdered before the bounded rank window") {
+    val p = plan("q_probe_auc")
+    // the md5 eval sample is a TakeOrdered cut, so the global AUC rank
+    // window sees a BOUNDED input at any corpus size
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
+  }
+
   test("q_semdedup broadcasts centroids and confines the pair join to cells") {
     val p = plan("q_semdedup")
     // centroid assignment = broadcast nested loop against O(√N) cents;

@@ -103,6 +103,17 @@ class QueryPipelineSpec extends AnyFunSuite {
     assert(solo.map(_.getAs[Double]("rrf_score")).forall(_ > 0))
   }
 
+  test("P27: out-of-range top_k is rejected eagerly, before any plan is built") {
+    // query.py:10 — top_k in [1, 20]; the API returns 422 on violation
+    Seq(0, -1, 21, 1000).foreach { k =>
+      val e = intercept[IllegalArgumentException](
+        QueryPipeline.query(spark, outDir, "x", topK = k))
+      assert(e.getMessage.contains("top_k"))
+      intercept[IllegalArgumentException](
+        QueryPipeline.queryExpanded(spark, outDir, "x", topK = k))
+    }
+  }
+
   test("P18: context string numbers every hit in fused order with page metadata") {
     val q = spark.read.parquet(Bm25IndexTables.postingsDir(Ingestion.indexDir(outDir)))
       .groupBy("term").count().orderBy(desc("count"))
