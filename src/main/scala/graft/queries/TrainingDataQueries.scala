@@ -2511,7 +2511,76 @@ object TrainingDataQueries {
        |  ${Rounding.rSql("sum_freq / n_toks::DOUBLE", 3)} AS mean_tok_freq
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // --- count-min frequency sketch (heavy hitters) ----------------------------
+  //
+  // Completes the sketch trio: KMV estimates DISTINCT counts, the Bloom
+  // filter answers MEMBERSHIP, count-min answers FREQUENCY — the
+  // bounded-memory heavy-hitter primitive (Cormode & Muthukrishnan 2005)
+  // a 100 TB token stream needs when the exact vocabulary agg is too hot
+  // to keep. Sketch state is d×w counters (4×256 here = one broadcastable
+  // KB-scale table at ANY corpus size) built by ONE partial-agg pass over
+  // d replicated bucket keys; estimates are min over the d row counters,
+  // with the one-sided guarantee est ≥ exact (collisions only ADD). The
+  // md5-derived row hashes make the sketch bit-identical in DuckDB, so
+  // the oracle checks estimates AND the overestimate property: the
+  // output carries exact and estimated counts side by side.
+
+  private val CmsD = 4
+  private val CmsW = 256
+
+  private def cmsBucket(r: Int, tok: Column): Column =
+    pmod(md5Sid(concat(lit(r.toString), lit(":"), tok), 6), lit(CmsW))
+
+  private def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(simpleTokens(col("text"))).as("tok"))
+      .persist() // one tokenize pass feeds the sketch AND the exact top-k
+    // sketch build: d replicated (row, bucket) keys -> one partial agg
+    val sketch = toks
+      .select(explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // exact top-10 (the audit side: heavy hitters by true count)
+    var top = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), col("tok")).limit(10)
+    // estimate = min over the d rows — d broadcast joins of a 10-row frame
+    // against the KB-scale sketch
+    (0 until CmsD).foreach { r =>
+      top = top.withColumn(s"b$r", cmsBucket(r, col("tok")))
+        .join(broadcast(sketch.filter(col("r") === r)
+          .select(col("b").as(s"b$r"), col("c").as(s"c$r"))), s"b$r")
+    }
+    top.select(col("tok"), col("exact"),
+      least((0 until CmsD).map(r => col(s"c$r")): _*).as("cms_est"))
+      .orderBy(desc("exact"), col("tok"))
+  }
+
+  private def qCmsTopkSql: String = {
+    val buckets = (0 until CmsD).map(r =>
+      s"(${md5SidSql(s"'$r' || ':' || tok", 6)}) % $CmsW").toVector
+    val joins = (0 until CmsD).map(r =>
+      s"JOIN sketch s$r ON s$r.r = $r AND s$r.b = ${buckets(r).replace("tok", "top.tok")}")
+      .mkString("\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x <> '')) AS tok
+       |  FROM documents),
+       |rb AS (
+       |  ${(0 until CmsD).map(r =>
+            s"SELECT $r AS r, ${buckets(r)} AS b FROM tok").mkString("\n  UNION ALL\n  ")}),
+       |sketch AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY 1
+       |  ORDER BY exact DESC, tok LIMIT 10)
+       |SELECT top.tok, top.exact, least(${(0 until CmsD).map(r => s"s$r.c").mkString(", ")}) AS cms_est
+       |FROM top
+       |$joins
+       |ORDER BY exact DESC, tok""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_topk" -> (qCmsTopk _),
     "q_lexical_score" -> (qLexicalScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_unicode_norm" -> (qUnicodeNorm _),
@@ -2555,6 +2624,7 @@ object TrainingDataQueries {
     "q_hash_funcs" -> (qHashFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_cms_topk" -> qCmsTopkSql,
     "q_lexical_score" -> qLexicalScoreSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_unicode_norm" -> qUnicodeNormSql,

@@ -223,6 +223,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q_cms_topk builds the sketch with a partial agg and broadcasts it to the probe") {
+    val p = plan("q_cms_topk")
+    assert(p.contains("partial_count"),
+      s"sketch counters must partial-agg map-side:\n${p.take(3000)}")
+    // the KB-scale sketch rides broadcast hash joins into the top-k probe
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q_probe_auc samples via distributed TakeOrdered before the bounded rank window") {
     val p = plan("q_probe_auc")
     // the md5 eval sample is a TakeOrdered cut, so the global AUC rank
