@@ -183,7 +183,13 @@ object PdfFile {
     * verbatim (they ARE the jpeg/jp2 files); Flate payloads inflate to raw
     * samples; no pixel codec is required for any of this.
     */
-  def images(bytes: Array[Byte]): Vector[ImageObj] = {
+  def images(bytes: Array[Byte]): Vector[ImageObj] = images(bytes, withData = true)
+
+  /** `withData = false` skips payload work entirely (no inflate, no
+    * copy; `data` comes back empty) — the column-pruned metadata
+    * listing path of [[graft.sources.PdfDirectorySource]].
+    */
+  def images(bytes: Array[Byte], withData: Boolean): Vector[ImageObj] = {
     var streamsSeen = 0
     val out = Vector.newBuilder[ImageObj]
     objects(bytes).foreach { rs =>
@@ -199,11 +205,17 @@ object PdfFile {
           if (e == rs.data.length) rs.data else java.util.Arrays.copyOf(rs.data, e)
         }
         val (fmt, data) =
-          if (rs.dict.contains("/DCTDecode")) ("jpeg", trimmed)
-          else if (rs.dict.contains("/JPXDecode")) ("jpeg2000", trimmed)
-          else if (rs.dict.contains("/FlateDecode"))
-            inflate(trimmed).map(("raw", _)).getOrElse(("corrupt", trimmed))
-          else ("raw", trimmed)
+          if (rs.dict.contains("/DCTDecode"))
+            ("jpeg", if (withData) trimmed else Array.emptyByteArray)
+          else if (rs.dict.contains("/JPXDecode"))
+            ("jpeg2000", if (withData) trimmed else Array.emptyByteArray)
+          else if (rs.dict.contains("/FlateDecode")) {
+            // metadata-only reads report the dict-derived format and never
+            // inflate; corruption ("corrupt") is only detectable — and only
+            // matters — when the payload is actually fetched
+            if (withData) inflate(trimmed).map(("raw", _)).getOrElse(("corrupt", trimmed))
+            else ("raw", Array.emptyByteArray)
+          } else ("raw", if (withData) trimmed else Array.emptyByteArray)
         out += ImageObj(rs.objNum, math.max(streamsSeen - 1, 0), w, h, fmt, data)
       } else {
         val payload =
