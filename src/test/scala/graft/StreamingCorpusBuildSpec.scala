@@ -113,6 +113,26 @@ class StreamingCorpusBuildSpec extends AnyFunSuite {
       "stream and batch curation must keep the same distinct texts")
   }
 
+  test("hostile state files degrade to the last parseable committed state") {
+    import spark.implicits._
+    val buildDir = Files.createTempDirectory("scb4").toString
+    val eval0 = Seq.empty[Long].toDF("g")
+    StreamingCorpusBuild.processBatch(spark, spark.createDataset(
+      turnsOf(43L, 0 until 2)), 0L, buildDir, eval0)
+    val good = StreamingCorpusBuild.lastState(buildDir)
+    assert(good.batchId == 0L && good.cursor > 0L)
+    // a torn/corrupted NEWER state file must not win over the intact one
+    val sd = java.nio.file.Paths.get(buildDir, "_history", "state")
+    java.nio.file.Files.write(sd.resolve("v1.json"), Array[Byte]('{', 'x'))
+    val st = StreamingCorpusBuild.lastState(buildDir)
+    assert(st.batchId == 0L && st.cursor == good.cursor,
+      "torn v1 must fall back to committed v0")
+    // all-garbage history degrades to the empty state, never throws
+    java.nio.file.Files.write(sd.resolve("v0.json"), Array[Byte](0, 1, 2))
+    val empty = StreamingCorpusBuild.lastState(buildDir)
+    assert(empty.batchId == -1L && empty.cursor == 0L)
+  }
+
   test("writer wires the funnel through foreachBatch exactly once") {
     import spark.implicits._
     val buildDir = Files.createTempDirectory("scb3").toString
