@@ -70,7 +70,14 @@ object PdfDirectorySource {
     if (content == "images") ImagesSchema else PagesSchema
 
   def listPdfs(dir: String): Seq[String] = {
-    val d = java.nio.file.Paths.get(dir)
+    // SQL DDL (`CREATE TABLE ... USING graft-pdf`) hands the location
+    // over as a file: URI ("file:/x" or "file:///x"); .load() hands a
+    // plain path — accept both (textual strip: URI.create would choke
+    // on unencoded spaces in real directory names)
+    val normalized =
+      if (dir.startsWith("file:")) "/" + dir.stripPrefix("file:").dropWhile(_ == '/')
+      else dir
+    val d = java.nio.file.Paths.get(normalized)
     if (!java.nio.file.Files.isDirectory(d)) Seq.empty
     else scala.util.Using.resource(java.nio.file.Files.list(d))(
       _.iterator().asScala

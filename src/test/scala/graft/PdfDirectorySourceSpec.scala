@@ -93,6 +93,21 @@ class PdfDirectorySourceSpec extends AnyFunSuite {
     assert(full.head.getAs[Array[Byte]]("bytes").sameElements(direct))
   }
 
+  test("pure SQL DDL surface: CREATE TABLE ... USING graft-pdf") {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS pdf_corpus USING `graft-pdf` OPTIONS (path '$dir')")
+    try {
+      // the catalog hands the location over as a file: URI — rows must
+      // still come back, queryable with plain SQL
+      val n = spark.sql(
+        "SELECT count(*) FROM pdf_corpus WHERE n_chars > 0").head().getLong(0)
+      assert(n == 4)
+      val top = spark.sql(
+        "SELECT text FROM pdf_corpus ORDER BY n_chars DESC LIMIT 1")
+        .head().getString(0)
+      assert(top.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS pdf_corpus")
+  }
+
   test("reads the reference's real sample corpus identically to direct extraction") {
     val raw = new java.io.File("/root/reference/data/raw")
     assume(raw.isDirectory)
