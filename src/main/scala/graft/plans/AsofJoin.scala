@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+
+/** As-of join as a first-class operator: logical node + strategy +
+  * physical sorted-merge exec, injected via `extraStrategies` /
+  * `GraftExtensions` — the whole-operator rung of the extension ladder
+  * (custom `Expression`s, a `Rule[LogicalPlan]` ([[RangeJoinRule]]) and a
+  * `TypedImperativeAggregate` cover the other rungs).
+  *
+  * Semantics (backward as-of, DuckDB `ASOF LEFT JOIN` /
+  * pandas `merge_asof`): for every left row, attach the single latest
+  * right row with equal keys and `right.time <= left.time`; right columns
+  * are NULL when no such row exists. NULL keys/times never match.
+  *
+  * Why a custom physical operator: the composed built-in form
+  * (`q_asof_join`: tag + union + running `last(ignoreNulls)` window) is
+  * linear but materializes a union of both sides through one window, and
+  * any naive theta-join formulation (`t2 <= t1` + per-key max) is
+  * quadratic per key. This exec asks Catalyst for exactly what the
+  * algorithm needs — `ClusteredDistribution` on the keys for BOTH
+  * children (EnsureRequirements co-partitions them, AQE still free to
+  * coalesce), children sorted by (keys, time) — and then streams ONE
+  * forward merge pass per partition: O(1) state per row (the current
+  * best-match), zero buffering of either side, no row-count blowup.
+  * At 100 TB that is one key-hash shuffle of each side and nothing else —
+  * the same cost shape as a plain sort-merge equi-join.
+  */
+object AsofJoin {
+
+  /** Left as-of join. `leftOn`/`rightOn` = positionally-paired equality
+    * key columns, `leftTime`/`rightTime` = the ordering columns. Output =
+    * left columns ++ right columns (right side made nullable); column
+    * NAMES are taken as-is, so callers give the two sides disjoint names
+    * (the battery query and specs do).
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftOn: Seq[String], rightOn: Seq[String],
+           leftTime: String, rightTime: String): DataFrame = {
+    require(leftOn.nonEmpty, "as-of join needs at least one equality key")
+    require(leftOn.length == rightOn.length,
+      "as-of join: leftOn and rightOn must pair up")
+    val spark = left.sparkSession
+    install(spark)
+    val lp = left.queryExecution.analyzed
+    // fresh exprIds on the right so self-joins (both sides derived from
+    // the same scan — the common events-table case) resolve unambiguously
+    val rp = Project(
+      right.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
+      right.queryExecution.analyzed)
+    def res(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column '$n' on the $side side " +
+          s"(have ${out.map(_.name).mkString(", ")})"))
+    val node = AsofJoinPlan(lp, rp,
+      leftOn.map(res(lp.output, _, "left")),
+      rightOn.map(res(rp.output, _, "right")),
+      res(lp.output, leftTime, "left"),
+      res(rp.output, rightTime, "right"))
+    PlanBridge.ofRows(spark, node)
+  }
+
+  /** Same-named-keys convenience overload. */
+  def asof(left: DataFrame, right: DataFrame, on: Seq[String],
+           leftTime: String, rightTime: String): DataFrame =
+    asof(left, right, on, on, leftTime, rightTime)
+
+  /** Idempotent strategy injection into a live session (the programmatic
+    * twin of `spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def install(spark: SparkSession): Unit = {
+    val em = spark.experimental
+    if (!em.extraStrategies.contains(AsofJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+  }
+}
+
+/** Logical as-of join node. Opaque to the optimizer (no pruning/pushdown
+  * THROUGH it — callers pre-project/pre-filter both sides, as the battery
+  * query does); the analyzer resolves and type-checks it like any binary
+  * node.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] to [[AsofJoinExec]]; everything else falls
+  * through to the built-in strategies.
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-merge backward as-of join.
+  *
+  * Required layout (EnsureRequirements materializes it): both children
+  * hash-clustered on their keys and sorted ascending by (keys…, time).
+  * Each partition then merges in one forward pass: the right pointer
+  * advances while `(rKeys, rTime) <=lex (lKeys, lTime)`, remembering the
+  * last key-matching row it passed — which, by the sort order, is exactly
+  * the latest `rTime <= lTime` row for the current left row. Per-row state
+  * is ONE buffered right row; neither side is ever collected.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // the merge consumes the left side in order and emits in the same order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val keyTypes = lKeys.map(_.dataType)
+    val ktTypes = keyTypes :+ lTime.dataType
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (keys…, time) probe rows for ordering-based comparison — the same
+      // discipline SortMergeJoinExec uses for its key comparisons
+      val lktProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
+      val rktProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val ktOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes)
+      val nKt = ktTypes.length
+      def anyNull(row: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKt) { if (row.isNullAt(i)) return true; i += 1 }
+        false
+      }
+
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+      // bind against the NULLABLE view of the right side: unmatched left
+      // rows feed an all-null right row, and a projection bound to a
+      // non-nullable input schema would elide the null checks and read
+      // garbage zeros instead of emitting NULL
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var rKt: UnsafeRow = if (rRow != null) rktProj(rRow) else null
+        private var matchRow: InternalRow = _ // copy of best right row so far
+        private var matchKt: UnsafeRow = _ // its (keys…, time) probe, copied
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKt = lktProj(lRow)
+          if (anyNull(lKt)) {
+            // NULL key or time never matches; the pointer stays put
+            outProj(joined(lRow, nullRight))
+          } else {
+            // advance while right (keys…, time) <=lex left (keys…, time):
+            // every key-matching row passed is a candidate, the last one
+            // passed is the latest time <= lTime
+            while (rRow != null && ktOrd.compare(rKt, lKt) <= 0) {
+              if (!anyNull(rKt) && keyOrd.compare(rKt, lKt) == 0) {
+                matchRow = rRow.copy()
+                matchKt = rKt.copy()
+              }
+              if (rIter.hasNext) { rRow = rIter.next(); rKt = rktProj(rRow) }
+              else { rRow = null; rKt = null }
+            }
+            val hit = matchRow != null && keyOrd.compare(matchKt, lKt) == 0
+            outProj(joined(lRow, if (hit) matchRow else nullRight))
+          }
+        }
+      }
+    }
+  }
+}

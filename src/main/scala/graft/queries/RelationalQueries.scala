@@ -316,6 +316,41 @@ object RelationalQueries {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** The same as-of semantics through the CUSTOM OPERATOR stack
+    * ([[graft.plans.AsofJoin]]: logical node → strategy → sorted-merge
+    * exec): each purchase attaches the latest prior view of its user in
+    * ONE forward merge pass per co-partitioned (key, time)-sorted
+    * partition — O(1) state per row, no union/window materialization, no
+    * theta join. Views are pre-aggregated to unique (user_id, ts) so tie
+    * resolution is deterministic cross-engine; the oracle is DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  private def qAsofExec(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max("event_id").as("view_id"))
+    graft.plans.AsofJoin.asof(purchases, views,
+        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+        leftTime = "ts", rightTime = "v_ts")
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        Rounding.r(col("value"), 4).as("value"))
+      .orderBy("purchase_id")
+  }
+
+  private val qAsofExecSql =
+    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
+      |    CAST(max(event_id) AS BIGINT) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id AS purchase_id, p.user_id, v.view_id,
+      |  floor((p.value) * 1e4 + 0.5) / 1e4 AS value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
+      |ORDER BY 1""".stripMargin
+
   /** Event-time interval join (click→view attribution within a 10-minute
     * lookback) — the batch form of [[graft.streaming.IntervalJoin]],
     * aggregated per user. Plans as a user_id equi-join with the time
@@ -514,7 +549,8 @@ object RelationalQueries {
     "q_events_window" -> (qEventsWindow _),
     "q_page_range_join" -> (qPageRangeJoin _),
     "q_range_join_rule" -> (qRangeJoinRule _),
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q_asof_exec" -> (qAsofExec _))
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
@@ -536,5 +572,6 @@ object RelationalQueries {
     "q_events_window" -> qEventsWindowSql,
     "q_page_range_join" -> qPageRangeJoinSql,
     "q_range_join_rule" -> qRangeJoinRuleSql,
-    "q_asof_join" -> qAsofJoinSql)
+    "q_asof_join" -> qAsofJoinSql,
+    "q_asof_exec" -> qAsofExecSql)
 }

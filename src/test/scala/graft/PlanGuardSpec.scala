@@ -77,6 +77,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("last(view_id"), p.take(2000))
   }
 
+  test("q_asof_exec plans the custom sorted-merge operator, co-partitioned") {
+    val p = plan("q_asof_exec")
+    assert(p.contains("AsofJoin"),
+      s"custom as-of exec not planned:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of exec degenerated into a theta join:\n${p.take(2000)}")
+    // the merge's whole cost: one key shuffle per side (EnsureRequirements
+    // materializes the ClusteredDistribution requirement), nothing wider
+    // key-only exchanges (the view dedup's (user_id, ts) agg shuffle is
+    // separate and expected)
+    val keyOnly = """hashpartitioning\((user_id|v_user)#\d+L?, \d+\)""".r
+    val keyExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && keyOnly.findFirstIn(l).isDefined)
+    assert(keyExchanges == 2,
+      s"expected one key shuffle per side, got $keyExchanges:\n${p.take(3000)}")
+  }
+
   test("q_sequence_pack prefix-sums in two sharded levels with a broadcast base join") {
     val p = plan("q_sequence_pack")
     // the wide running sum must be windowed per (source, shard) — a
