@@ -351,6 +351,34 @@ object RelationalQueries {
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** Semi-structured extraction: `events.props` is a JSON string column;
+    * parse it with the native `JsonToStructs` expression (`from_json` with
+    * an explicit schema — typed, single-pass, no UDF) and aggregate the
+    * extracted field. Scales as one narrow projection into one partial-agg
+    * shuffle; the scan reads only (event_type, props). Oracle: DuckDB's
+    * built-in `json_extract`.
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+      .filter(col("k").isNotNull) // malformed/keyless props drop out —
+      // NULL group ordering differs cross-engine, so never group on it
+      .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type", "k_decile")
+
+  private val qJsonExtractSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, k // 10 AS k_decile, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+      |FROM e WHERE k IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Event-time interval join (click→view attribution within a 10-minute
     * lookback) — the batch form of [[graft.streaming.IntervalJoin]],
     * aggregated per user. Plans as a user_id equi-join with the time
@@ -550,7 +578,8 @@ object RelationalQueries {
     "q_page_range_join" -> (qPageRangeJoin _),
     "q_range_join_rule" -> (qRangeJoinRule _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_asof_exec" -> (qAsofExec _))
+    "q_asof_exec" -> (qAsofExec _),
+    "q_json_extract" -> (qJsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
@@ -573,5 +602,6 @@ object RelationalQueries {
     "q_page_range_join" -> qPageRangeJoinSql,
     "q_range_join_rule" -> qRangeJoinRuleSql,
     "q_asof_join" -> qAsofJoinSql,
-    "q_asof_exec" -> qAsofExecSql)
+    "q_asof_exec" -> qAsofExecSql,
+    "q_json_extract" -> qJsonExtractSql)
 }

@@ -94,6 +94,19 @@ class PlanGuardSpec extends AnyFunSuite {
       s"expected one key shuffle per side, got $keyExchanges:\n${p.take(3000)}")
   }
 
+  test("q_json_extract prunes the scan to (event_type, props) and partial-aggregates") {
+    val p = plan("q_json_extract")
+    // typed native parse — no UDF in the plan
+    assert(p.contains("from_json"), p.take(2000))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"JSON parse fell out of native expressions:\n${p.take(2000)}")
+    // scan must not read ts/user_id/value for a (event_type, props) agg
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("props") && !scanLine.contains("user_id"),
+      s"events scan not pruned:\n$scanLine")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+  }
+
   test("q_sequence_pack prefix-sums in two sharded levels with a broadcast base join") {
     val p = plan("q_sequence_pack")
     // the wide running sum must be windowed per (source, shard) — a
