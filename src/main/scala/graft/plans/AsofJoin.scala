@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.PlanBridge
 
@@ -72,13 +73,40 @@ object AsofJoin {
            leftTime: String, rightTime: String): DataFrame =
     asof(left, right, on, on, leftTime, rightTime)
 
-  /** Idempotent strategy injection into a live session (the programmatic
-    * twin of `spark.sql.extensions=graft.functions.GraftExtensions`).
+  /** Idempotent strategy + pruning-rule injection into a live session (the
+    * programmatic twin of `spark.sql.extensions=graft.functions.GraftExtensions`).
     */
   def install(spark: SparkSession): Unit = {
     val em = spark.experimental
     if (!em.extraStrategies.contains(AsofJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+    if (!em.extraOptimizations.contains(AsofJoinPruneRule))
+      em.extraOptimizations = em.extraOptimizations :+ AsofJoinPruneRule
+  }
+}
+
+/** Column pruning THROUGH the custom node. Catalyst's own `ColumnPruning`
+  * stops at operators it doesn't know, so `select(few)` over an as-of join
+  * of wide tables would otherwise scan every column of both inputs — the
+  * exact 100 TB failure mode the brief's "push down and prune" rule names.
+  * This rule narrows each child to (columns the parent uses) ∪ (join keys)
+  * ∪ (time column); the inserted child `Project`s then collapse into the
+  * scans via the normal pruning machinery (the optimizer runs user rules
+  * in a fixed-point batch followed by another operator-optimization pass).
+  */
+object AsofJoinPruneRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, aj: AsofJoinPlan) =>
+      val need = p.references ++
+        AttributeSet((aj.leftKeys ++ aj.rightKeys).flatMap(_.references)) ++
+        aj.leftTime.references ++ aj.rightTime.references
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(need.contains)
+        if (keep.length == child.output.length) child else Project(keep, child)
+      }
+      val (nl, nr) = (prune(aj.left), prune(aj.right))
+      if ((nl eq aj.left) && (nr eq aj.right)) p
+      else p.copy(child = aj.copy(left = nl, right = nr))
   }
 }
 
