@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -94,7 +94,7 @@ object AsofJoin {
   * scans via the normal pruning machinery (the optimizer runs user rules
   * in a fixed-point batch followed by another operator-optimization pass).
   */
-object AsofJoinPruneRule extends Rule[LogicalPlan] {
+object AsofJoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(_, aj: AsofJoinPlan) =>
       val need = p.references ++
@@ -107,6 +107,35 @@ object AsofJoinPruneRule extends Rule[LogicalPlan] {
       val (nl, nr) = (prune(aj.left), prune(aj.right))
       if ((nl eq aj.left) && (nr eq aj.right)) p
       else p.copy(child = aj.copy(left = nl, right = nr))
+
+    // same prune with an unpushable (right-side) Filter pinned between the
+    // Project and the node — the filter's references ride along
+    case p @ Project(_, f @ Filter(cond, aj: AsofJoinPlan)) =>
+      val need = p.references ++ cond.references ++
+        AttributeSet((aj.leftKeys ++ aj.rightKeys).flatMap(_.references)) ++
+        aj.leftTime.references ++ aj.rightTime.references
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(need.contains)
+        if (keep.length == child.output.length) child else Project(keep, child)
+      }
+      val (nl, nr) = (prune(aj.left), prune(aj.right))
+      if ((nl eq aj.left) && (nr eq aj.right)) p
+      else p.copy(child = f.copy(child = aj.copy(left = nl, right = nr)))
+
+    // Filter pushdown: a predicate on left-side columns commutes with the
+    // join (each left row's match is independent of the other left rows),
+    // so it pushes below — onto the scan, shrinking the shuffle. Right-side
+    // predicates DON'T push: the right side is NULL-extending (exactly the
+    // left-outer-join rule), and pushing one would change WHICH right row
+    // is "the latest" instead of filtering joined output.
+    case f @ Filter(cond, aj: AsofJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition(e =>
+        e.deterministic && e.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 

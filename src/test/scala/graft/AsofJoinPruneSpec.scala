@@ -47,4 +47,43 @@ class AsofJoinPruneSpec extends AnyFunSuite {
     val m = out.queryExecution.analyzed // exercise reuse of the plan
     assert(m != null)
   }
+
+  test("left-side filters push below the join onto the scan; right-side stay above") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof_push").toString
+    (0L until 60L).map(i => (i % 6, i % 20, i))
+      .toDF("k", "t", "lval").write.mode("overwrite").parquet(s"$dir/left")
+    (0L until 60L).map(i => (i % 6, i % 10, i + 500))
+      .toDF("rk", "rt", "rval").write.mode("overwrite").parquet(s"$dir/right")
+    val joined = AsofJoin.asof(
+      spark.read.parquet(s"$dir/left"), spark.read.parquet(s"$dir/right"),
+      Seq("k"), Seq("rk"), "t", "rt")
+
+    // left predicate: reaches the parquet scan as a pushed filter
+    val lf = joined.filter(col("lval") >= 30)
+    assert(lf.count() == 30)
+    val lfPlan = lf.queryExecution.executedPlan.toString
+    val leftScan = lfPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("/left")).toSeq
+    assert(leftScan.nonEmpty && leftScan.forall(
+        l => l.contains("GreaterThanOrEqual(lval,30)")),
+      s"left filter not pushed to scan:\n${leftScan.mkString("\n")}")
+
+    // right predicate must NOT push below (NULL-extending side): pushing
+    // rval != 505 into the right child would promote an EARLIER view to
+    // "latest" — instead the joined row is filtered out. Every lval whose
+    // best match was rval=505 must disappear, not remap.
+    val rf = joined.filter(col("rval") === 505)
+    val rfRows = rf.collect()
+    // brute force: rows where latest rt<=t for key k gives rval 505
+    val lRows = (0L until 60L).map(i => (i % 6, i % 20, i))
+    val rRows = (0L until 60L).map(i => (i % 6, i % 10, i + 500))
+      .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+    val expected = lRows.flatMap { case (k, t, lval) =>
+      rRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption
+        .filter(_._3 == 505).map(_ => lval)
+    }.toSet
+    assert(rfRows.map(_.getAs[Long]("lval")).toSet == expected)
+  }
 }
