@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.PlanBridge
@@ -41,10 +41,19 @@ object AsofJoin {
     * left columns ++ right columns (right side made nullable); column
     * NAMES are taken as-is, so callers give the two sides disjoint names
     * (the battery query and specs do).
+    *
+    * `broadcastRight = true` picks the broadcast physical form: the whole
+    * right side ships to every executor and each left partition resolves
+    * matches by binary search — ZERO movement of the left side (the
+    * BroadcastHashJoin-vs-SortMergeJoin choice, for as-of). Use it when
+    * the right side is dimension-sized; the default sorted merge is the
+    * both-sides-huge plan. Explicit rather than stats-driven so plan
+    * shapes stay deterministic across data scales.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           broadcastRight: Boolean = false): DataFrame = {
     require(leftOn.nonEmpty, "as-of join needs at least one equality key")
     require(leftOn.length == rightOn.length,
       "as-of join: leftOn and rightOn must pair up")
@@ -64,7 +73,8 @@ object AsofJoin {
       leftOn.map(res(lp.output, _, "left")),
       rightOn.map(res(rp.output, _, "right")),
       res(lp.output, leftTime, "left"),
-      res(rp.output, rightTime, "right"))
+      res(rp.output, rightTime, "right"),
+      broadcastRight)
     PlanBridge.ofRows(spark, node)
   }
 
@@ -147,7 +157,8 @@ object AsofJoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    broadcastRight: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -160,8 +171,9 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, bcast) =>
+      if (bcast) AsofJoinBroadcastExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      else AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -260,6 +272,90 @@ case class AsofJoinExec(
             val hit = matchRow != null && keyOrd.compare(matchKt, lKt) == 0
             outProj(joined(lRow, if (hit) matchRow else nullRight))
           }
+        }
+      }
+    }
+  }
+}
+
+/** Broadcast backward as-of join: the dimension-sized right side ships
+  * whole to every executor (`BroadcastDistribution(IdentityBroadcastMode)`
+  * — EnsureRequirements inserts the `BroadcastExchange`); each task sorts
+  * it once by (keys…, time) and resolves every left row by binary search.
+  * The left side NEVER moves — no shuffle, no sort, partitioning and
+  * ordering preserved — which at 100 TB is the entire cost of the merge
+  * form removed, in exchange for an O(R log R) per-task sort of a small R.
+  */
+case class AsofJoinBroadcastExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // the left side passes through untouched
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val keyTypes = lKeys.map(_.dataType)
+    val ktTypes = keyTypes :+ lTime.dataType
+    val outAttrs = output
+    val bcRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val lktProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
+      val rktProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val ktOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes)
+      val nKt = ktTypes.length
+      def anyNull(row: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKt) { if (row.isNullAt(i)) return true; i += 1 }
+        false
+      }
+      // sort the broadcast side once per task: probe keys copied (the
+      // projection reuses its buffer), row refs shared (already distinct
+      // materialized rows from the broadcast collect)
+      val entries = bcRows.value.iterator
+        .map(r => (rktProj(r).copy(), r))
+        .filter { case (kt, _) => !anyNull(kt) }
+        .toArray
+      java.util.Arrays.sort(entries,
+        (a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)) =>
+          ktOrd.compare(a._1, b._1))
+
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+
+      lIter.map { lRow =>
+        val lKt = lktProj(lRow)
+        if (anyNull(lKt) || entries.isEmpty) outProj(joined(lRow, nullRight))
+        else {
+          // upper bound: first entry with (keys…, time) > lKt; its
+          // predecessor, if key-equal, is the latest time <= lTime
+          var lo = 0; var hi = entries.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ktOrd.compare(entries(mid)._1, lKt) <= 0) lo = mid + 1
+            else hi = mid
+          }
+          val hit = lo > 0 && keyOrd.compare(entries(lo - 1)._1, lKt) == 0
+          outProj(joined(lRow, if (hit) entries(lo - 1)._2 else nullRight))
         }
       }
     }

@@ -341,6 +341,28 @@ object RelationalQueries {
       .orderBy("purchase_id")
   }
 
+  /** The broadcast physical form of the same as-of semantics: the deduped
+    * views table ships whole to every executor and each purchases partition
+    * resolves matches by binary search — the purchases side never shuffles
+    * or sorts (the BroadcastHashJoin-vs-SortMergeJoin choice, for as-of).
+    * Same oracle as [[qAsofExec]]: identical answers, different plan.
+    */
+  private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max("event_id").as("view_id"))
+    graft.plans.AsofJoin.asof(purchases, views,
+        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+        leftTime = "ts", rightTime = "v_ts", broadcastRight = true)
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        Rounding.r(col("value"), 4).as("value"))
+      .orderBy("purchase_id")
+  }
+
   private val qAsofExecSql =
     """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
       |    CAST(max(event_id) AS BIGINT) AS view_id
@@ -579,6 +601,7 @@ object RelationalQueries {
     "q_range_join_rule" -> (qRangeJoinRule _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_exec" -> (qAsofExec _),
+    "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_json_extract" -> (qJsonExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -603,5 +626,6 @@ object RelationalQueries {
     "q_range_join_rule" -> qRangeJoinRuleSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_asof_exec" -> qAsofExecSql,
+    "q_asof_broadcast" -> qAsofExecSql, // same semantics, different plan
     "q_json_extract" -> qJsonExtractSql)
 }

@@ -93,16 +93,20 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        val out = AsofJoin.asof(df(lSchema, lRows), r,
-            Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt")
-          .select("lid", "rid").collect()
-          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
-          .toMap
         val expected = brute(lRows, rRows)
-        assert(out.size == nL, s"trial $trial: row count ${out.size} != $nL")
-        assert(out == expected,
-          s"trial $trial (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
-            s"${(out.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- out.toSet).take(5)}")
+        for (bcast <- Seq(false, true)) { // merge exec AND broadcast exec
+          val out = AsofJoin.asof(df(lSchema, lRows), r,
+              Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
+              broadcastRight = bcast)
+            .select("lid", "rid").collect()
+            .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+            .toMap
+          assert(out.size == nL,
+            s"trial $trial bcast=$bcast: row count ${out.size} != $nL")
+          assert(out == expected,
+            s"trial $trial bcast=$bcast (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
+              s"${(out.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- out.toSet).take(5)}")
+        }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
   }

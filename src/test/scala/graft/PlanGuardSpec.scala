@@ -94,6 +94,20 @@ class PlanGuardSpec extends AnyFunSuite {
       s"expected one key shuffle per side, got $keyExchanges:\n${p.take(3000)}")
   }
 
+  test("q_asof_broadcast never moves the left side: broadcast exchange only") {
+    val p = plan("q_asof_broadcast")
+    assert(p.contains("AsofJoinBroadcast"),
+      s"broadcast as-of exec not planned:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // the purchases (left) side must have NO key shuffle — the only
+    // exchanges allowed are the views dedup agg shuffle (keyed on
+    // (v_user, v_ts)) and the broadcast itself
+    val leftShuffle = """hashpartitioning\(user_id#\d+L?, \d+\)""".r
+    assert(p.linesIterator.forall(l =>
+        !(l.contains("Exchange") && leftShuffle.findFirstIn(l).isDefined)),
+      s"left side of the broadcast as-of was shuffled:\n${p.take(3000)}")
+  }
+
   test("q_json_extract prunes the scan to (event_type, props) and partial-aggregates") {
     val p = plan("q_json_extract")
     // typed native parse — no UDF in the plan
