@@ -83,6 +83,32 @@ object AsofJoin {
            leftTime: String, rightTime: String): DataFrame =
     asof(left, right, on, on, leftTime, rightTime)
 
+  /** Tolerance-bounded backward as-of (pandas `merge_asof(tolerance=…)`):
+    * the match must satisfy `leftTime - tolerance <= rightTime <= leftTime`.
+    * Correct as a post-join NULL-out — backward as-of already picked the
+    * LATEST `rightTime <= leftTime` row, so if that one is older than the
+    * tolerance window no other row can be inside it. `tolerance` is a
+    * Column so it is type-generic: `lit(500L)` for numeric times,
+    * `expr("INTERVAL 10 MINUTES")` for timestamps. Costs one extra
+    * projection over the chosen physical form; nothing re-shuffles.
+    */
+  def asofWithin(left: DataFrame, right: DataFrame,
+                 leftOn: Seq[String], rightOn: Seq[String],
+                 leftTime: String, rightTime: String,
+                 tolerance: org.apache.spark.sql.Column,
+                 broadcastRight: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val j = asof(left, right, leftOn, rightOn, leftTime, rightTime, broadcastRight)
+    val stale = col(rightTime).isNotNull &&
+      col(rightTime) < col(leftTime) - tolerance
+    val rightNames = right.columns.toSet
+    j.select(j.columns.map { c =>
+      if (rightNames.contains(c))
+        when(stale, lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }.toSeq: _*)
+  }
+
   /** Idempotent strategy + pruning-rule injection into a live session (the
     * programmatic twin of `spark.sql.extensions=graft.functions.GraftExtensions`).
     */

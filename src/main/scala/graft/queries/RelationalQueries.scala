@@ -373,6 +373,39 @@ object RelationalQueries {
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** Tolerance-bounded as-of: attribute each purchase to the latest prior
+    * view only if it happened within the 6 h before the purchase — the
+    * bounded-lookback attribution shape (`merge_asof(tolerance=…)`).
+    * Matches outside the window NULL out rather than remapping to an even
+    * older view; the oracle applies the same rule as a CASE over DuckDB's
+    * native ASOF match.
+    */
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max("event_id").as("view_id"))
+    graft.plans.AsofJoin.asofWithin(purchases, views,
+        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+        leftTime = "ts", rightTime = "v_ts",
+        tolerance = expr("INTERVAL 6 HOURS"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+      .orderBy("purchase_id")
+  }
+
+  private val qAsofToleranceSql =
+    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
+      |    CAST(max(event_id) AS BIGINT) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |  CASE WHEN v.v_ts >= p.ts - INTERVAL 6 HOUR THEN v.view_id END
+      |    AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
+      |ORDER BY 1""".stripMargin
+
   /** Semi-structured extraction: `events.props` is a JSON string column;
     * parse it with the native `JsonToStructs` expression (`from_json` with
     * an explicit schema — typed, single-pass, no UDF) and aggregate the
@@ -602,6 +635,7 @@ object RelationalQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_exec" -> (qAsofExec _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
     "q_json_extract" -> (qJsonExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -627,5 +661,6 @@ object RelationalQueries {
     "q_asof_join" -> qAsofJoinSql,
     "q_asof_exec" -> qAsofExecSql,
     "q_asof_broadcast" -> qAsofExecSql, // same semantics, different plan
+    "q_asof_tolerance" -> qAsofToleranceSql,
     "q_json_extract" -> qJsonExtractSql)
 }

@@ -141,6 +141,29 @@ class AsofJoinExecSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("tolerance: stale matches NULL out, never remap to an older row") {
+    val p = df(lSchema, Seq(
+      Row(1L: java.lang.Long, 100L: java.lang.Long, 1L: java.lang.Long),
+      Row(1L: java.lang.Long, 200L: java.lang.Long, 2L: java.lang.Long),
+      Row(2L: java.lang.Long, 100L: java.lang.Long, 3L: java.lang.Long)))
+    val v = df(rSchema, Seq(
+      Row(1L: java.lang.Long, 95L: java.lang.Long, 10L: java.lang.Long),
+      Row(1L: java.lang.Long, 60L: java.lang.Long, 11L: java.lang.Long),
+      Row(2L: java.lang.Long, 10L: java.lang.Long, 12L: java.lang.Long)))
+    for (bcast <- Seq(false, true)) {
+      val out = AsofJoin.asofWithin(p, v, Seq("uid"), Seq("v_uid"),
+          "lts", "v_ts", tolerance = lit(20L), broadcastRight = bcast)
+        .select("pid", "vid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      // pid=1: latest view ts=95 within [80,100] → 10. pid=2: latest view
+      // ts=95 but window is [180,200] → NULL (NOT the older 60). pid=3:
+      // latest view ts=10, window [80,100] → NULL.
+      assert(out == Set((1L, Some(10L)), (2L, None), (3L, None)),
+        s"bcast=$bcast: $out")
+    }
+  }
+
   test("string keys work (ordering is type-generic)") {
     val ls = StructType(Seq(StructField("k", StringType, true),
       StructField("lts", LongType, true), StructField("pid", LongType, false)))
