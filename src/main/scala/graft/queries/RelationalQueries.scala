@@ -406,6 +406,54 @@ object RelationalQueries {
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** Time-series gap fill + LOCF (last observation carried forward): each
+    * user's purchase history densified to a DAILY grid spanning their
+    * first-to-last purchase, gaps forward-filled with the latest prior
+    * day's total. Grid generation is `sequence()` + `explode` (rows =
+    * users × span-days, linear, never a cross join); the fill is a
+    * per-user running `last(ignoreNulls)` window — partitioned by user, so
+    * no task ever sees more than one user's span. Dates travel as ISO
+    * strings so both engines hash identically.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(sum("value").as("v"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("d").as("lo"), max("d").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        when(col("v").isNull, 1).otherwise(0).as("is_gap"),
+        last("v", ignoreNulls = true).over(w).as("vf"))
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("is_gap"), Rounding.r(col("vf"), 4).as("v_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  private val qGapFillSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS v
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM span),
+      |j AS (
+      |  SELECT g.user_id, g.d,
+      |    CASE WHEN daily.v IS NULL THEN 1 ELSE 0 END AS is_gap,
+      |    last_value(daily.v IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.d
+      |      ROWS UNBOUNDED PRECEDING) AS vf
+      |  FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d)
+      |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, is_gap,
+      |  floor((vf) * 1e4 + 0.5) / 1e4 AS v_filled
+      |FROM j ORDER BY 1, 2""".stripMargin
+
   /** Semi-structured extraction: `events.props` is a JSON string column;
     * parse it with the native `JsonToStructs` expression (`from_json` with
     * an explicit schema — typed, single-pass, no UDF) and aggregate the
@@ -636,7 +684,8 @@ object RelationalQueries {
     "q_asof_exec" -> (qAsofExec _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_tolerance" -> (qAsofTolerance _),
-    "q_json_extract" -> (qJsonExtract _))
+    "q_json_extract" -> (qJsonExtract _),
+    "q_gap_fill" -> (qGapFill _))
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
@@ -662,5 +711,6 @@ object RelationalQueries {
     "q_asof_exec" -> qAsofExecSql,
     "q_asof_broadcast" -> qAsofExecSql, // same semantics, different plan
     "q_asof_tolerance" -> qAsofToleranceSql,
-    "q_json_extract" -> qJsonExtractSql)
+    "q_json_extract" -> qJsonExtractSql,
+    "q_gap_fill" -> qGapFillSql)
 }

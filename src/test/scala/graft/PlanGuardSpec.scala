@@ -108,6 +108,19 @@ class PlanGuardSpec extends AnyFunSuite {
       s"left side of the broadcast as-of was shuffled:\n${p.take(3000)}")
   }
 
+  test("q_gap_fill windows per user and never plans an unpartitioned fill") {
+    val p = plan("q_gap_fill")
+    // the LOCF window must be keyed on user_id — an unpartitioned window
+    // would funnel every user's grid through one task
+    assert(p.contains("windowspecdefinition(user_id"), p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition()") ||
+        l.contains("windowspecdefinition(d#")),
+      s"unpartitioned window in gap fill:\n${p.take(3000)}")
+    // grid generation is generate+explode, not a join against a calendar
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
   test("q_json_extract prunes the scan to (event_type, props) and partial-aggregates") {
     val p = plan("q_json_extract")
     // typed native parse — no UDF in the plan
