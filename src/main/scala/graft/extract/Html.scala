@@ -281,6 +281,9 @@ object Html {
     var curRow: mutable.ArrayBuffer[String] = null
     var curCell: StringBuilder = null
     var cellDepth = 0
+    var cellBoilerBase = 0 // boilerDepth when the cell opened: text from
+    // boilerplate subtrees NESTED IN the cell (script/style/nav inside a
+    // td) must not leak into the cell text (found by semantic fuzz)
     var tableStart = -1
     var sawCellText = false
 
@@ -317,6 +320,7 @@ object Html {
           case "td" | "th" =>
             if (curRow == null) curRow = mutable.ArrayBuffer.empty
             curCell = new StringBuilder; cellDepth = 1; sawCellText = false
+            cellBoilerBase = boilerDepth
           case _ => if (curCell != null) cellDepth += 1
         }
 
@@ -355,10 +359,16 @@ object Html {
       case Text(t, s, e) =>
         if (inTitle) title += t
         if (curCell != null) {
-          // get_text(strip=True) semantics: strip each string, join with ""
-          val st = pyStrip(t)
+          // get_text(strip=True) semantics: strip each string, join with "";
+          // skip boilerplate subtrees opened INSIDE the cell
+          val st = if (boilerDepth > cellBoilerBase) "" else pyStrip(t)
           if (st.nonEmpty) { curCell.append(st); sawCellText = true }
-        } else if (tableDepth == 0 && !pyIsBlank(t)) {
+        } else if (tableDepth == 0 && boilerDepth == 0 && !pyIsBlank(t)) {
+          // the boilerDepth check must run at APPEND time, not only at
+          // flush: INLINE boilerplate (script/style/button — not block
+          // tags, so they trigger no flush) would otherwise merge its raw
+          // text into the surrounding block's buffer and survive the
+          // flush-time check (found by semantic fuzz)
           if (blkStart < 0) blkStart = s
           blkEnd = e
           sb.append(t)
