@@ -98,6 +98,68 @@ class ExtractorSemanticFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF spans are faithful: every line's words sit inside its source span") {
+    val rnd = new Random(314)
+    for (_ <- 0 until 25) {
+      val n = 2 + rnd.nextInt(10)
+      val texts = (0 until n).map(_ =>
+        (0 until 1 + rnd.nextInt(3)).map(_ => words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      val src = texts.zipWithIndex.map { case (t, i) =>
+        s"1 0 0 1 72 ${700 - i * 14} Tm ($t) Tj"
+      }.mkString("BT\n", "\n", "\nET")
+      Pdf.extract(src).flatMap(_.lines).foreach { l =>
+        assert(l.start >= 0 && l.end <= src.length && l.start < l.end)
+        val window = src.substring(l.start, l.end)
+        l.text.split(' ').filter(_.nonEmpty).foreach(w =>
+          assert(window.contains(w),
+            s"word '$w' of line '${l.text}' not inside its span window '$window'"))
+      }
+    }
+  }
+
+  test("HTML comments and entity-encoded text: decode, never leak") {
+    val rnd = new Random(271)
+    for (_ <- 0 until 30) {
+      val expect = scala.collection.mutable.Set.empty[String]
+      val sb = new StringBuilder("<html><body>")
+      // paragraphs are >16 words so the Boilerpipe NumWordsRules classifier
+      // keeps them — this test is about decode/leak fidelity, not density
+      def filler(): String =
+        (0 until 18).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      for (_ <- 0 until 4 + rnd.nextInt(6)) rnd.nextInt(4) match {
+        case 0 => // plain text node
+          val w = words(rnd.nextInt(words.size)) + rnd.nextInt(100)
+          val pad = filler(); pad.split(' ').foreach(expect += _)
+          expect += w
+          sb.append("<p>").append(w).append(' ').append(pad).append("</p>")
+        case 1 => // entity-encoded first letter: must decode to the word
+          val w = words(rnd.nextInt(words.size))
+          val pad = filler(); pad.split(' ').foreach(expect += _)
+          expect += w
+          sb.append("<p>&#").append(w.head.toInt).append(';')
+            .append(w.tail).append(' ').append(pad).append("</p>")
+        case 2 => // comment with markup inside: must vanish entirely
+          sb.append("<!-- commentpoison <div>ghost</div> -->")
+        case 3 => // named entities around a word
+          val w = words(rnd.nextInt(words.size))
+          val pad = filler(); pad.split(' ').foreach(expect += _)
+          expect += w
+          sb.append("<p>&lt;").append(w).append("&gt; &amp; ")
+            .append(pad).append("</p>")
+      }
+      sb.append("</body></html>")
+      val ex = Extractor.extract(sb.toString)
+      val outTokens = ex.text.split("[^A-Za-z0-9]+").filter(_.nonEmpty).toSet
+      outTokens.foreach(tok => assert(expect.contains(tok),
+        s"unexpected token '$tok' from:\n${sb.toString}"))
+      assert(!ex.text.contains("commentpoison") && !ex.text.contains("ghost"))
+      // every entity-decoded word must actually survive extraction
+      expect.foreach(w => assert(outTokens.contains(w),
+        s"expected word '$w' lost from:\n${sb.toString}\ngot: ${ex.text}"))
+    }
+  }
+
   test("well-formed HTML: no hallucinated tokens, script/style never leak") {
     val rnd = new Random(99)
     val blockTags = Vector("div", "p", "section", "article", "td", "li", "h2")
