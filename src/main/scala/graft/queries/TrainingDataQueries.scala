@@ -1996,6 +1996,74 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- sampled quantile estimation (deterministic bottom-k sample) ----------
+  //
+  // Approximate per-group quantiles from a BOUNDED deterministic sample:
+  // the k docs with the smallest salted md5 hash form an exactly
+  // reproducible uniform sample (the same order-independence trick as
+  // KMV — GK/t-digest sketches are merge-order-dependent and can never be
+  // hash-checked cross-engine), so the ESTIMATE itself is oracle-checked
+  // next to the exact quantile. Bottom-k selection is two-level sharded
+  // like KMV (no task ranks a whole source); the per-group state is ≤ k
+  // rows, constant in corpus size — the 100 TB answer when the exact
+  // percentile's value-histogram state (`q_length_quantiles`) is too wide.
+
+  private val QSampK = 101
+
+  private def qQuantileSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        md5Sid(concat(lit("qsamp:"), col("doc_id")), 12).as("h"))
+    val shardW = Window.partitionBy(col("source"), pmod(col("h"), lit(256)))
+      .orderBy("h")
+    val sourceW = Window.partitionBy("source").orderBy("h")
+    val sample = docs
+      .withColumn("srn", row_number().over(shardW)).filter(col("srn") <= QSampK)
+      .withColumn("rn", row_number().over(sourceW)).filter(col("rn") <= QSampK)
+    val est = sample.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("n_chars"), col("doc_id")))).as("sv"),
+        count(lit(1)).as("m"))
+      .select(col("source"), col("m"),
+        expr("element_at(sv, CAST((m - 1) * 5 div 10 AS INT) + 1).n_chars").as("est_p50"),
+        expr("element_at(sv, CAST((m - 1) * 9 div 10 AS INT) + 1).n_chars").as("est_p90"))
+    val exact = t(s, dir, "documents").groupBy("source")
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D))").as("qs"))
+      .select(col("source"), element_at(col("qs"), 1).as("exact_p50"),
+        element_at(col("qs"), 2).as("exact_p90"))
+    est.join(exact, "source")
+      .select(col("source"), col("m"), col("est_p50"), col("est_p90"),
+        col("exact_p50"), col("exact_p90"))
+      .orderBy("source")
+  }
+
+  private val qQuantileSampleSql = {
+    val h = md5SidSql("'qsamp:' || CAST(doc_id AS VARCHAR)", 12)
+    s"""WITH hashed AS (
+       |  SELECT source, n_chars, doc_id, $h AS h FROM documents),
+       |samp AS (
+       |  SELECT source, n_chars, doc_id FROM (
+       |    SELECT source, n_chars, doc_id,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hashed) WHERE rn <= $QSampK),
+       |ranked AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY source) AS m
+       |  FROM samp),
+       |est AS (
+       |  SELECT source, CAST(max(m) AS BIGINT) AS m,
+       |    CAST(max(CASE WHEN r = ((m - 1) * 5) // 10 + 1 THEN n_chars END) AS BIGINT) AS est_p50,
+       |    CAST(max(CASE WHEN r = ((m - 1) * 9) // 10 + 1 THEN n_chars END) AS BIGINT) AS est_p90
+       |  FROM ranked GROUP BY 1),
+       |exact AS (
+       |  SELECT source, quantile_cont(n_chars, 0.5) AS exact_p50,
+       |    quantile_cont(n_chars, 0.9) AS exact_p90
+       |  FROM documents GROUP BY 1)
+       |SELECT est.source, m, est_p50, est_p90, exact_p50, exact_p90
+       |FROM est JOIN exact ON est.source = exact.source
+       |ORDER BY 1""".stripMargin
+  }
+
   // --- training-set curation: split + mixing --------------------------------
   //
   // Hash-based assignment is the scale-correct way to split or sample a
@@ -2592,6 +2660,7 @@ object TrainingDataQueries {
     "q_train_split" -> (qTrainSplit _),
     "q_corpus_mix" -> (qCorpusMix _),
     "q_kmv_sketch" -> (qKmvSketch _),
+    "q_quantile_sample" -> (qQuantileSample _),
     "q_image_blocks" -> (qImageBlocks _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_sessionize" -> (qSessionize _),
@@ -2636,6 +2705,7 @@ object TrainingDataQueries {
     "q_train_split" -> qTrainSplitSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "q_kmv_sketch" -> qKmvSketchSql,
+    "q_quantile_sample" -> qQuantileSampleSql,
     "q_image_blocks" -> qImageBlocksSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_sessionize" -> qSessionizeSql,

@@ -108,6 +108,16 @@ class PlanGuardSpec extends AnyFunSuite {
       s"left side of the broadcast as-of was shuffled:\n${p.take(3000)}")
   }
 
+  test("q_quantile_sample ranks the sample in two sharded window levels") {
+    val p = plan("q_quantile_sample")
+    // the bottom-k sample must never rank a whole source in one task:
+    // first a (source, h mod 256) shard window, then the ≤256·k survivors
+    assert(p.contains("windowspecdefinition(source"), p.take(3000))
+    assert(p.contains("pmod"), s"shard level missing:\n${p.take(3000)}")
+    // limits pushed below both windows (WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("q_gap_fill windows per user and never plans an unpartitioned fill") {
     val p = plan("q_gap_fill")
     // the LOCF window must be keyed on user_id — an unpartitioned window
