@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Clus
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.DataType
 
 /** As-of join as a first-class operator: logical node + strategy +
   * physical sorted-merge exec, injected via `extraStrategies` /
@@ -38,9 +39,15 @@ object AsofJoin {
 
   /** Left as-of join. `leftOn`/`rightOn` = positionally-paired equality
     * key columns, `leftTime`/`rightTime` = the ordering columns. Output =
-    * left columns ++ right columns (right side made nullable); column
-    * NAMES are taken as-is, so callers give the two sides disjoint names
-    * (the battery query and specs do).
+    * left columns ++ right columns (right side made nullable); the two
+    * sides MUST have disjoint column names (validated — the output keeps
+    * names as-is, so a shared name would make every downstream name-based
+    * reference ambiguous).
+    *
+    * Each paired key column and the two time columns must have the SAME
+    * data type (validated — the merge's comparators are built once from
+    * the left types and applied to both sides, so a silent LONG-vs-INT
+    * pair would compare garbage instead of failing).
     *
     * `broadcastRight = true` picks the broadcast physical form: the whole
     * right side ships to every executor and each left partition resolves
@@ -65,23 +72,41 @@ object AsofJoin {
     val rp = Project(
       right.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
       right.queryExecution.analyzed)
-    def res(out: Seq[Attribute], n: String, side: String): Attribute =
-      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+    // the session's name-resolution rule (case-insensitive by default),
+    // not bare string equality — `df("TS")` and this API must agree
+    val resolver = left.sparkSession.sessionState.conf.resolver
+    val dup = lp.output.map(_.name)
+      .filter(ln => rp.output.exists(ra => resolver(ra.name, ln)))
+    require(dup.isEmpty,
+      s"as-of join: both sides carry column(s) ${dup.mkString(", ")} — " +
+        "rename one side; output keeps names as-is, so shared names would " +
+        "be ambiguous downstream")
+    def res(out: Seq[Attribute], n: String, side: String): Attribute = {
+      val hits = out.filter(a => resolver(a.name, n))
+      if (hits.isEmpty) throw new IllegalArgumentException(
         s"as-of join: no column '$n' on the $side side " +
-          s"(have ${out.map(_.name).mkString(", ")})"))
-    val node = AsofJoinPlan(lp, rp,
-      leftOn.map(res(lp.output, _, "left")),
-      rightOn.map(res(rp.output, _, "right")),
-      res(lp.output, leftTime, "left"),
-      res(rp.output, rightTime, "right"),
-      broadcastRight)
-    PlanBridge.ofRows(spark, node)
+          s"(have ${out.map(_.name).mkString(", ")})")
+      if (hits.length > 1) throw new IllegalArgumentException(
+        s"as-of join: ambiguous column '$n' on the $side side")
+      hits.head
+    }
+    def samePair(what: String, l: Attribute, r: Attribute): Unit = {
+      require(l.dataType == r.dataType,
+        s"as-of join: $what pair '${l.name}'/'${r.name}' has mismatched " +
+          s"types ${l.dataType.simpleString} vs ${r.dataType.simpleString} — " +
+          "the merge compares both sides with one comparator; cast first")
+      require(RowOrdering.isOrderable(l.dataType),
+        s"as-of join: $what type ${l.dataType.simpleString} is not orderable")
+    }
+    val lk = leftOn.map(res(lp.output, _, "left"))
+    val rk = rightOn.map(res(rp.output, _, "right"))
+    lk.zip(rk).foreach { case (l, r) => samePair("key", l, r) }
+    val lt = res(lp.output, leftTime, "left")
+    val rt = res(rp.output, rightTime, "right")
+    samePair("time", lt, rt)
+    PlanBridge.ofRows(spark,
+      AsofJoinPlan(lp, rp, lk, rk, lt, rt, broadcastRight))
   }
-
-  /** Same-named-keys convenience overload. */
-  def asof(left: DataFrame, right: DataFrame, on: Seq[String],
-           leftTime: String, rightTime: String): DataFrame =
-    asof(left, right, on, on, leftTime, rightTime)
 
   /** Tolerance-bounded backward as-of (pandas `merge_asof(tolerance=…)`):
     * the match must satisfy `leftTime - tolerance <= rightTime <= leftTime`.
@@ -111,6 +136,14 @@ object AsofJoin {
 
   /** Idempotent strategy + pruning-rule injection into a live session (the
     * programmatic twin of `spark.sql.extensions=graft.functions.GraftExtensions`).
+    *
+    * Caveat on the programmatic path: `extraOptimizations` run in the
+    * optimizer's late "User Provided Optimizers" batch — AFTER DataSource
+    * V2 scan pushdown — so for DSv2 tables the inserted child Projects
+    * don't reach the v2 scan (v1/parquet file sources are still pruned at
+    * PHYSICAL planning via FileSourceStrategy's projection collapse). For
+    * DSv2 inputs configure `GraftExtensions`, whose `injectOptimizerRule`
+    * places the rule in the main operator-optimization batch.
     */
   def install(spark: SparkSession): Unit = {
     val em = spark.experimental
@@ -119,66 +152,109 @@ object AsofJoin {
     if (!em.extraOptimizations.contains(AsofJoinPruneRule))
       em.extraOptimizations = em.extraOptimizations :+ AsofJoinPruneRule
   }
+
+  /** Per-partition merge context shared by both physical forms: probe-row
+    * projections, comparators, null checks, and the NULL-extended output
+    * projection. Built INSIDE each task (projections are not thread-safe
+    * or serializable); the constructor args all are.
+    */
+  private[plans] final class MergeCtx(
+      lKeys: Seq[Expression], rKeys: Seq[Expression],
+      lTime: Expression, rTime: Expression,
+      lOut: Seq[Attribute], rOut: Seq[Attribute], outAttrs: Seq[Attribute]) {
+    private val keyTypes: Seq[DataType] = lKeys.map(_.dataType)
+    private val ktTypes: Seq[DataType] = keyTypes :+ lTime.dataType
+    // (keys…, time) probe rows for ordering-based comparison — the same
+    // discipline SortMergeJoinExec uses for its key comparisons
+    val lktProj: UnsafeProjection = UnsafeProjection.create(lKeys :+ lTime, lOut)
+    val rktProj: UnsafeProjection = UnsafeProjection.create(rKeys :+ rTime, rOut)
+    val keyOrd: Ordering[InternalRow] =
+      RowOrdering.createNaturalAscendingOrdering(keyTypes)
+    val ktOrd: Ordering[InternalRow] =
+      RowOrdering.createNaturalAscendingOrdering(ktTypes)
+    private val nKt = ktTypes.length
+    def anyNull(row: InternalRow): Boolean = {
+      var i = 0
+      while (i < nKt) { if (row.isNullAt(i)) return true; i += 1 }
+      false
+    }
+    val joined = new JoinedRow
+    val nullRight = new GenericInternalRow(rOut.length)
+    // bind against the NULLABLE view of the right side: unmatched left
+    // rows feed an all-null right row, and a projection bound to a
+    // non-nullable input schema would elide the null checks and read
+    // garbage zeros instead of emitting NULL
+    val outProj: UnsafeProjection = UnsafeProjection.create(outAttrs,
+      lOut ++ rOut.map(_.withNullability(true)))
+  }
 }
 
-/** Column pruning THROUGH the custom node. Catalyst's own `ColumnPruning`
-  * stops at operators it doesn't know, so `select(few)` over an as-of join
-  * of wide tables would otherwise scan every column of both inputs — the
-  * exact 100 TB failure mode the brief's "push down and prune" rule names.
-  * This rule narrows each child to (columns the parent uses) ∪ (join keys)
-  * ∪ (time column); the inserted child `Project`s then collapse into the
-  * scans via the normal pruning machinery (the optimizer runs user rules
-  * in a fixed-point batch followed by another operator-optimization pass).
+/** Optimizer citizenship for the custom node. Catalyst's own
+  * `ColumnPruning`/`PushDownPredicates` stop at operators they don't know,
+  * so `select(few)` over an as-of join of wide tables would otherwise scan
+  * every column of both inputs — the exact 100 TB failure mode the brief's
+  * "push down and prune" rule names. Column pruning narrows each child to
+  * (columns the parent uses) ∪ (join keys) ∪ (time column); filter
+  * pushdown moves left-side-only deterministic conjuncts below the node.
+  * The inserted child Projects/Filters reach v1 file scans at physical
+  * planning (FileSourceStrategy collapses project+filter chains onto the
+  * scan); on the `install()` path this rule runs in the late user batch,
+  * AFTER DSv2 pushdown — see `AsofJoin.install` for the DSv2 caveat.
   */
 object AsofJoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Narrow both children of `aj` to `need`; None if nothing narrows. */
+  private def pruned(aj: AsofJoinPlan, need: AttributeSet): Option[AsofJoinPlan] = {
+    val full = need ++
+      AttributeSet((aj.leftKeys ++ aj.rightKeys).flatMap(_.references)) ++
+      aj.leftTime.references ++ aj.rightTime.references
+    def prune(child: LogicalPlan): LogicalPlan = {
+      val keep = child.output.filter(full.contains)
+      if (keep.length == child.output.length) child else Project(keep, child)
+    }
+    val (nl, nr) = (prune(aj.left), prune(aj.right))
+    if ((nl eq aj.left) && (nr eq aj.right)) None
+    else Some(aj.copy(left = nl, right = nr))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(_, aj: AsofJoinPlan) =>
-      val need = p.references ++
-        AttributeSet((aj.leftKeys ++ aj.rightKeys).flatMap(_.references)) ++
-        aj.leftTime.references ++ aj.rightTime.references
-      def prune(child: LogicalPlan): LogicalPlan = {
-        val keep = child.output.filter(need.contains)
-        if (keep.length == child.output.length) child else Project(keep, child)
-      }
-      val (nl, nr) = (prune(aj.left), prune(aj.right))
-      if ((nl eq aj.left) && (nr eq aj.right)) p
-      else p.copy(child = aj.copy(left = nl, right = nr))
+      pruned(aj, p.references).map(n => p.copy(child = n)).getOrElse(p)
 
     // same prune with an unpushable (right-side) Filter pinned between the
     // Project and the node — the filter's references ride along
     case p @ Project(_, f @ Filter(cond, aj: AsofJoinPlan)) =>
-      val need = p.references ++ cond.references ++
-        AttributeSet((aj.leftKeys ++ aj.rightKeys).flatMap(_.references)) ++
-        aj.leftTime.references ++ aj.rightTime.references
-      def prune(child: LogicalPlan): LogicalPlan = {
-        val keep = child.output.filter(need.contains)
-        if (keep.length == child.output.length) child else Project(keep, child)
-      }
-      val (nl, nr) = (prune(aj.left), prune(aj.right))
-      if ((nl eq aj.left) && (nr eq aj.right)) p
-      else p.copy(child = f.copy(child = aj.copy(left = nl, right = nr)))
+      pruned(aj, p.references ++ cond.references)
+        .map(n => p.copy(child = f.copy(child = n))).getOrElse(p)
 
     // Filter pushdown: a predicate on left-side columns commutes with the
     // join (each left row's match is independent of the other left rows),
     // so it pushes below — onto the scan, shrinking the shuffle. Right-side
     // predicates DON'T push: the right side is NULL-extending (exactly the
     // left-outer-join rule), and pushing one would change WHICH right row
-    // is "the latest" instead of filtering joined output.
+    // is "the latest" instead of filtering joined output. Only the
+    // DETERMINISTIC PREFIX of the conjunction is eligible (the same
+    // `span` rule as Catalyst's PushPredicateThroughNonJoin): hoisting a
+    // conjunct past a nondeterministic one would change which rows the
+    // nondeterministic expression evaluates over.
     case f @ Filter(cond, aj: AsofJoinPlan) =>
-      val (pushable, kept) = splitConjunctivePredicates(cond).partition(e =>
-        e.deterministic && e.references.subsetOf(aj.left.outputSet))
+      val (candidates, rest) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (pushable, kept) =
+        candidates.partition(_.references.subsetOf(aj.left.outputSet))
       if (pushable.isEmpty) f
       else {
         val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
-        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        (kept ++ rest).reduceOption(And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
 }
 
-/** Logical as-of join node. Opaque to the optimizer (no pruning/pushdown
-  * THROUGH it — callers pre-project/pre-filter both sides, as the battery
-  * query does); the analyzer resolves and type-checks it like any binary
-  * node.
+/** Logical as-of join node. The analyzer resolves and type-checks it like
+  * any binary node; [[AsofJoinPruneRule]] gives the optimizer column
+  * pruning THROUGH it and left-side filter pushdown BELOW it, so callers
+  * don't need to pre-project or pre-filter.
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -192,8 +268,9 @@ case class AsofJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsofJoinPlan]] to [[AsofJoinExec]]; everything else falls
-  * through to the built-in strategies.
+/** Plans [[AsofJoinPlan]] to [[AsofJoinExec]] or
+  * [[AsofJoinBroadcastExec]]; everything else falls through to the
+  * built-in strategies.
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -242,32 +319,11 @@ case class AsofJoinExec(
     val rOut = right.output
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
-    val keyTypes = lKeys.map(_.dataType)
-    val ktTypes = keyTypes :+ lTime.dataType
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      // (keys…, time) probe rows for ordering-based comparison — the same
-      // discipline SortMergeJoinExec uses for its key comparisons
-      val lktProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
-      val rktProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val ktOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes)
-      val nKt = ktTypes.length
-      def anyNull(row: InternalRow): Boolean = {
-        var i = 0
-        while (i < nKt) { if (row.isNullAt(i)) return true; i += 1 }
-        false
-      }
-
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rOut.length)
-      // bind against the NULLABLE view of the right side: unmatched left
-      // rows feed an all-null right row, and a projection bound to a
-      // non-nullable input schema would elide the null checks and read
-      // garbage zeros instead of emitting NULL
-      val outProj = UnsafeProjection.create(outAttrs,
-        lOut ++ rOut.map(_.withNullability(true)))
+      val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut, outAttrs)
+      import ctx._
 
       new Iterator[InternalRow] {
         private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
@@ -336,22 +392,12 @@ case class AsofJoinBroadcastExec(
     val rOut = right.output
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
-    val keyTypes = lKeys.map(_.dataType)
-    val ktTypes = keyTypes :+ lTime.dataType
     val outAttrs = output
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
-      val lktProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
-      val rktProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val ktOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes)
-      val nKt = ktTypes.length
-      def anyNull(row: InternalRow): Boolean = {
-        var i = 0
-        while (i < nKt) { if (row.isNullAt(i)) return true; i += 1 }
-        false
-      }
+      val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut, outAttrs)
+      import ctx._
       // sort the broadcast side once per task: probe keys copied (the
       // projection reuses its buffer), row refs shared (already distinct
       // materialized rows from the broadcast collect)
@@ -362,11 +408,6 @@ case class AsofJoinBroadcastExec(
       java.util.Arrays.sort(entries,
         (a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)) =>
           ktOrd.compare(a._1, b._1))
-
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rOut.length)
-      val outProj = UnsafeProjection.create(outAttrs,
-        lOut ++ rOut.map(_.withNullability(true)))
 
       lIter.map { lRow =>
         val lKt = lktProj(lRow)

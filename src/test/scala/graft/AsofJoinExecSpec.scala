@@ -181,6 +181,33 @@ class AsofJoinExecSpec extends AnyFunSuite {
     assert(out == Set((1L, Some(10L)), (2L, None), (3L, None)))
   }
 
+  test("validation: mismatched key/time types and shared names are rejected") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1L)).toDF("uid", "lts", "pid")
+    val rIntKey = Seq((1, 50L, 10L)).toDF("v_uid", "v_ts", "vid") // INT key
+    val e1 = intercept[IllegalArgumentException](
+      AsofJoin.asof(l, rIntKey, Seq("uid"), Seq("v_uid"), "lts", "v_ts"))
+    assert(e1.getMessage.contains("mismatched"), e1.getMessage)
+    val rIntTime = Seq((1L, 50, 10L)).toDF("v_uid", "v_ts", "vid") // INT time
+    val e2 = intercept[IllegalArgumentException](
+      AsofJoin.asof(l, rIntTime, Seq("uid"), Seq("v_uid"), "lts", "v_ts"))
+    assert(e2.getMessage.contains("mismatched"), e2.getMessage)
+    val rShared = Seq((1L, 50L, 10L)).toDF("v_uid", "v_ts", "pid") // name clash
+    val e3 = intercept[IllegalArgumentException](
+      AsofJoin.asof(l, rShared, Seq("uid"), Seq("v_uid"), "lts", "v_ts"))
+    assert(e3.getMessage.contains("pid"), e3.getMessage)
+  }
+
+  test("validation: column resolution honors session case-insensitivity") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1L)).toDF("UID", "LTS", "pid")
+    val r = Seq((1L, 50L, 10L)).toDF("v_uid", "v_ts", "vid")
+    // default spark.sql.caseSensitive=false: 'uid'/'lts' must resolve
+    val out = AsofJoin.asof(l, r, Seq("uid"), Seq("v_uid"), "lts", "v_ts")
+      .select("pid", "vid").collect()
+    assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 10L)))
+  }
+
   test("plan: custom exec planned, co-partitioned, no nested loop") {
     val (p, v) = fixture
     val out = AsofJoin.asof(p, v, Seq("uid"), Seq("v_uid"), "lts", "v_ts")
