@@ -56,11 +56,17 @@ object AsofJoin {
     * the right side is dimension-sized; the default sorted merge is the
     * both-sides-huge plan. Explicit rather than stats-driven so plan
     * shapes stay deterministic across data scales.
+    *
+    * `forward = true` flips the direction (pandas
+    * `merge_asof(direction="forward")`): attach the EARLIEST right row
+    * with `right.time >= left.time` instead. Same plans, same cost — the
+    * merge just sorts and compares the time dimension descending.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
            leftTime: String, rightTime: String,
-           broadcastRight: Boolean = false): DataFrame = {
+           broadcastRight: Boolean = false,
+           forward: Boolean = false): DataFrame = {
     require(leftOn.nonEmpty, "as-of join needs at least one equality key")
     require(leftOn.length == rightOn.length,
       "as-of join: leftOn and rightOn must pair up")
@@ -105,7 +111,7 @@ object AsofJoin {
     val rt = res(rp.output, rightTime, "right")
     samePair("time", lt, rt)
     PlanBridge.ofRows(spark,
-      AsofJoinPlan(lp, rp, lk, rk, lt, rt, broadcastRight))
+      AsofJoinPlan(lp, rp, lk, rk, lt, rt, broadcastRight, forward))
   }
 
   /** Tolerance-bounded backward as-of (pandas `merge_asof(tolerance=…)`):
@@ -121,11 +127,14 @@ object AsofJoin {
                  leftOn: Seq[String], rightOn: Seq[String],
                  leftTime: String, rightTime: String,
                  tolerance: org.apache.spark.sql.Column,
-                 broadcastRight: Boolean = false): DataFrame = {
+                 broadcastRight: Boolean = false,
+                 forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
-    val j = asof(left, right, leftOn, rightOn, leftTime, rightTime, broadcastRight)
-    val stale = col(rightTime).isNotNull &&
-      col(rightTime) < col(leftTime) - tolerance
+    val j = asof(left, right, leftOn, rightOn, leftTime, rightTime,
+      broadcastRight, forward)
+    val stale = col(rightTime).isNotNull && (
+      if (forward) col(rightTime) > col(leftTime) + tolerance
+      else col(rightTime) < col(leftTime) - tolerance)
     val rightNames = right.columns.toSet
     j.select(j.columns.map { c =>
       if (rightNames.contains(c))
@@ -161,7 +170,8 @@ object AsofJoin {
   private[plans] final class MergeCtx(
       lKeys: Seq[Expression], rKeys: Seq[Expression],
       lTime: Expression, rTime: Expression,
-      lOut: Seq[Attribute], rOut: Seq[Attribute], outAttrs: Seq[Attribute]) {
+      lOut: Seq[Attribute], rOut: Seq[Attribute], outAttrs: Seq[Attribute],
+      forward: Boolean) {
     private val keyTypes: Seq[DataType] = lKeys.map(_.dataType)
     private val ktTypes: Seq[DataType] = keyTypes :+ lTime.dataType
     // (keys…, time) probe rows for ordering-based comparison — the same
@@ -170,8 +180,15 @@ object AsofJoin {
     val rktProj: UnsafeProjection = UnsafeProjection.create(rKeys :+ rTime, rOut)
     val keyOrd: Ordering[InternalRow] =
       RowOrdering.createNaturalAscendingOrdering(keyTypes)
-    val ktOrd: Ordering[InternalRow] =
-      RowOrdering.createNaturalAscendingOrdering(ktTypes)
+    // the merge direction lives in the time dimension's sort: ascending =
+    // backward as-of (latest <=), descending = forward (earliest >=); the
+    // comparator MUST mirror requiredChildOrdering exactly or the pointer
+    // monotonicity argument breaks
+    val ktOrd: Ordering[InternalRow] = new InterpretedOrdering(
+      ktTypes.zipWithIndex.map { case (dt, i) =>
+        SortOrder(BoundReference(i, dt, nullable = true),
+          if (forward && i == ktTypes.length - 1) Descending else Ascending)
+      })
     private val nKt = ktTypes.length
     def anyNull(row: InternalRow): Boolean = {
       var i = 0
@@ -260,7 +277,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    broadcastRight: Boolean = false) extends BinaryNode {
+    broadcastRight: Boolean = false,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -274,9 +292,10 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, bcast) =>
-      if (bcast) AsofJoinBroadcastExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
-      else AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, bcast, fwd) =>
+      if (bcast)
+        AsofJoinBroadcastExec(lk, rk, lt, rt, planLater(l), planLater(r), fwd) :: Nil
+      else AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -294,7 +313,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -302,9 +322,12 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // time sorts ascending for backward as-of, descending for forward — the
+  // same merge then yields "latest <=" or "earliest >=" respectively
+  private def timeDir = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir))
 
   // the merge consumes the left side in order and emits in the same order
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -321,8 +344,10 @@ case class AsofJoinExec(
     val lTime = leftTime; val rTime = rightTime
     val outAttrs = output
 
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut, outAttrs)
+      val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut,
+        outAttrs, fwd)
       import ctx._
 
       new Iterator[InternalRow] {
@@ -371,7 +396,8 @@ case class AsofJoinExec(
 case class AsofJoinBroadcastExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -395,8 +421,10 @@ case class AsofJoinBroadcastExec(
     val outAttrs = output
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
 
+    val fwd = forward
     left.execute().mapPartitions { lIter =>
-      val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut, outAttrs)
+      val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut,
+        outAttrs, fwd)
       import ctx._
       // sort the broadcast side once per task: probe keys copied (the
       // projection reuses its buffer), row refs shared (already distinct

@@ -373,6 +373,35 @@ object RelationalQueries {
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** FORWARD as-of through the custom operator (`merge_asof(direction=
+    * "forward")`): each purchase attaches the EARLIEST view at-or-after
+    * it — the "next touchpoint" attribution shape. Same sorted-merge plan
+    * with the time dimension descending; oracle = DuckDB's native ASOF
+    * with the reversed inequality.
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max("event_id").as("view_id"))
+    graft.plans.AsofJoin.asof(purchases, views,
+        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+        leftTime = "ts", rightTime = "v_ts", forward = true)
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+      .orderBy("purchase_id")
+  }
+
+  private val qAsofForwardSql =
+    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
+      |    CAST(max(event_id) AS BIGINT) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id AS purchase_id, p.user_id, v.view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts >= p.ts
+      |ORDER BY 1""".stripMargin
+
   /** Tolerance-bounded as-of: attribute each purchase to the latest prior
     * view only if it happened within the 6 h before the purchase — the
     * bounded-lookback attribution shape (`merge_asof(tolerance=…)`).
@@ -684,6 +713,7 @@ object RelationalQueries {
     "q_asof_exec" -> (qAsofExec _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_json_extract" -> (qJsonExtract _),
     "q_gap_fill" -> (qGapFill _))
 
@@ -711,6 +741,7 @@ object RelationalQueries {
     "q_asof_exec" -> qAsofExecSql,
     "q_asof_broadcast" -> qAsofExecSql, // same semantics, different plan
     "q_asof_tolerance" -> qAsofToleranceSql,
+    "q_asof_forward" -> qAsofForwardSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_gap_fill" -> qGapFillSql)
 }

@@ -58,11 +58,12 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
         java.lang.Long.valueOf(idBase + i))
     }
 
-  /** Brute-force backward as-of on (k1, k2): latest rt <= t, right rows
-    * pre-deduped to unique (key, time) by max rid so expectations are
-    * unambiguous.
+  /** Brute-force as-of on (k1, k2): latest rt <= t (backward) or earliest
+    * rt >= t (forward), right rows pre-deduped to unique (key, time) by
+    * max rid so expectations are unambiguous.
     */
-  private def brute(left: Seq[Row], right: Seq[Row]): Map[Long, Option[Long]] = {
+  private def brute(left: Seq[Row], right: Seq[Row],
+      forward: Boolean): Map[Long, Option[Long]] = {
     val uniq = right
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
       .groupBy(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -70,9 +71,14 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
     left.map { l =>
       val m =
         if (l.isNullAt(0) || l.isNullAt(1) || l.isNullAt(2)) None
-        else uniq.filter(r => r.getLong(0) == l.getLong(0) &&
-            r.getString(1) == l.getString(1) && r.getLong(2) <= l.getLong(2))
-          .sortBy(r => (r.getLong(2), r.getLong(3))).lastOption
+        else {
+          val cand = uniq.filter(r => r.getLong(0) == l.getLong(0) &&
+            r.getString(1) == l.getString(1) &&
+            (if (forward) r.getLong(2) >= l.getLong(2)
+             else r.getLong(2) <= l.getLong(2)))
+          if (forward) cand.sortBy(r => (r.getLong(2), -r.getLong(3))).headOption
+          else cand.sortBy(r => (r.getLong(2), r.getLong(3))).lastOption
+        }
       l.getLong(3) -> m.map(_.getLong(3))
     }.toMap
   }
@@ -93,18 +99,19 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        val expected = brute(lRows, rRows)
-        for (bcast <- Seq(false, true)) { // merge exec AND broadcast exec
+        // every trial runs all four physical/direction combinations
+        for (fwd <- Seq(false, true); bcast <- Seq(false, true)) {
+          val expected = brute(lRows, rRows, fwd)
           val out = AsofJoin.asof(df(lSchema, lRows), r,
               Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
-              broadcastRight = bcast)
+              broadcastRight = bcast, forward = fwd)
             .select("lid", "rid").collect()
             .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
             .toMap
           assert(out.size == nL,
-            s"trial $trial bcast=$bcast: row count ${out.size} != $nL")
+            s"trial $trial bcast=$bcast fwd=$fwd: row count ${out.size} != $nL")
           assert(out == expected,
-            s"trial $trial bcast=$bcast (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
+            s"trial $trial bcast=$bcast fwd=$fwd (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
               s"${(out.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- out.toSet).take(5)}")
         }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
