@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Clus
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.PlanBridge
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types._
 
 /** As-of join as a first-class operator: logical node + strategy +
   * physical sorted-merge exec, injected via `extraStrategies` /
@@ -57,19 +57,27 @@ object AsofJoin {
     * both-sides-huge plan. Explicit rather than stats-driven so plan
     * shapes stay deterministic across data scales.
     *
-    * `forward = true` flips the direction (pandas
-    * `merge_asof(direction="forward")`): attach the EARLIEST right row
-    * with `right.time >= left.time` instead. Same plans, same cost — the
-    * merge just sorts and compares the time dimension descending.
+    * `direction` is the full pandas `merge_asof` surface:
+    *  - `"backward"` (default): latest right row with `rTime <= lTime`;
+    *  - `"forward"`: earliest right row with `rTime >= lTime` — same
+    *    plans, same cost, the merge just sorts/compares time descending;
+    *  - `"nearest"`: whichever of the two is closer in time, ties to the
+    *    backward side (the pandas rule). The merge already holds both
+    *    candidates — the last row passed and the row under the pointer —
+    *    so nearest costs the same one pass; it requires a numeric,
+    *    date or timestamp time column (distance needs magnitude, not
+    *    just order).
     */
   def asof(left: DataFrame, right: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
            leftTime: String, rightTime: String,
            broadcastRight: Boolean = false,
-           forward: Boolean = false): DataFrame = {
+           direction: String = "backward"): DataFrame = {
     require(leftOn.nonEmpty, "as-of join needs at least one equality key")
     require(leftOn.length == rightOn.length,
       "as-of join: leftOn and rightOn must pair up")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"as-of join: unknown direction '$direction'")
     val spark = left.sparkSession
     install(spark)
     val lp = left.queryExecution.analyzed
@@ -110,8 +118,11 @@ object AsofJoin {
     val lt = res(lp.output, leftTime, "left")
     val rt = res(rp.output, rightTime, "right")
     samePair("time", lt, rt)
+    if (direction == "nearest") require(MergeCtx.hasMagnitude(lt.dataType),
+      s"as-of join: direction=nearest needs a numeric/date/timestamp time " +
+        s"column, not ${lt.dataType.simpleString}")
     PlanBridge.ofRows(spark,
-      AsofJoinPlan(lp, rp, lk, rk, lt, rt, broadcastRight, forward))
+      AsofJoinPlan(lp, rp, lk, rk, lt, rt, broadcastRight, direction))
   }
 
   /** Tolerance-bounded backward as-of (pandas `merge_asof(tolerance=…)`):
@@ -128,13 +139,17 @@ object AsofJoin {
                  leftTime: String, rightTime: String,
                  tolerance: org.apache.spark.sql.Column,
                  broadcastRight: Boolean = false,
-                 forward: Boolean = false): DataFrame = {
+                 direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val j = asof(left, right, leftOn, rightOn, leftTime, rightTime,
-      broadcastRight, forward)
-    val stale = col(rightTime).isNotNull && (
-      if (forward) col(rightTime) > col(leftTime) + tolerance
-      else col(rightTime) < col(leftTime) - tolerance)
+      broadcastRight, direction)
+    val tooOld = col(rightTime) < col(leftTime) - tolerance
+    val tooNew = col(rightTime) > col(leftTime) + tolerance
+    val stale = col(rightTime).isNotNull && (direction match {
+      case "forward" => tooNew
+      case "nearest" => tooOld || tooNew
+      case _ => tooOld
+    })
     val rightNames = right.columns.toSet
     j.select(j.columns.map { c =>
       if (rightNames.contains(c))
@@ -167,11 +182,21 @@ object AsofJoin {
     * projection. Built INSIDE each task (projections are not thread-safe
     * or serializable); the constructor args all are.
     */
+  private[plans] object MergeCtx {
+    /** Time types whose values carry a magnitude (needed by nearest). */
+    def hasMagnitude(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
   private[plans] final class MergeCtx(
       lKeys: Seq[Expression], rKeys: Seq[Expression],
       lTime: Expression, rTime: Expression,
       lOut: Seq[Attribute], rOut: Seq[Attribute], outAttrs: Seq[Attribute],
-      forward: Boolean) {
+      direction: String) {
+    private val forward = direction == "forward"
     private val keyTypes: Seq[DataType] = lKeys.map(_.dataType)
     private val ktTypes: Seq[DataType] = keyTypes :+ lTime.dataType
     // (keys…, time) probe rows for ordering-based comparison — the same
@@ -181,14 +206,46 @@ object AsofJoin {
     val keyOrd: Ordering[InternalRow] =
       RowOrdering.createNaturalAscendingOrdering(keyTypes)
     // the merge direction lives in the time dimension's sort: ascending =
-    // backward as-of (latest <=), descending = forward (earliest >=); the
-    // comparator MUST mirror requiredChildOrdering exactly or the pointer
-    // monotonicity argument breaks
+    // backward/nearest (latest <= is the anchor), descending = forward
+    // (earliest >=); the comparator MUST mirror requiredChildOrdering
+    // exactly or the pointer monotonicity argument breaks
     val ktOrd: Ordering[InternalRow] = new InterpretedOrdering(
       ktTypes.zipWithIndex.map { case (dt, i) =>
         SortOrder(BoundReference(i, dt, nullable = true),
           if (forward && i == ktTypes.length - 1) Descending else Ascending)
       })
+
+    /** Time value as a double for nearest's distance compare (exact for
+      * epoch-micro timestamps — well under 2^53). Probe layout: keys at
+      * 0..n-1, time at n.
+      */
+    private val tIdx = ktTypes.length - 1
+    def timeVal(row: InternalRow): Double = ktTypes(tIdx) match {
+      case LongType | TimestampType | TimestampNTZType => row.getLong(tIdx).toDouble
+      case IntegerType | DateType => row.getInt(tIdx).toDouble
+      case DoubleType => row.getDouble(tIdx)
+      case FloatType => row.getFloat(tIdx).toDouble
+      case ShortType => row.getShort(tIdx).toDouble
+      case ByteType => row.getByte(tIdx).toDouble
+      case other => throw new IllegalStateException(
+        s"nearest over non-magnitude time type $other")
+    }
+
+    /** Nearest pick between the backward candidate (prev) and the forward
+      * candidate (next), both already key-matched: closer wins, ties go
+      * backward (the pandas rule). Either may be null.
+      */
+    def pickNearest(lKt: InternalRow, prevKt: InternalRow,
+        nextKt: InternalRow): Int = { // -1 = prev, 1 = next, 0 = none
+      if (prevKt == null && nextKt == null) 0
+      else if (nextKt == null) -1
+      else if (prevKt == null) 1
+      else {
+        val lt = timeVal(lKt)
+        if (math.abs(lt - timeVal(prevKt)) <= math.abs(timeVal(nextKt) - lt)) -1
+        else 1
+      }
+    }
     private val nKt = ktTypes.length
     def anyNull(row: InternalRow): Boolean = {
       var i = 0
@@ -278,7 +335,7 @@ case class AsofJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     broadcastRight: Boolean = false,
-    forward: Boolean = false) extends BinaryNode {
+    direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -292,10 +349,10 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, bcast, fwd) =>
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, bcast, dir) =>
       if (bcast)
-        AsofJoinBroadcastExec(lk, rk, lt, rt, planLater(l), planLater(r), fwd) :: Nil
-      else AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), fwd) :: Nil
+        AsofJoinBroadcastExec(lk, rk, lt, rt, planLater(l), planLater(r), dir) :: Nil
+      else AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), dir) :: Nil
     case _ => Nil
   }
 }
@@ -314,7 +371,7 @@ case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
-    forward: Boolean = false) extends BinaryExecNode {
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -322,9 +379,9 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // time sorts ascending for backward as-of, descending for forward — the
-  // same merge then yields "latest <=" or "earliest >=" respectively
-  private def timeDir = if (forward) Descending else Ascending
+  // time sorts ascending for backward/nearest as-of, descending for
+  // forward — the same merge then anchors on "latest <=" or "earliest >="
+  private def timeDir = if (direction == "forward") Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir))
@@ -344,10 +401,11 @@ case class AsofJoinExec(
     val lTime = leftTime; val rTime = rightTime
     val outAttrs = output
 
-    val fwd = forward
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut,
-        outAttrs, fwd)
+        outAttrs, dir)
+      val nearest = dir == "nearest"
       import ctx._
 
       new Iterator[InternalRow] {
@@ -377,7 +435,21 @@ case class AsofJoinExec(
               else { rRow = null; rKt = null }
             }
             val hit = matchRow != null && keyOrd.compare(matchKt, lKt) == 0
-            outProj(joined(lRow, if (hit) matchRow else nullRight))
+            if (!nearest) outProj(joined(lRow, if (hit) matchRow else nullRight))
+            else {
+              // the pointer's row IS the forward candidate: first row past
+              // lKt in (keys, time asc) order = earliest time > lTime of
+              // this key (an exact-equal time sits on the backward side,
+              // where distance 0 wins anyway)
+              val nextOk = rRow != null && !anyNull(rKt) &&
+                keyOrd.compare(rKt, lKt) == 0
+              pickNearest(lKt, if (hit) matchKt else null,
+                  if (nextOk) rKt else null) match {
+                case -1 => outProj(joined(lRow, matchRow))
+                case 1 => outProj(joined(lRow, rRow))
+                case _ => outProj(joined(lRow, nullRight))
+              }
+            }
           }
         }
       }
@@ -397,7 +469,7 @@ case class AsofJoinBroadcastExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
-    forward: Boolean = false) extends BinaryExecNode {
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -421,10 +493,11 @@ case class AsofJoinBroadcastExec(
     val outAttrs = output
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
 
-    val fwd = forward
+    val dir = direction
     left.execute().mapPartitions { lIter =>
       val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut,
-        outAttrs, fwd)
+        outAttrs, dir)
+      val nearest = dir == "nearest"
       import ctx._
       // sort the broadcast side once per task: probe keys copied (the
       // projection reuses its buffer), row refs shared (already distinct
@@ -450,7 +523,17 @@ case class AsofJoinBroadcastExec(
             else hi = mid
           }
           val hit = lo > 0 && keyOrd.compare(entries(lo - 1)._1, lKt) == 0
-          outProj(joined(lRow, if (hit) entries(lo - 1)._2 else nullRight))
+          if (!nearest) outProj(joined(lRow, if (hit) entries(lo - 1)._2 else nullRight))
+          else {
+            val nextOk = lo < entries.length &&
+              keyOrd.compare(entries(lo)._1, lKt) == 0
+            pickNearest(lKt, if (hit) entries(lo - 1)._1 else null,
+                if (nextOk) entries(lo)._1 else null) match {
+              case -1 => outProj(joined(lRow, entries(lo - 1)._2))
+              case 1 => outProj(joined(lRow, entries(lo)._2))
+              case _ => outProj(joined(lRow, nullRight))
+            }
+          }
         }
       }
     }

@@ -388,7 +388,7 @@ object RelationalQueries {
       .agg(max("event_id").as("view_id"))
     graft.plans.AsofJoin.asof(purchases, views,
         leftOn = Seq("user_id"), rightOn = Seq("v_user"),
-        leftTime = "ts", rightTime = "v_ts", forward = true)
+        leftTime = "ts", rightTime = "v_ts", direction = "forward")
       .select(col("purchase_id"), col("user_id"), col("view_id"))
       .orderBy("purchase_id")
   }
@@ -400,6 +400,46 @@ object RelationalQueries {
       |SELECT p.event_id AS purchase_id, p.user_id, v.view_id
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts >= p.ts
+      |ORDER BY 1""".stripMargin
+
+  /** NEAREST as-of (`merge_asof(direction="nearest")`): each purchase
+    * attaches whichever same-user view is closest in time, before or
+    * after, ties to the prior side — still ONE merge pass (the pointer's
+    * row is the forward candidate for free). Oracle: DuckDB composes its
+    * two native ASOF directions and picks the closer per row.
+    */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max("event_id").as("view_id"))
+    graft.plans.AsofJoin.asof(purchases, views,
+        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+        leftTime = "ts", rightTime = "v_ts", direction = "nearest")
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+      .orderBy("purchase_id")
+  }
+
+  private val qAsofNearestSql =
+    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
+      |    CAST(max(event_id) AS BIGINT) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |b AS (SELECT p.event_id AS pid, p.user_id, p.ts,
+      |    v.view_id AS bid, v.v_ts AS bts
+      |  FROM p ASOF LEFT JOIN v
+      |    ON p.user_id = v.v_user AND v.v_ts <= p.ts),
+      |f AS (SELECT p.event_id AS pid, v.view_id AS fid, v.v_ts AS fts
+      |  FROM p ASOF LEFT JOIN v
+      |    ON p.user_id = v.v_user AND v.v_ts >= p.ts)
+      |SELECT b.pid AS purchase_id, b.user_id,
+      |  CASE WHEN fid IS NULL THEN bid
+      |       WHEN bid IS NULL THEN fid
+      |       WHEN (b.ts - bts) <= (fts - b.ts) THEN bid ELSE fid END AS view_id
+      |FROM b JOIN f ON b.pid = f.pid
       |ORDER BY 1""".stripMargin
 
   /** Tolerance-bounded as-of: attribute each purchase to the latest prior
@@ -714,6 +754,7 @@ object RelationalQueries {
     "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_json_extract" -> (qJsonExtract _),
     "q_gap_fill" -> (qGapFill _))
 
@@ -742,6 +783,7 @@ object RelationalQueries {
     "q_asof_broadcast" -> qAsofExecSql, // same semantics, different plan
     "q_asof_tolerance" -> qAsofToleranceSql,
     "q_asof_forward" -> qAsofForwardSql,
+    "q_asof_nearest" -> qAsofNearestSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_gap_fill" -> qGapFillSql)
 }

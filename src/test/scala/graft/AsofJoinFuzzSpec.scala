@@ -58,12 +58,13 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
         java.lang.Long.valueOf(idBase + i))
     }
 
-  /** Brute-force as-of on (k1, k2): latest rt <= t (backward) or earliest
-    * rt >= t (forward), right rows pre-deduped to unique (key, time) by
-    * max rid so expectations are unambiguous.
+  /** Brute-force as-of on (k1, k2): latest rt <= t (backward), earliest
+    * rt >= t (forward), or the closer of the two with ties backward
+    * (nearest); right rows pre-deduped to unique (key, time) by max rid
+    * so expectations are unambiguous.
     */
   private def brute(left: Seq[Row], right: Seq[Row],
-      forward: Boolean): Map[Long, Option[Long]] = {
+      direction: String): Map[Long, Option[Long]] = {
     val uniq = right
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
       .groupBy(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -72,12 +73,23 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
       val m =
         if (l.isNullAt(0) || l.isNullAt(1) || l.isNullAt(2)) None
         else {
-          val cand = uniq.filter(r => r.getLong(0) == l.getLong(0) &&
-            r.getString(1) == l.getString(1) &&
-            (if (forward) r.getLong(2) >= l.getLong(2)
-             else r.getLong(2) <= l.getLong(2)))
-          if (forward) cand.sortBy(r => (r.getLong(2), -r.getLong(3))).headOption
-          else cand.sortBy(r => (r.getLong(2), r.getLong(3))).lastOption
+          val t = l.getLong(2)
+          val keyed = uniq.filter(r => r.getLong(0) == l.getLong(0) &&
+            r.getString(1) == l.getString(1))
+          def prev = keyed.filter(_.getLong(2) <= t)
+            .sortBy(r => (r.getLong(2), r.getLong(3))).lastOption
+          def next = keyed.filter(_.getLong(2) >= t)
+            .sortBy(r => (r.getLong(2), -r.getLong(3))).headOption
+          direction match {
+            case "forward" => next
+            case "backward" => prev
+            case "nearest" => (prev, next) match {
+              case (None, n) => n
+              case (p, None) => p
+              case (Some(p), Some(n)) =>
+                if (t - p.getLong(2) <= n.getLong(2) - t) Some(p) else Some(n)
+            }
+          }
         }
       l.getLong(3) -> m.map(_.getLong(3))
     }.toMap
@@ -99,19 +111,20 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        // every trial runs all four physical/direction combinations
-        for (fwd <- Seq(false, true); bcast <- Seq(false, true)) {
-          val expected = brute(lRows, rRows, fwd)
+        // every trial runs all six direction × physical-form combinations
+        for (d <- Seq("backward", "forward", "nearest");
+             bcast <- Seq(false, true)) {
+          val expected = brute(lRows, rRows, d)
           val out = AsofJoin.asof(df(lSchema, lRows), r,
               Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
-              broadcastRight = bcast, forward = fwd)
+              broadcastRight = bcast, direction = d)
             .select("lid", "rid").collect()
             .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
             .toMap
           assert(out.size == nL,
-            s"trial $trial bcast=$bcast fwd=$fwd: row count ${out.size} != $nL")
+            s"trial $trial bcast=$bcast dir=$d: row count ${out.size} != $nL")
           assert(out == expected,
-            s"trial $trial bcast=$bcast fwd=$fwd (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
+            s"trial $trial bcast=$bcast dir=$d (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
               s"${(out.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- out.toSet).take(5)}")
         }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
