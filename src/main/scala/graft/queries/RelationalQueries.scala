@@ -475,6 +475,91 @@ object RelationalQueries {
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** Ordered-step funnel conversion (view → click → purchase): a user
+    * converts step k only with an event of that type AT-OR-AFTER their
+    * step-(k−1) time. Three narrow per-user aggregate passes (each a
+    * partial+final hash agg on user_id, broadcast-joined back) — never a
+    * per-user sort or a collected event list, so per-step cost is linear
+    * at any user-activity skew.
+    */
+  private def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_view")).crossJoin(
+        s2.agg(count(lit(1)).as("n_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase"),
+        // whole seconds on both engines: NTZ→timestamp reads in the UTC
+        // session zone (matching DuckDB's naive epoch()), then the long
+        // cast truncates where epoch() is fractional — floor both sides
+        coalesce(Rounding.r(
+          avg(col("t3").cast("timestamp").cast("long").cast("double")), 4),
+          lit(0.0)).as("avg_convert_epoch")))
+  }
+
+  private val qFunnelStepsSql =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1) AS n_view,
+      |  (SELECT count(*) FROM s2) AS n_click,
+      |  (SELECT count(*) FROM s3) AS n_purchase,
+      |  coalesce((SELECT floor(avg(floor(epoch(t3))) * 1e4 + 0.5) / 1e4 FROM s3), 0.0)
+      |    AS avg_convert_epoch""".stripMargin
+
+  /** Weekly cohort retention: users grouped by the EPOCH-WEEK of their
+    * FIRST purchase (days-since-1970 div 7 — no ISO-week/calendar-year
+    * boundary artifacts); for each offset k = 0..3 count how many were
+    * active (any event) in cohort-week + k. One first-touch aggregate,
+    * one join back to activity, one (cohort, k) count-distinct — the
+    * classic retention matrix as three linear passes.
+    */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def epochWeek(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(datediff(c.cast("date"), lit("1970-01-01")) / 7).cast("long")
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(epochWeek(col("ts"))).as("cohort"))
+    val activity = ev.select(col("user_id").as("a_user"),
+      epochWeek(col("ts")).as("a_week"))
+    firstP.join(activity, col("user_id") === col("a_user"))
+      .withColumn("k", col("a_week") - col("cohort"))
+      .filter(col("k").between(0, 3))
+      .groupBy("cohort", "k")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "k")
+  }
+
+  private val qCohortRetentionSql =
+    """WITH fp AS (
+      |  SELECT user_id,
+      |    min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)
+      |      AS cohort
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |act AS (
+      |  SELECT user_id AS a_user,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS a_week
+      |  FROM events)
+      |SELECT cohort, a_week - cohort AS k,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM fp JOIN act ON user_id = a_user
+      |WHERE a_week - cohort BETWEEN 0 AND 3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Time-series gap fill + LOCF (last observation carried forward): each
     * user's purchase history densified to a DAILY grid spanning their
     * first-to-last purchase, gaps forward-filled with the latest prior
@@ -756,7 +841,9 @@ object RelationalQueries {
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_nearest" -> (qAsofNearest _),
     "q_json_extract" -> (qJsonExtract _),
-    "q_gap_fill" -> (qGapFill _))
+    "q_gap_fill" -> (qGapFill _),
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_cohort_retention" -> (qCohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
@@ -785,5 +872,7 @@ object RelationalQueries {
     "q_asof_forward" -> qAsofForwardSql,
     "q_asof_nearest" -> qAsofNearestSql,
     "q_json_extract" -> qJsonExtractSql,
-    "q_gap_fill" -> qGapFillSql)
+    "q_gap_fill" -> qGapFillSql,
+    "q_funnel_steps" -> qFunnelStepsSql,
+    "q_cohort_retention" -> qCohortRetentionSql)
 }

@@ -118,6 +118,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("q_funnel_steps aggregates each step map-side; no per-user sort") {
+    val p = plan("q_funnel_steps")
+    assert(p.contains("partial_min"), p.take(3000))
+    // funnel must never sort events per user or collect event lists
+    assert(!p.contains("collect_list"), p.take(3000))
+    assert(!p.contains("windowspecdefinition"), p.take(3000))
+  }
+
+  test("q_cohort_retention count-distincts with partial aggregation") {
+    val p = plan("q_cohort_retention")
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q_gap_fill windows per user and never plans an unpartitioned fill") {
     val p = plan("q_gap_fill")
     // the LOCF window must be keyed on user_id — an unpartitioned window
