@@ -49,6 +49,38 @@ class AsofStreamSpec extends AnyFunSuite {
     assert(got == Set((1L, Some(11L)), (2L, Some(10L)), (3L, None)))
   }
 
+  test("checkpoint restart: buffered purchases survive and emit exactly once") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("asof-ckpt").toString
+    val input = MemoryStream[Sessionize.Event]
+    def start() = AsofStream.enrich(
+        input.toDS().withWatermark("ts", "10 minutes"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+
+    // run 1: purchase + view buffered, watermark still 0 → nothing emits
+    input.addData(Seq(ev(1, 100, 1, "purchase"), ev(10, 150, 1, "view")))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // run 2 from the same checkpoint: the state must still hold the
+    // buffered purchase; a LATE view (t=90) arrives and must win it, and
+    // the advancers flush via watermark + timeout
+    input.addData(Seq(ev(11, 90, 1, "view"), ev(90, 900, 99, "view")))
+    val q2 = start()
+    q2.processAllAvailable()
+    input.addData(Seq(ev(91, 1000, 99, "view")))
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(s"$base/out")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.length == 1, s"expected exactly one emission, got ${out.toSeq}")
+    assert(out.head == ((1L, Some(11L))))
+  }
+
   test("randomized parity with the batch as-of operator") {
     import spark.implicits._
     val rnd = new scala.util.Random(2718)
