@@ -32,6 +32,48 @@ object RelationalQueries {
       |count(*) AS n
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- dimension join + conditional aggregate (TPC-H Q14 shape) ------------
+
+  /** Promo revenue share per brand: fact (lineitem) joined to the part
+    * dimension — broadcast, so the fact side never shuffles — with a
+    * conditional revenue aggregate; ratio derived from the ROUNDED sums
+    * so both engines divide identical inputs.
+    */
+  private def qPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_type")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(Rounding.r(sum(rev), 2).as("revenue"),
+        Rounding.r(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0.0))), 2).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_ratio",
+        when(col("revenue") > 0,
+          Rounding.r(col("promo_revenue") / col("revenue"), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("p_brand")
+  }
+
+  private val qPromoRevenueSql =
+    """WITH agg AS (
+      |  SELECT p_brand,
+      |    floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+      |      AS revenue,
+      |    floor(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1e2 + 0.5)
+      |      / 1e2 AS promo_revenue,
+      |    count(*) AS n_items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT p_brand, revenue, promo_revenue, n_items,
+      |  CASE WHEN revenue > 0
+      |    THEN floor((promo_revenue / revenue) * 1e4 + 0.5) / 1e4
+      |    ELSE 0.0 END AS promo_ratio
+      |FROM agg ORDER BY 1""".stripMargin
+
   // --- top-k (W1): planned as TakeOrderedAndProject, no full sort
   private def qTopkDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -843,7 +885,8 @@ object RelationalQueries {
     "q_json_extract" -> (qJsonExtract _),
     "q_gap_fill" -> (qGapFill _),
     "q_funnel_steps" -> (qFunnelSteps _),
-    "q_cohort_retention" -> (qCohortRetention _))
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_promo_revenue" -> (qPromoRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
@@ -874,5 +917,6 @@ object RelationalQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_gap_fill" -> qGapFillSql,
     "q_funnel_steps" -> qFunnelStepsSql,
-    "q_cohort_retention" -> qCohortRetentionSql)
+    "q_cohort_retention" -> qCohortRetentionSql,
+    "q_promo_revenue" -> qPromoRevenueSql)
 }

@@ -118,6 +118,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("q_promo_revenue broadcasts the part dimension over a pruned fact scan") {
+    val p = plan("q_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+    val factScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem")).get
+    assert(!factScan.contains("l_tax") && !factScan.contains("l_quantity"),
+      s"lineitem scan not pruned:\n$factScan")
+  }
+
   test("q_funnel_steps aggregates each step map-side; no per-user sort") {
     val p = plan("q_funnel_steps")
     assert(p.contains("partial_min"), p.take(3000))
