@@ -358,30 +358,49 @@ object RelationalQueries {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  // --- the as-of family's shared fixtures -----------------------------------
+  //
+  // Purchases = the left (probe) side; views pre-aggregated to unique
+  // (user_id, ts) — max event_id — so tie resolution is deterministic
+  // cross-engine. Purchases keep the `value` column even for the queries
+  // that don't select it: AsofJoinPruneRule trims it out of the scan,
+  // which the plan guards verify.
+
+  private def asofPurchases(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("value"))
+
+  private def asofViews(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max("event_id").as("view_id"))
+
+  private def asofQuery(s: SparkSession, dir: String,
+      direction: String, broadcastRight: Boolean = false): DataFrame =
+    graft.plans.AsofJoin.asof(asofPurchases(s, dir), asofViews(s, dir),
+      leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+      leftTime = "ts", rightTime = "v_ts",
+      broadcastRight = broadcastRight, direction = direction)
+
+  /** The deduped-views CTE every as-of oracle starts from. */
+  private val AsofViewsCte =
+    """v AS (SELECT user_id AS v_user, ts AS v_ts,
+      |    CAST(max(event_id) AS BIGINT) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)""".stripMargin
+
   /** The same as-of semantics through the CUSTOM OPERATOR stack
     * ([[graft.plans.AsofJoin]]: logical node → strategy → sorted-merge
     * exec): each purchase attaches the latest prior view of its user in
     * ONE forward merge pass per co-partitioned (key, time)-sorted
     * partition — O(1) state per row, no union/window materialization, no
-    * theta join. Views are pre-aggregated to unique (user_id, ts) so tie
-    * resolution is deterministic cross-engine; the oracle is DuckDB's
-    * native ASOF LEFT JOIN.
+    * theta join. The oracle is DuckDB's native ASOF LEFT JOIN.
     */
-  private def qAsofExec(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts"), col("value"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .agg(max("event_id").as("view_id"))
-    graft.plans.AsofJoin.asof(purchases, views,
-        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
-        leftTime = "ts", rightTime = "v_ts")
+  private def qAsofExec(s: SparkSession, dir: String): DataFrame =
+    asofQuery(s, dir, "backward")
       .select(col("purchase_id"), col("user_id"), col("view_id"),
         Rounding.r(col("value"), 4).as("value"))
       .orderBy("purchase_id")
-  }
 
   /** The broadcast physical form of the same as-of semantics: the deduped
     * views table ships whole to every executor and each purchases partition
@@ -389,26 +408,14 @@ object RelationalQueries {
     * or sorts (the BroadcastHashJoin-vs-SortMergeJoin choice, for as-of).
     * Same oracle as [[qAsofExec]]: identical answers, different plan.
     */
-  private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts"), col("value"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .agg(max("event_id").as("view_id"))
-    graft.plans.AsofJoin.asof(purchases, views,
-        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
-        leftTime = "ts", rightTime = "v_ts", broadcastRight = true)
+  private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame =
+    asofQuery(s, dir, "backward", broadcastRight = true)
       .select(col("purchase_id"), col("user_id"), col("view_id"),
         Rounding.r(col("value"), 4).as("value"))
       .orderBy("purchase_id")
-  }
 
   private val qAsofExecSql =
-    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
-      |    CAST(max(event_id) AS BIGINT) AS view_id
-      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    s"""WITH $AsofViewsCte
       |SELECT p.event_id AS purchase_id, p.user_id, v.view_id,
       |  floor((p.value) * 1e4 + 0.5) / 1e4 AS value
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -421,24 +428,13 @@ object RelationalQueries {
     * with the time dimension descending; oracle = DuckDB's native ASOF
     * with the reversed inequality.
     */
-  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .agg(max("event_id").as("view_id"))
-    graft.plans.AsofJoin.asof(purchases, views,
-        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
-        leftTime = "ts", rightTime = "v_ts", direction = "forward")
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame =
+    asofQuery(s, dir, "forward")
       .select(col("purchase_id"), col("user_id"), col("view_id"))
       .orderBy("purchase_id")
-  }
 
   private val qAsofForwardSql =
-    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
-      |    CAST(max(event_id) AS BIGINT) AS view_id
-      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    s"""WITH $AsofViewsCte
       |SELECT p.event_id AS purchase_id, p.user_id, v.view_id
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts >= p.ts
@@ -450,24 +446,13 @@ object RelationalQueries {
     * row is the forward candidate for free). Oracle: DuckDB composes its
     * two native ASOF directions and picks the closer per row.
     */
-  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .agg(max("event_id").as("view_id"))
-    graft.plans.AsofJoin.asof(purchases, views,
-        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
-        leftTime = "ts", rightTime = "v_ts", direction = "nearest")
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame =
+    asofQuery(s, dir, "nearest")
       .select(col("purchase_id"), col("user_id"), col("view_id"))
       .orderBy("purchase_id")
-  }
 
   private val qAsofNearestSql =
-    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
-      |    CAST(max(event_id) AS BIGINT) AS view_id
-      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    s"""WITH $AsofViewsCte,
       |p AS (SELECT event_id, user_id, ts FROM events
       |  WHERE event_type = 'purchase'),
       |b AS (SELECT p.event_id AS pid, p.user_id, p.ts,
@@ -491,25 +476,16 @@ object RelationalQueries {
     * older view; the oracle applies the same rule as a CASE over DuckDB's
     * native ASOF match.
     */
-  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .agg(max("event_id").as("view_id"))
-    graft.plans.AsofJoin.asofWithin(purchases, views,
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame =
+    graft.plans.AsofJoin.asofWithin(asofPurchases(s, dir), asofViews(s, dir),
         leftOn = Seq("user_id"), rightOn = Seq("v_user"),
         leftTime = "ts", rightTime = "v_ts",
         tolerance = expr("INTERVAL 6 HOURS"))
       .select(col("purchase_id"), col("user_id"), col("view_id"))
       .orderBy("purchase_id")
-  }
 
   private val qAsofToleranceSql =
-    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
-      |    CAST(max(event_id) AS BIGINT) AS view_id
-      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    s"""WITH $AsofViewsCte
       |SELECT p.event_id AS purchase_id, p.user_id,
       |  CASE WHEN v.v_ts >= p.ts - INTERVAL 6 HOUR THEN v.view_id END
       |    AS view_id
@@ -616,6 +592,7 @@ object RelationalQueries {
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
       .agg(sum("value").as("v"))
+      .persist() // feeds the span grid AND the fill join — one events pass
     val grid = daily.groupBy("user_id")
       .agg(min("d").as("lo"), max("d").as("hi"))
       .select(col("user_id"),
