@@ -158,6 +158,50 @@ object AsofJoin {
     }.toSeq: _*)
   }
 
+  /** Skew-routed as-of: the sorted-merge form hashes each key to ONE
+    * partition, so a mega-key (one user holding a large share of the
+    * rows) becomes a straggler task — the classic skew failure the merge
+    * shares with every sort-merge join, and one AQE's skew handling does
+    * NOT cover for custom operators. This wrapper routes around it with
+    * the operator's own primitives:
+    *
+    *  - hot keys (left-side row count > `hotThreshold`) take the
+    *    BROADCAST form — their left rows stay exactly where they are, in
+    *    however many partitions they already occupy, each task binary-
+    *    searching the broadcast right subset; no single task owns the key;
+    *  - every other key takes the normal co-partitioned merge;
+    *  - the two legs union (append, no shuffle).
+    *
+    * Requirement: the hot keys' RIGHT-side rows must fit in a broadcast
+    * (usually true — skew is typically a left/fact phenomenon). If a key
+    * is hot on BOTH sides, the remaining move is time-range slicing with
+    * boundary replication, which this library documents but does not
+    * automate.
+    *
+    * The hot-key set is computed with one partial-aggregated count — never
+    * collected to the driver; it rides a broadcast semi/anti join.
+    */
+  def asofSkewRouted(left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTime: String, rightTime: String,
+      hotThreshold: Long,
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val hot = left.groupBy(leftOn.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
+      .select(leftOn.map(col): _*)
+    val hotR = hot.toDF(rightOn: _*)
+    val hotLeft = left.join(broadcast(hot), leftOn, "left_semi")
+    val coldLeft = left.join(broadcast(hot), leftOn, "left_anti")
+    // right rows of hot keys can only match hot left rows, and vice versa
+    val hotRight = right.join(broadcast(hotR), rightOn, "left_semi")
+    val coldRight = right.join(broadcast(hotR), rightOn, "left_anti")
+    asof(hotLeft, hotRight, leftOn, rightOn, leftTime, rightTime,
+        broadcastRight = true, direction = direction)
+      .unionByName(asof(coldLeft, coldRight, leftOn, rightOn,
+        leftTime, rightTime, direction = direction))
+  }
+
   /** Idempotent strategy + pruning-rule injection into a live session (the
     * programmatic twin of `spark.sql.extensions=graft.functions.GraftExtensions`).
     *
