@@ -202,6 +202,75 @@ object AsofJoin {
         leftTime, rightTime, direction = direction))
   }
 
+  /** Time-sliced backward as-of for keys hot on BOTH sides — the case
+    * [[asofSkewRouted]] can't broadcast. Every row gets a time-bucket
+    * column (`floor(time / sliceWidth)`), and the merge runs on the
+    * EXTENDED key (keys…, bucket), so a mega-key spreads across as many
+    * partitions as it has buckets instead of owning one straggler task.
+    *
+    * Correctness needs exactly one extra ingredient: a left row early in
+    * bucket b may match a right row from an EARLIER bucket. So for every
+    * (key, bucket) on either side, the latest right row from any earlier
+    * bucket (the "carry-in") is replicated into the bucket — computed as
+    * one per-(key, bucket) argmax window (each partition bounded by the
+    * slice width) and one per-key running `last(ignoreNulls)` over the
+    * bucket axis (rows per key = #buckets, the caller's knob). In-bucket
+    * candidates always beat the carry-in when eligible (their times are
+    * at-or-after the bucket start), so the sliced merge is row-identical
+    * to the plain operator.
+    *
+    * Cost: one extra window pass over the right side + ≤ 1 carried row
+    * per (key, bucket). Backward direction only — forward is the mirror
+    * (carry the earliest LATER row backward), nearest composes both.
+    * Time must be numeric/date/timestamp (`sliceWidth` in the natural
+    * unit: seconds for timestamps, the raw unit for numerics).
+    */
+  def asofTimeSliced(left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTime: String, rightTime: String,
+      sliceWidth: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col, floor, last, lit, row_number, struct}
+    require(sliceWidth > 0, "as-of time slicing needs a positive width")
+    val B = "__asof_bucket"
+    val BR = "__asof_bucket_r"
+    def bucketOf(tc: String) =
+      floor(col(tc).cast("double") / lit(sliceWidth)).cast("long")
+    val lb = left.withColumn(B, bucketOf(leftTime))
+    val rb = right.withColumn(BR, bucketOf(rightTime))
+
+    val rKeyCols = rightOn.map(col)
+    // latest right row per (key, bucket): each window partition holds one
+    // slice, bounded by the caller's width
+    val wSlice = org.apache.spark.sql.expressions.Window
+      .partitionBy((rKeyCols :+ col(BR)): _*).orderBy(col(rightTime).desc)
+    val perBucket = rb
+      .withColumn("__rn", row_number().over(wSlice)).filter(col("__rn") === 1)
+      .select((rKeyCols :+ col(BR) :+
+        struct(right.columns.map(col): _*).as("__row")): _*)
+
+    // bucket axis = every (key, bucket) either side touches; the carry-in
+    // for bucket b is the latest per-bucket row of any bucket < b — the
+    // whole right row rides ONE struct so its columns never mix across
+    // rows under ignoreNulls
+    val axis = lb.select((leftOn.map(col) :+ col(B).as(BR)): _*).toDF(rightOn :+ BR: _*)
+      .unionByName(rb.select((rKeyCols :+ col(BR)): _*))
+      .distinct()
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .partitionBy(rKeyCols: _*).orderBy(BR)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carried = axis.join(perBucket, rightOn :+ BR, "left")
+      .withColumn("__carry", last(col("__row"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      // unpack the whole carried row (keys included — same key as the
+      // axis row by construction) onto its DESTINATION bucket
+      .select(col(BR) +: right.columns.map(c => col(s"__carry.$c").as(c)): _*)
+
+    val slicedRight = rb.select((right.columns :+ BR).map(col): _*)
+      .unionByName(carried.select((right.columns :+ BR).map(col): _*))
+    asof(lb, slicedRight, leftOn :+ B, rightOn :+ BR, leftTime, rightTime)
+      .drop(B, BR)
+  }
+
   /** Idempotent strategy + pruning-rule injection into a live session (the
     * programmatic twin of `spark.sql.extensions=graft.functions.GraftExtensions`).
     *

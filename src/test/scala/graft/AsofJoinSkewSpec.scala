@@ -58,6 +58,47 @@ class AsofJoinSkewSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("time-sliced: hot-on-BOTH-sides key equals the plain operator") {
+    import spark.implicits._
+    // key 7: 3000 left rows AND 2500 right rows (too big to broadcast in
+    // spirit); times overlap so carry-ins matter — many left rows sit in
+    // buckets whose matching view is from an earlier bucket
+    val left = ((0L until 3000L).map(i => (7L, i * 3 + 1, i)) ++
+        (0L until 200L).map(i => (i % 7, i * 11, 100000 + i)))
+      .toDF("uid", "lts", "pid")
+    val right = ((0L until 2500L).map(i => (7L, i * 7, 5000 + i)) ++
+        (0L until 150L).map(i => (i % 7, i * 5, 9000 + i)))
+      .toDF("v_uid", "v_ts", "vid")
+      .groupBy("v_uid", "v_ts").agg(max("vid").as("vid"))
+    val sliced = AsofJoin.asofTimeSliced(left, right, Seq("uid"), Seq("v_uid"),
+      "lts", "v_ts", sliceWidth = 500.0)
+    val plain = AsofJoin.asof(left, right, Seq("uid"), Seq("v_uid"),
+      "lts", "v_ts")
+    assert(sliced.count() == left.count())
+    assert(norm(sliced) == norm(plain))
+    // the merge must shuffle on the EXTENDED (key, bucket) key so the
+    // mega-key spreads across partitions
+    val p = sliced.queryExecution.executedPlan.toString
+    assert(p.contains("__asof_bucket"), p.take(3000))
+    val extKey = """hashpartitioning\(uid#\d+L?, __asof_bucket""".r
+    assert(extKey.findFirstIn(p).isDefined,
+      s"merge not keyed on (key, bucket):\n${p.take(3000)}")
+  }
+
+  test("time-sliced: sparse right side carries across many empty buckets") {
+    import spark.implicits._
+    // one view at t=10, purchases spread to t=100000: every later bucket's
+    // match rides a carry-in chain across hundreds of empty buckets
+    val left = (0L until 50L).map(i => (1L, i * 2000 + 11, i))
+      .toDF("uid", "lts", "pid")
+    val right = Seq((1L, 10L, 99L), (2L, 5L, 98L))
+      .toDF("v_uid", "v_ts", "vid")
+    val out = AsofJoin.asofTimeSliced(left, right, Seq("uid"), Seq("v_uid"),
+      "lts", "v_ts", sliceWidth = 100.0)
+    val got = norm(out)
+    assert(got == (0L until 50L).map(i => i -> Some(99L)).toSet)
+  }
+
   test("no hot keys: routed degenerates to the merge answer") {
     val (l, r) = fixture
     val routed = AsofJoin.asofSkewRouted(l, r, Seq("uid"), Seq("v_uid"),
