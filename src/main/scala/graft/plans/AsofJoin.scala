@@ -220,16 +220,17 @@ object AsofJoin {
     * to the plain operator.
     *
     * Cost: one extra window pass over the right side + ≤ 1 carried row
-    * per (key, bucket). Backward direction only — forward is the mirror
-    * (carry the earliest LATER row backward), nearest composes both.
-    * Time must be numeric/date/timestamp (`sliceWidth` in the natural
-    * unit: seconds for timestamps, the raw unit for numerics).
+    * per (key, bucket) per needed side. All three directions: forward is
+    * the mirror (the EARLIEST later-bucket row carried backward), nearest
+    * carries both sides. Time must be numeric/timestamp (`sliceWidth` in
+    * the natural unit: seconds for timestamps, the raw unit for numerics).
     */
   def asofTimeSliced(left: DataFrame, right: DataFrame,
       leftOn: Seq[String], rightOn: Seq[String],
       leftTime: String, rightTime: String,
-      sliceWidth: Double): DataFrame = {
-    import org.apache.spark.sql.functions.{col, floor, last, lit, row_number, struct}
+      sliceWidth: Double,
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, first, floor, last, lit, row_number, struct}
     require(sliceWidth > 0, "as-of time slicing needs a positive width")
     val B = "__asof_bucket"
     val BR = "__asof_bucket_r"
@@ -239,35 +240,58 @@ object AsofJoin {
     val rb = right.withColumn(BR, bucketOf(rightTime))
 
     val rKeyCols = rightOn.map(col)
-    // latest right row per (key, bucket): each window partition holds one
-    // slice, bounded by the caller's width
-    val wSlice = org.apache.spark.sql.expressions.Window
-      .partitionBy((rKeyCols :+ col(BR)): _*).orderBy(col(rightTime).desc)
-    val perBucket = rb
-      .withColumn("__rn", row_number().over(wSlice)).filter(col("__rn") === 1)
-      .select((rKeyCols :+ col(BR) :+
-        struct(right.columns.map(col): _*).as("__row")): _*)
+    val W = org.apache.spark.sql.expressions.Window
 
-    // bucket axis = every (key, bucket) either side touches; the carry-in
-    // for bucket b is the latest per-bucket row of any bucket < b — the
-    // whole right row rides ONE struct so its columns never mix across
-    // rows under ignoreNulls
+    /** Per-(key, bucket) extremal right row (latest for the backward
+      * carry, earliest for the forward carry) — each window partition
+      * holds one slice, bounded by the caller's width.
+      */
+    def perBucket(latest: Boolean) = {
+      val wSlice = W.partitionBy((rKeyCols :+ col(BR)): _*)
+        .orderBy(if (latest) col(rightTime).desc else col(rightTime).asc)
+      rb.withColumn("__rn", row_number().over(wSlice)).filter(col("__rn") === 1)
+        .select((rKeyCols :+ col(BR) :+
+          struct(right.columns.map(col): _*).as("__row")): _*)
+    }
+
+    // bucket axis = every (key, bucket) either side touches; the whole
+    // right row rides ONE struct so its columns never mix across rows
+    // under ignoreNulls
     val axis = lb.select((leftOn.map(col) :+ col(B).as(BR)): _*).toDF(rightOn :+ BR: _*)
       .unionByName(rb.select((rKeyCols :+ col(BR)): _*))
       .distinct()
-    val wCarry = org.apache.spark.sql.expressions.Window
-      .partitionBy(rKeyCols: _*).orderBy(BR)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val carried = axis.join(perBucket, rightOn :+ BR, "left")
-      .withColumn("__carry", last(col("__row"), ignoreNulls = true).over(wCarry))
-      .filter(col("__carry").isNotNull)
-      // unpack the whole carried row (keys included — same key as the
-      // axis row by construction) onto its DESTINATION bucket
-      .select(col(BR) +: right.columns.map(c => col(s"__carry.$c").as(c)): _*)
 
-    val slicedRight = rb.select((right.columns :+ BR).map(col): _*)
-      .unionByName(carried.select((right.columns :+ BR).map(col): _*))
-    asof(lb, slicedRight, leftOn :+ B, rightOn :+ BR, leftTime, rightTime)
+    /** Carry the extremal row across the bucket axis: backward = latest
+      * row of any EARLIER bucket; forward = earliest row of any LATER
+      * bucket (the mirror frame).
+      */
+    def carried(backward: Boolean) = {
+      val frame = W.partitionBy(rKeyCols: _*).orderBy(BR)
+      val (wCarry, agg) =
+        if (backward)
+          (frame.rowsBetween(W.unboundedPreceding, -1),
+            last(col("__row"), ignoreNulls = true))
+        else
+          (frame.rowsBetween(1, W.unboundedFollowing),
+            first(col("__row"), ignoreNulls = true))
+      axis.join(perBucket(latest = backward), rightOn :+ BR, "left")
+        .withColumn("__carry", agg.over(wCarry))
+        .filter(col("__carry").isNotNull)
+        // unpack the whole carried row (keys included — same key as the
+        // axis row by construction) onto its DESTINATION bucket
+        .select(col(BR) +: right.columns.map(c => col(s"__carry.$c").as(c)): _*)
+    }
+
+    val carries = direction match {
+      case "forward" => Seq(carried(backward = false))
+      case "nearest" => Seq(carried(backward = true), carried(backward = false))
+      case _ => Seq(carried(backward = true))
+    }
+    val slicedRight = carries.foldLeft(
+        rb.select((right.columns :+ BR).map(col): _*))(
+      (acc, c) => acc.unionByName(c.select((right.columns :+ BR).map(col): _*)))
+    asof(lb, slicedRight, leftOn :+ B, rightOn :+ BR, leftTime, rightTime,
+        direction = direction)
       .drop(B, BR)
   }
 

@@ -70,14 +70,19 @@ class AsofJoinSkewSpec extends AnyFunSuite {
         (0L until 150L).map(i => (i % 7, i * 5, 9000 + i)))
       .toDF("v_uid", "v_ts", "vid")
       .groupBy("v_uid", "v_ts").agg(max("vid").as("vid"))
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val s = AsofJoin.asofTimeSliced(left, right, Seq("uid"), Seq("v_uid"),
+        "lts", "v_ts", sliceWidth = 500.0, direction = d)
+      val pl = AsofJoin.asof(left, right, Seq("uid"), Seq("v_uid"),
+        "lts", "v_ts", direction = d)
+      assert(s.count() == left.count(), s"direction=$d")
+      assert(norm(s) == norm(pl), s"direction=$d")
+    }
     val sliced = AsofJoin.asofTimeSliced(left, right, Seq("uid"), Seq("v_uid"),
       "lts", "v_ts", sliceWidth = 500.0)
-    val plain = AsofJoin.asof(left, right, Seq("uid"), Seq("v_uid"),
-      "lts", "v_ts")
-    assert(sliced.count() == left.count())
-    assert(norm(sliced) == norm(plain))
     // the merge must shuffle on the EXTENDED (key, bucket) key so the
     // mega-key spreads across partitions
+    sliced.collect()
     val p = sliced.queryExecution.executedPlan.toString
     assert(p.contains("__asof_bucket"), p.take(3000))
     val extKey = """hashpartitioning\(uid#\d+L?, __asof_bucket""".r
