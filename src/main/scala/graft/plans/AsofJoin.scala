@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -475,6 +475,21 @@ case class AsofJoinPlan(
     direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  /** Honest size estimate. The default visitor sizes an unknown binary
+    * node as the PRODUCT of its children (two 1 GB inputs → an exabyte
+    * estimate), which poisons every downstream broadcast decision over
+    * the join's output. An as-of join emits EXACTLY one row per left
+    * row, widened by the right columns — size accordingly.
+    */
+  override def stats: Statistics = {
+    val lw = left.output.map(_.dataType.defaultSize).sum.max(1)
+    val rw = right.output.map(_.dataType.defaultSize).sum
+    Statistics(
+      sizeInBytes = left.stats.sizeInBytes * (lw + rw) / lw,
+      rowCount = left.stats.rowCount)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)

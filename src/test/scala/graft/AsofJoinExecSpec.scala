@@ -208,6 +208,26 @@ class AsofJoinExecSpec extends AnyFunSuite {
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 10L)))
   }
 
+  test("stats: output sized like the left side, so it can broadcast downstream") {
+    import spark.implicits._
+    val (p, v) = fixture
+    val enriched = AsofJoin.asof(p, v, Seq("uid"), Seq("v_uid"), "lts", "v_ts")
+    // node-level: linear in the left side, not the children's product
+    val node = enriched.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsofJoinPlan => a }.head
+    val product = node.left.stats.sizeInBytes * node.right.stats.sizeInBytes
+    assert(node.stats.sizeInBytes < product,
+      s"as-of stats ${node.stats.sizeInBytes} not below product $product")
+    // behavioral: joined to a big fact table, the small ENRICHED side must
+    // be the broadcast side — with product stats it would be sized in the
+    // tens of GB and the plan degrades to a sort-merge join
+    val fact = spark.range(3000000L).select(col("id").as("pid2"),
+      (col("id") % 97).as("payload"))
+    val joined = fact.join(enriched, col("pid2") === col("pid"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      joined.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("plan: custom exec planned, co-partitioned, no nested loop") {
     val (p, v) = fixture
     val out = AsofJoin.asof(p, v, Seq("uid"), Seq("v_uid"), "lts", "v_ts")
