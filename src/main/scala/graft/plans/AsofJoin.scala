@@ -234,10 +234,17 @@ object AsofJoin {
     require(sliceWidth > 0, "as-of time slicing needs a positive width")
     val B = "__asof_bucket"
     val BR = "__asof_bucket_r"
-    def bucketOf(tc: String) =
-      floor(col(tc).cast("double") / lit(sliceWidth)).cast("long")
-    val lb = left.withColumn(B, bucketOf(leftTime))
-    val rb = right.withColumn(BR, bucketOf(rightTime))
+    def bucketOf(df: DataFrame, tc: String) = {
+      // TIMESTAMP_NTZ has no direct double cast — hop through the session
+      // zone (epoch seconds) like every other timestamp
+      val asDouble = df.schema(tc).dataType match {
+        case TimestampNTZType => col(tc).cast("timestamp").cast("double")
+        case _ => col(tc).cast("double")
+      }
+      floor(asDouble / lit(sliceWidth)).cast("long")
+    }
+    val lb = left.withColumn(B, bucketOf(left, leftTime))
+    val rb = right.withColumn(BR, bucketOf(right, rightTime))
 
     val rKeyCols = rightOn.map(col)
     val W = org.apache.spark.sql.expressions.Window

@@ -428,6 +428,32 @@ object RelationalQueries {
     * with the time dimension descending; oracle = DuckDB's native ASOF
     * with the reversed inequality.
     */
+  /** The SKEW paths under the driver's oracle gate: identical answers to
+    * [[qAsofExec]] through (a) hot-key broadcast routing and (b) the
+    * time-sliced extended-key merge — the thresholds/width are chosen so
+    * both mechanisms actually engage at every test scale (some users
+    * exceed 40 purchases at sf0.01+; a 6-hour slice splits every user's
+    * history into many buckets).
+    */
+  private def qAsofSkew(s: SparkSession, dir: String): DataFrame =
+    graft.plans.AsofJoin.asofSkewRouted(
+        asofPurchases(s, dir), asofViews(s, dir),
+        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+        leftTime = "ts", rightTime = "v_ts", hotThreshold = 40)
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        Rounding.r(col("value"), 4).as("value"))
+      .orderBy("purchase_id")
+
+  private def qAsofSliced(s: SparkSession, dir: String): DataFrame =
+    graft.plans.AsofJoin.asofTimeSliced(
+        asofPurchases(s, dir), asofViews(s, dir),
+        leftOn = Seq("user_id"), rightOn = Seq("v_user"),
+        leftTime = "ts", rightTime = "v_ts",
+        sliceWidth = 6 * 3600.0) // epoch seconds
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        Rounding.r(col("value"), 4).as("value"))
+      .orderBy("purchase_id")
+
   private def qAsofForward(s: SparkSession, dir: String): DataFrame =
     asofQuery(s, dir, "forward")
       .select(col("purchase_id"), col("user_id"), col("view_id"))
@@ -856,6 +882,8 @@ object RelationalQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_exec" -> (qAsofExec _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
+    "q_asof_skew" -> (qAsofSkew _),
+    "q_asof_sliced" -> (qAsofSliced _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_nearest" -> (qAsofNearest _),
@@ -888,6 +916,8 @@ object RelationalQueries {
     "q_asof_join" -> qAsofJoinSql,
     "q_asof_exec" -> qAsofExecSql,
     "q_asof_broadcast" -> qAsofExecSql, // same semantics, different plan
+    "q_asof_skew" -> qAsofExecSql, // ditto, through hot-key routing
+    "q_asof_sliced" -> qAsofExecSql, // ditto, through the extended-key merge
     "q_asof_tolerance" -> qAsofToleranceSql,
     "q_asof_forward" -> qAsofForwardSql,
     "q_asof_nearest" -> qAsofNearestSql,

@@ -111,21 +111,30 @@ class AsofJoinFuzzSpec extends AnyFunSuite {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        // every trial runs all six direction × physical-form combinations
-        for (d <- Seq("backward", "forward", "nearest");
-             bcast <- Seq(false, true)) {
+        // every trial runs all direction × physical-form combinations,
+        // plus the time-sliced skew path with a random slice width
+        for (d <- Seq("backward", "forward", "nearest")) {
           val expected = brute(lRows, rRows, d)
-          val out = AsofJoin.asof(df(lSchema, lRows), r,
+          val width = (1 + rng.nextInt(2 * tRange)).toDouble
+          val variants = Seq(
+            s"merge" -> AsofJoin.asof(df(lSchema, lRows), r,
+              Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt", direction = d),
+            s"bcast" -> AsofJoin.asof(df(lSchema, lRows), r,
               Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
-              broadcastRight = bcast, direction = d)
-            .select("lid", "rid").collect()
-            .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
-            .toMap
-          assert(out.size == nL,
-            s"trial $trial bcast=$bcast dir=$d: row count ${out.size} != $nL")
-          assert(out == expected,
-            s"trial $trial bcast=$bcast dir=$d (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
-              s"${(out.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- out.toSet).take(5)}")
+              broadcastRight = true, direction = d),
+            s"sliced(w=$width)" -> AsofJoin.asofTimeSliced(df(lSchema, lRows), r,
+              Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
+              sliceWidth = width, direction = d))
+          for ((form, frame) <- variants) {
+            val out = frame.select("lid", "rid").collect()
+              .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+              .toMap
+            assert(out.size == nL,
+              s"trial $trial $form dir=$d: row count ${out.size} != $nL")
+            assert(out == expected,
+              s"trial $trial $form dir=$d (nL=$nL nR=$nR keys=$nKeys tRange=$tRange parts=$parts): " +
+                s"${(out.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- out.toSet).take(5)}")
+          }
         }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
