@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project, Statistics}
@@ -123,6 +123,38 @@ object AsofJoin {
         s"column, not ${lt.dataType.simpleString}")
     PlanBridge.ofRows(spark,
       AsofJoinPlan(lp, rp, lk, rk, lt, rt, broadcastRight, direction))
+  }
+
+  /** Typed as-of: `Dataset[L]` enriched to `Dataset[(L, Option[R])]` —
+    * `None` where no right row qualifies. Case classes may freely share
+    * field names across `L` and `R` (the untyped API's disjoint-name rule
+    * is satisfied internally by prefixing the right side), and the result
+    * round-trips through the usual product encoders: the right row rides
+    * a nullable struct, which Spark decodes as `Option[R]`.
+    */
+  def asofTyped[L, R](left: Dataset[L], right: Dataset[R],
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTime: String, rightTime: String,
+      broadcastRight: Boolean = false,
+      direction: String = "backward")(
+      implicit lEnc: Encoder[L], rEnc: Encoder[R],
+      outEnc: Encoder[(L, Option[R])]): Dataset[(L, Option[R])] = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    val P = "__asof_r_"
+    val rdf = right.toDF(right.columns.map(P + _): _*)
+    val j = asof(left.toDF(), rdf,
+      leftOn, rightOn.map(P + _), leftTime, P + rightTime,
+      broadcastRight, direction)
+    val lCols = left.columns.toSeq
+    val rTimeCol = P + rightTime
+    j.select(
+        struct(lCols.map(col): _*).as("_1"),
+        // the right TIME column is non-null exactly when the row matched
+        // (validated non-null on the way in, NULL-extended otherwise)
+        when(col(rTimeCol).isNotNull,
+          struct(right.columns.toSeq.map(c => col(P + c).as(c)): _*))
+          .as("_2"))
+      .as[(L, Option[R])]
   }
 
   /** Tolerance-bounded backward as-of (pandas `merge_asof(tolerance=…)`):

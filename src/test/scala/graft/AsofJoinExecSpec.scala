@@ -13,6 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * self-join resolution, empty sides, string keys, and the plan shape
   * (the custom node planned, no nested-loop/cartesian anywhere).
   */
+final case class TypedP(user: Long, ts: Long, pid: Long)
+final case class TypedV(user: Long, ts: Long, vid: Long)
+
 class AsofJoinExecSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -206,6 +209,22 @@ class AsofJoinExecSpec extends AnyFunSuite {
     val out = AsofJoin.asof(l, r, Seq("uid"), Seq("v_uid"), "lts", "v_ts")
       .select("pid", "vid").collect()
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 10L)))
+  }
+
+  test("typed as-of: Dataset[(L, Option[R])], shared field names welcome") {
+    import spark.implicits._
+    // L and R deliberately share BOTH field names — the untyped API's
+    // disjoint-name rule is handled internally
+    val p = Seq(TypedP(1L, 100L, 10L), TypedP(1L, 40L, 11L), TypedP(2L, 50L, 12L))
+      .toDS()
+    val v = Seq(TypedV(1L, 90L, 900L), TypedV(1L, 10L, 901L)).toDS()
+    for (bcast <- Seq(false, true)) {
+      val out = AsofJoin.asofTyped(p, v, Seq("user"), Seq("user"), "ts", "ts",
+          broadcastRight = bcast)
+        .collect().map { case (l, r) => (l.pid, r.map(_.vid)) }.toSet
+      assert(out == Set((10L, Some(900L)), (11L, Some(901L)), (12L, None)),
+        s"bcast=$bcast: $out")
+    }
   }
 
   test("stats: output sized like the left side, so it can broadcast downstream") {
