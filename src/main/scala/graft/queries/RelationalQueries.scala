@@ -519,6 +519,32 @@ object RelationalQueries {
       |ASOF LEFT JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts
       |ORDER BY 1""".stripMargin
 
+  /** Event-transition matrix (first-order Markov counts): for every
+    * consecutive pair of one user's events, count (from_type → to_type).
+    * One per-user `lead()` window — deterministically ordered by
+    * (ts, event_id) so ties resolve identically cross-engine — into a
+    * partial+final hash agg over the 4×4 type matrix.
+    */
+  private def qNextEvent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qNextEventSql =
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, count(*) AS n
+      |FROM nxt WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Ordered-step funnel conversion (view → click → purchase): a user
     * converts step k only with an event of that type AT-OR-AFTER their
     * step-(k−1) time. Three narrow per-user aggregate passes (each a
@@ -889,6 +915,7 @@ object RelationalQueries {
     "q_asof_nearest" -> (qAsofNearest _),
     "q_json_extract" -> (qJsonExtract _),
     "q_gap_fill" -> (qGapFill _),
+    "q_next_event" -> (qNextEvent _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_promo_revenue" -> (qPromoRevenue _))
@@ -923,6 +950,7 @@ object RelationalQueries {
     "q_asof_nearest" -> qAsofNearestSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_gap_fill" -> qGapFillSql,
+    "q_next_event" -> qNextEventSql,
     "q_funnel_steps" -> qFunnelStepsSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_promo_revenue" -> qPromoRevenueSql)

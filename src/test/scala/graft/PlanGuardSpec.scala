@@ -128,6 +128,12 @@ class PlanGuardSpec extends AnyFunSuite {
       s"lineitem scan not pruned:\n$factScan")
   }
 
+  test("q_next_event windows per user and partial-aggregates the matrix") {
+    val p = plan("q_next_event")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("q_funnel_steps aggregates each step map-side; no per-user sort") {
     val p = plan("q_funnel_steps")
     assert(p.contains("partial_min"), p.take(3000))
