@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_NO_AQE=1: re-run the whole battery with adaptive
+      // execution off — results must be byte-identical (any diff means a
+      // query depends on runtime plan shape, i.e. hidden nondeterminism)
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("SPARK_GRAFT_NO_AQE")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
