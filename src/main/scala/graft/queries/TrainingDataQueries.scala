@@ -284,8 +284,12 @@ object TrainingDataQueries {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // round 0 fused into the init: label = min(node, min neighbor) is one
+    // aggregate over sym — the identity-labels variant spent its first
+    // round on a join against an identity map to compute exactly this
+    var labels = sym.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
