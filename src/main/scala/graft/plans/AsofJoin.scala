@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalP
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.types._
 
@@ -564,6 +565,10 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     direction: String = "backward") extends BinaryExecNode {
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -593,6 +598,8 @@ case class AsofJoinExec(
     val outAttrs = output
 
     val dir = direction
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut,
         outAttrs, dir)
@@ -610,6 +617,7 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKt = lktProj(lRow)
+          outRows += 1
           if (anyNull(lKt)) {
             // NULL key or time never matches; the pointer stays put
             outProj(joined(lRow, nullRight))
@@ -626,8 +634,10 @@ case class AsofJoinExec(
               else { rRow = null; rKt = null }
             }
             val hit = matchRow != null && keyOrd.compare(matchKt, lKt) == 0
-            if (!nearest) outProj(joined(lRow, if (hit) matchRow else nullRight))
-            else {
+            if (!nearest) {
+              if (hit) matched += 1
+              outProj(joined(lRow, if (hit) matchRow else nullRight))
+            } else {
               // the pointer's row IS the forward candidate: first row past
               // lKt in (keys, time asc) order = earliest time > lTime of
               // this key (an exact-equal time sits on the backward side,
@@ -636,8 +646,8 @@ case class AsofJoinExec(
                 keyOrd.compare(rKt, lKt) == 0
               pickNearest(lKt, if (hit) matchKt else null,
                   if (nextOk) rKt else null) match {
-                case -1 => outProj(joined(lRow, matchRow))
-                case 1 => outProj(joined(lRow, rRow))
+                case -1 => matched += 1; outProj(joined(lRow, matchRow))
+                case 1 => matched += 1; outProj(joined(lRow, rRow))
                 case _ => outProj(joined(lRow, nullRight))
               }
             }
@@ -662,6 +672,10 @@ case class AsofJoinBroadcastExec(
     left: SparkPlan, right: SparkPlan,
     direction: String = "backward") extends BinaryExecNode {
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -685,6 +699,8 @@ case class AsofJoinBroadcastExec(
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
 
     val dir = direction
+    val outRows = longMetric("numOutputRows")
+    val matchedM = longMetric("numMatched")
     left.execute().mapPartitions { lIter =>
       val ctx = new AsofJoin.MergeCtx(lKeys, rKeys, lTime, rTime, lOut, rOut,
         outAttrs, dir)
@@ -703,6 +719,7 @@ case class AsofJoinBroadcastExec(
 
       lIter.map { lRow =>
         val lKt = lktProj(lRow)
+        outRows += 1
         if (anyNull(lKt) || entries.isEmpty) outProj(joined(lRow, nullRight))
         else {
           // upper bound: first entry with (keys…, time) > lKt; its
@@ -714,14 +731,16 @@ case class AsofJoinBroadcastExec(
             else hi = mid
           }
           val hit = lo > 0 && keyOrd.compare(entries(lo - 1)._1, lKt) == 0
-          if (!nearest) outProj(joined(lRow, if (hit) entries(lo - 1)._2 else nullRight))
-          else {
+          if (!nearest) {
+            if (hit) matchedM += 1
+            outProj(joined(lRow, if (hit) entries(lo - 1)._2 else nullRight))
+          } else {
             val nextOk = lo < entries.length &&
               keyOrd.compare(entries(lo)._1, lKt) == 0
             pickNearest(lKt, if (hit) entries(lo - 1)._1 else null,
                 if (nextOk) entries(lo)._1 else null) match {
-              case -1 => outProj(joined(lRow, entries(lo - 1)._2))
-              case 1 => outProj(joined(lRow, entries(lo)._2))
+              case -1 => matchedM += 1; outProj(joined(lRow, entries(lo - 1)._2))
+              case 1 => matchedM += 1; outProj(joined(lRow, entries(lo)._2))
               case _ => outProj(joined(lRow, nullRight))
             }
           }

@@ -211,6 +211,29 @@ class AsofJoinExecSpec extends AnyFunSuite {
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 10L)))
   }
 
+  test("SQL metrics: output and matched row counts reported by both execs") {
+    // AQE query stages hide their subtree from plan.collect — run this
+    // one query non-adaptively so the exec node is directly reachable
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (p, v) = fixture
+      val nL = p.count()
+      for (bcast <- Seq(false, true)) {
+        val out = AsofJoin.asof(p, v, Seq("uid"), Seq("v_uid"), "lts", "v_ts",
+          broadcastRight = bcast)
+        val nMatched = out.filter(col("vid").isNotNull).count()
+        out.collect()
+        val exec = out.queryExecution.executedPlan.collectFirst {
+          case e if e.nodeName.startsWith("AsofJoin") => e }.get
+        assert(exec.metrics("numOutputRows").value == nL,
+          s"bcast=$bcast: ${exec.metrics("numOutputRows").value}")
+        assert(exec.metrics("numMatched").value == nMatched,
+          s"bcast=$bcast: ${exec.metrics("numMatched").value} != $nMatched")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("typed as-of: Dataset[(L, Option[R])], shared field names welcome") {
     import spark.implicits._
     // L and R deliberately share BOTH field names — the untyped API's
