@@ -2000,6 +2000,145 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- HLL distinct-count sketch --------------------------------------------
+  //
+  // HyperLogLog register sketch of the distinct-token count per source —
+  // the industry-standard sketch next to KMV above, made EXACTLY
+  // reproducible cross-engine: registers are max-leading-zero ranks of
+  // the shared md5-prefix hash (rank via `bin()` string length, identical
+  // in Spark and DuckDB — no log2/clz), and the harmonic-mean denominator
+  // is accumulated as an INTEGER sum of 2^(maxRho - rho) register weights
+  // (max 2^49, inside int64) so summation order cannot perturb a float.
+  // The raw estimate alpha·m²/Σ2^-M_j is one exact division at the end.
+  // Scale shape: hash → narrow projection; registers → (source, bucket)
+  // partial-agg groupBy bounded at m=256 rows per source; NO distinct
+  // pass is needed at all (duplicate tokens collapse in the register max
+  // — the property that makes HLL THE 100 TB distinct counter, vs KMV's
+  // distinct-then-rank). Small-range linear counting (m·ln(m/V)) is
+  // deliberately omitted — ln is not cross-engine exact; the raw-regime
+  // estimate plus the V=zero_registers column is reported instead.
+  // Exact truth rides alongside for the oracle to certify the error.
+
+  private val HllM = 256 // registers (p = 8 bucket bits)
+  private val HllHexLen = 12 // h < 2^48; 40 payload bits after bucketing
+  private val HllMaxRho = 41 // rank when all 40 payload bits are zero
+
+  private def qHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7213 / (1 + 1.079 / HllM)
+    // estimate = alpha·m² / (S / 2^maxRho) with S the integer register sum
+    val num = alpha * HllM * HllM * (1L << HllMaxRho).toDouble
+    val hashed = t(s, dir, "documents")
+      .select(col("source"), explode(simpleTokens(col("text"))).as("tok"))
+      .select(col("source"), col("tok"), md5Sid(col("tok"), HllHexLen).as("h"))
+    val regs = hashed
+      .select(col("source"), pmod(col("h"), lit(HllM)).as("bucket"),
+        expr(s"h div $HllM").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(HllMaxRho))
+          .otherwise(lit(HllMaxRho) - length(bin(col("w")))))
+      .groupBy("source", "bucket").agg(max("rho").as("mj"))
+    val sums = regs.groupBy("source")
+      .agg(sum(expr(s"shiftleft(1L, cast($HllMaxRho - mj AS int))")).as("occ"),
+        count(lit(1)).as("nocc"))
+      .select(col("source"),
+        (col("occ") + (lit(HllM.toLong) - col("nocc")) * lit(1L << HllMaxRho))
+          .as("s_int"),
+        (lit(HllM.toLong) - col("nocc")).as("zero_registers"))
+    val exact = hashed.groupBy("source")
+      .agg(countDistinct("tok").as("exact_distinct"))
+    sums.join(exact, "source")
+      .select(col("source"), col("exact_distinct"),
+        Rounding.r(lit(num) / col("s_int").cast("double"), 4).as("est_distinct"),
+        col("zero_registers"))
+      .orderBy("source")
+  }
+
+  private val qHllSketchSql = {
+    val alpha = 0.7213 / (1 + 1.079 / HllM)
+    val num = alpha * HllM * HllM * (1L << HllMaxRho).toDouble
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT source, tok, ${md5SidSql("tok", HllHexLen)} AS h FROM toks),
+       |regs AS (
+       |  SELECT source, h % $HllM AS bucket,
+       |    max(CASE WHEN h // $HllM = 0 THEN $HllMaxRho
+       |      ELSE $HllMaxRho - length(bin(h // $HllM)) END) AS mj
+       |  FROM h GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT source,
+       |    CAST(sum(1::BIGINT << CAST($HllMaxRho - mj AS INT)) AS BIGINT) AS occ,
+       |    count(*) AS nocc
+       |  FROM regs GROUP BY 1),
+       |exact AS (
+       |  SELECT source, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
+       |SELECT sums.source, exact.exact_distinct,
+       |  ${Rounding.rSql(
+             s"$num / CAST(occ + ($HllM - nocc) * (1::BIGINT << $HllMaxRho) AS DOUBLE)", 4)}
+       |    AS est_distinct,
+       |  CAST($HllM - nocc AS BIGINT) AS zero_registers
+       |FROM sums JOIN exact ON sums.source = exact.source
+       |ORDER BY 1""".stripMargin
+  }
+
+  // --- HLL as a NATIVE AGGREGATE (TypedImperativeAggregate) -----------------
+  //
+  // The same register math as `q_hll_sketch`, but computed by the custom
+  // `graft_hll` Catalyst aggregate (functions/HllAgg.scala): per-group
+  // state is a fixed 256-byte register array, duplicates collapse in the
+  // map-side update, merge is an elementwise max — the shuffle carries
+  // 256 bytes per (source × map partition) instead of q_hll_sketch's
+  // (source, bucket) register rows, and a user gets the sketch in ANY
+  // groupBy via one function call. The DuckDB oracle recomputes the
+  // registers in pure SQL — certifying the aggregate's whole
+  // update/merge/eval path, including that integer-sum determinism
+  // survives Spark's partial-aggregation merge order.
+
+  private def qHllAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("source"), explode(simpleTokens(col("text"))).as("tok"))
+      .select(col("source"), md5Sid(col("tok"), HllHexLen).as("h"))
+      .groupBy("source")
+      .agg(expr("graft_hll(h, 8)").as("sk"))
+      .select(col("source"),
+        Rounding.r(col("sk.est_distinct"), 4).as("est_distinct"),
+        col("sk.zero_registers").as("zero_registers"))
+      .orderBy("source")
+  }
+
+  private val qHllAggSql = {
+    val alpha = 0.7213 / (1 + 1.079 / HllM)
+    val num = alpha * HllM * HllM * (1L << HllMaxRho).toDouble
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT source, ${md5SidSql("tok", HllHexLen)} AS h FROM toks),
+       |regs AS (
+       |  SELECT source, h % $HllM AS bucket,
+       |    max(CASE WHEN h // $HllM = 0 THEN $HllMaxRho
+       |      ELSE $HllMaxRho - length(bin(h // $HllM)) END) AS mj
+       |  FROM h GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT source,
+       |    CAST(sum(1::BIGINT << CAST($HllMaxRho - mj AS INT)) AS BIGINT) AS occ,
+       |    count(*) AS nocc
+       |  FROM regs GROUP BY 1)
+       |SELECT source,
+       |  ${Rounding.rSql(
+             s"$num / CAST(occ + ($HllM - nocc) * (1::BIGINT << $HllMaxRho) AS DOUBLE)", 4)}
+       |    AS est_distinct,
+       |  CAST($HllM - nocc AS BIGINT) AS zero_registers
+       |FROM sums
+       |ORDER BY 1""".stripMargin
+  }
+
   // --- sampled quantile estimation (deterministic bottom-k sample) ----------
   //
   // Approximate per-group quantiles from a BOUNDED deterministic sample:
@@ -2664,6 +2803,8 @@ object TrainingDataQueries {
     "q_train_split" -> (qTrainSplit _),
     "q_corpus_mix" -> (qCorpusMix _),
     "q_kmv_sketch" -> (qKmvSketch _),
+    "q_hll_sketch" -> (qHllSketch _),
+    "q_hll_agg" -> (qHllAgg _),
     "q_quantile_sample" -> (qQuantileSample _),
     "q_image_blocks" -> (qImageBlocks _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
@@ -2709,6 +2850,8 @@ object TrainingDataQueries {
     "q_train_split" -> qTrainSplitSql,
     "q_corpus_mix" -> qCorpusMixSql,
     "q_kmv_sketch" -> qKmvSketchSql,
+    "q_hll_sketch" -> qHllSketchSql,
+    "q_hll_agg" -> qHllAggSql,
     "q_quantile_sample" -> qQuantileSampleSql,
     "q_image_blocks" -> qImageBlocksSql,
     "q_multimodal_features" -> qMultimodalFeaturesSql,

@@ -65,6 +65,49 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got == java.text.Normalizer.normalize(mixed, java.text.Normalizer.Form.NFC))
   }
 
+  test("graft_hll plans as partial ObjectHashAggregate, matches the SQL register math, merge-order-proof") {
+    import org.apache.spark.sql.functions._
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("tok"))
+      .select(col("lang"),
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long").as("h"))
+    val agg = toks.groupBy("lang").agg(expr("graft_hll(h, 8)").as("sk"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.contains("partial_graft_hll"), plan.take(2000))
+
+    // the oracle's pure-SQL register math, recomputed in Spark — the
+    // aggregate must match it to the BIT (integer register sum + one
+    // IEEE division; nothing order-dependent anywhere)
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(String, Double, Long)] =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val num = 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * (1L << 41).toDouble
+    val regs = toks
+      .select(col("lang"), pmod(col("h"), lit(256)).as("bucket"),
+        expr("h div 256").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(41)).otherwise(lit(41) - length(bin(col("w")))))
+      .groupBy("lang", "bucket").agg(max("rho").as("mj"))
+    val want = triples(regs.groupBy("lang")
+      .agg(sum(expr("shiftleft(1L, cast(41 - mj AS int))")).as("occ"),
+        count(lit(1)).as("nocc"))
+      .select(col("lang"),
+        (lit(num) / (col("occ") + (lit(256L) - col("nocc")) * lit(1L << 41))
+          .cast("double")).as("est"),
+        (lit(256L) - col("nocc")).as("zeros")))
+    val got = triples(agg.select(col("lang"), col("sk.est_distinct"),
+      col("sk.zero_registers")))
+    assert(got == want)
+
+    // merge-order proof: a pathological 7-way repartition changes which
+    // partial buffers merge in which order — the result must not move
+    val got7 = triples(toks.repartition(7).groupBy("lang")
+      .agg(expr("graft_hll(h, 8)").as("sk"))
+      .select(col("lang"), col("sk.est_distinct"), col("sk.zero_registers")))
+    assert(got7 == got)
+  }
+
   test("graft_topk plans as partial ObjectHashAggregate and matches the window form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs.createOrReplaceTempView("tk_docs")

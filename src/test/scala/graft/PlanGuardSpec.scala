@@ -198,6 +198,25 @@ class PlanGuardSpec extends AnyFunSuite {
       s"partial window-group limit missing:\n${p.take(3000)}")
   }
 
+  test("q_hll_sketch builds registers by partial agg alone — no rank, no distinct pass") {
+    val p = plan("q_hll_sketch")
+    // HLL's whole point at 100 TB: duplicate tokens collapse inside the
+    // map-side register max — the sketch side must plan ZERO windows
+    // (KMV's rank levels) and the register agg must combine partially
+    assert(!p.contains("Window [row_number()"),
+      s"register path plans a rank window:\n${p.take(3000)}")
+    assert(p.contains("partial_max"),
+      s"register max not map-side partial:\n${p.take(3000)}")
+  }
+
+  test("q_hll_agg ships fixed-size register buffers through a partial ObjectHashAggregate") {
+    val p = plan("q_hll_agg")
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    // the partial stage IS the scale claim: the shuffle carries one
+    // 256-byte register buffer per (source × map partition), never rows
+    assert(p.contains("partial_graft_hll"), p.take(3000))
+  }
+
   test("q_training_select fuses the gates into one pass with a single dedup window") {
     val p = plan("q_training_select")
     val windows = p.linesIterator.count(_.contains("Window [row_number()"))
