@@ -422,11 +422,17 @@ object CurationQueries {
   // matches (`_b__c_` never matches inside `_ab__cd_`). Tokens are
   // [a-z]+ so the separator is unambiguous.
 
-  private def bpeApply(toks: DataFrame, best: DataFrame): DataFrame =
+  /** Apply one learned merge to every `tok`, preserving all other columns
+    * (the encode path carries the word key through the rounds).
+    */
+  private def bpeApplyKeyed(toks: DataFrame, best: DataFrame): DataFrame =
     toks.crossJoin(broadcast(best.select(col("p").as("bp"))))
       .withColumn("tok", expr(
         "replace(tok, bp, concat('_', replace(substring(bp, 2, length(bp)-2), '__', ''), '_'))"))
-      .select("tok", "wc")
+      .drop("bp")
+
+  private def bpeApply(toks: DataFrame, best: DataFrame): DataFrame =
+    bpeApplyKeyed(toks, best).select("tok", "wc")
 
   private def bpePairs(toks: DataFrame): DataFrame =
     toks
@@ -496,6 +502,90 @@ object CurationQueries {
        |      SELECT 2, p, freq FROM b2 UNION ALL
        |      SELECT 3, p, freq FROM b3)
        |ORDER BY round""".stripMargin
+  }
+
+  // --- BPE encode: apply the learned merges to the corpus -------------------
+  //
+  // The OTHER half of the tokenizer lifecycle: after q_bpe_merges learns
+  // the merge table, this query ENCODES the corpus with it and reports the
+  // per-source compression (chars = token count before any merge, tokens =
+  // after 3 merge rounds, saved = their difference). Same scale shape as
+  // training: the merges are learned once over the zipf-bounded word-TYPE
+  // vocabulary, each round re-tokenizes |vocab| rows (never the corpus),
+  // and the corpus-side cost is ONE (source, word) aggregation plus a
+  // vocabulary-sized equi-join back — the raw text is scanned exactly once
+  // regardless of merge count. All-integer outputs; the merge sequence is
+  // byte-identical to q_bpe_merges' by construction (shared helpers).
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val srcWords = t(s, dir, "documents")
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(2, 12))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    var enc = srcWords.groupBy("word").agg(sum("cnt").as("wc"))
+      .select(col("word"),
+        expr("substring(concat('_', regexp_replace(word, '(.)', '$1__')), 1, length(word)*3)").as("tok"),
+        col("wc"))
+      .persist()
+    (1 to 3).foreach { _ =>
+      val best = bpeBest(bpePairs(enc.select("tok", "wc"))).persist()
+      enc = bpeApplyKeyed(enc, best).persist()
+    }
+    val tokCount = enc.select(col("word"),
+      expr("(length(tok) - length(replace(tok, '__', ''))) div 2 + 1")
+        .cast("long").as("ntok"))
+    srcWords.join(tokCount, "word")
+      .groupBy("source")
+      .agg(sum("cnt").as("words"),
+        sum(col("cnt") * length(col("word"))).as("chars"),
+        sum(col("cnt") * col("ntok")).as("tokens"))
+      .select(col("source"), col("words"), col("chars"), col("tokens"),
+        (col("chars") - col("tokens")).as("saved"))
+      .orderBy("source")
+  }
+
+  private val qBpeEncodeSql = {
+    // word-carrying twin of qBpeMergesSql's round(): same pair counting and
+    // greedy replace, but t_i keeps the word key for the encode join-back.
+    def round(i: Int): String =
+      s"""pc$i AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(a)-1),
+         |      j -> '_' || a[j] || '__' || a[j+1] || '_')) AS p, wc
+         |    FROM (SELECT string_split(substr(tok, 2, length(tok)-2), '__') AS a, wc
+         |          FROM t${i - 1})
+         |    WHERE len(a) >= 2)
+         |  GROUP BY 1),
+         |b$i AS (SELECT p, freq FROM pc$i ORDER BY freq DESC, p LIMIT 1),
+         |t$i AS (
+         |  SELECT word, replace(tok, (SELECT p FROM b$i),
+         |    '_' || replace(substr((SELECT p FROM b$i), 2,
+         |      length((SELECT p FROM b$i)) - 2), '__', '') || '_') AS tok, wc
+         |  FROM t${i - 1})""".stripMargin
+    s"""WITH sw AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1, 2),
+       |vocab AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS wc FROM sw GROUP BY 1),
+       |t0 AS (
+       |  SELECT word, substr('_' || regexp_replace(word, '(.)', '\\1__', 'g'),
+       |                1, length(word)*3) AS tok, wc
+       |  FROM vocab),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |tc AS (
+       |  SELECT word,
+       |    (length(tok) - length(replace(tok, '__', ''))) // 2 + 1 AS ntok
+       |  FROM t3)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS words,
+       |  CAST(sum(cnt * length(word)) AS BIGINT) AS chars,
+       |  CAST(sum(cnt * ntok) AS BIGINT) AS tokens,
+       |  CAST(sum(cnt * length(word)) - sum(cnt * ntok) AS BIGINT) AS saved
+       |FROM sw JOIN tc USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   // --- trained linear quality probe (in-engine learning) --------------------
@@ -634,7 +724,114 @@ object CurationQueries {
        |  (1000000 * (rsum - (pos * (pos + 1)) // 2)) // (pos * neg) AS auc_micros
        |FROM agg""".stripMargin
 
+  // --- TF-IDF keyword extraction (per-document top-3 terms) -----------------
+  //
+  // The classic document-keyword operator, idf'd with the ln-free Okapi
+  // numerator (N − df + 0.5)/(df + 0.5) — monotone in the usual log-idf, so
+  // the RANKING is identical, while staying inside the IEEE primitives both
+  // engines execute bit-identically (the q_collocations discipline). Plan:
+  // one (doc, term) tf agg (persisted — it feeds the df agg AND the score
+  // join), a vocabulary-sized df join on the term key (linear), the corpus
+  // count as a broadcast 1-row crossJoin, then a per-document window whose
+  // rank<=3 cut pushes map-side as a WindowGroupLimit — the window is
+  // bounded by each document's vocabulary, never corpus-wide.
+  private def qTfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(simpleTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        Rounding.r(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val qTfidfKeywordsSql =
+    s"""WITH $TokensCte,
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(ts) AS term FROM toks)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    CAST(tf AS DOUBLE) * (CAST(n - df AS DOUBLE) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, term) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, term, ${Rounding.rSql("score", 4)} AS score
+       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // --- length↔token-count correlation audit ---------------------------------
+  //
+  // Pearson r between document character length and whitespace token count,
+  // per source — the corpus-stats sanity audit (a source whose length/token
+  // relationship diverges has a tokenization or extraction problem). All
+  // five moments (Σx, Σy, Σx², Σy², Σxy) are BIGINT sums — order-immune —
+  // and r is ONE final double expression over them (casts exact, mul/div/
+  // sqrt correctly rounded). Plan: a single narrow scan into a partial+
+  // final hash agg keyed on source; |sources| output rows at any corpus
+  // size. int64 bound: Σx² ≤ N·x_max² — safe to N ≈ 10¹⁰ docs at x_max
+  // 10³ chars; beyond that, shard the moment sums (q_linear_probe remedy).
+  private def qCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"),
+      col("n_chars").as("x"),
+      size(simpleTokens(col("text"))).cast("long").as("y"))
+    d.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("source"), col("n"),
+        Rounding.r(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("pearson_r"))
+      .orderBy("source")
+  }
+
+  private val qCorrelationSql =
+    s"""WITH d AS (
+       |  SELECT source, n_chars AS x,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                         s -> s <> '')) AS BIGINT) AS y
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM d GROUP BY 1)
+       |SELECT source, n,
+       |  ${Rounding.rSql(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 6)} AS pearson_r
+       |FROM m ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_tfidf_keywords" -> (qTfidfKeywords _),
+    "q_correlation" -> (qCorrelation _),
     "q_linear_probe" -> (qLinearProbe _),
     "q_probe_auc" -> (qProbeAuc _),
     "q_bpe_merges" -> (qBpeMerges _),
@@ -646,6 +843,9 @@ object CurationQueries {
     "q_semdedup" -> (qSemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_encode" -> qBpeEncodeSql,
+    "q_tfidf_keywords" -> qTfidfKeywordsSql,
+    "q_correlation" -> qCorrelationSql,
     "q_linear_probe" -> qLinearProbeSql,
     "q_probe_auc" -> qProbeAucSql,
     "q_bpe_merges" -> qBpeMergesSql,

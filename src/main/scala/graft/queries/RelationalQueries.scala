@@ -266,6 +266,62 @@ object RelationalQueries {
       |event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- per-type z-score anomaly detection over the events stream table.
+  //
+  // The standard telemetry outlier gate (flag value > μ + 3σ within each
+  // event type) under the repo's cross-engine float discipline: values
+  // quantize to integer millis (⌊v·10³+0.5⌋) so the per-type moments
+  // (n, Σv, Σv²) are BIGINT sums — accumulation-order-immune — and μ/σ/z
+  // derive from ONE double expression over those integers that both
+  // engines execute in the same IEEE order (casts exact, div/sqrt
+  // correctly rounded). Plan: a tiny partial+final hash agg (|event
+  // types| rows) BROADCAST back onto a narrow pruned scan — the fact
+  // side never shuffles, so the job is one linear pass at any scale.
+  // int64 bound: Σv² ≤ N·(10³·v_max)²; at v_max ≈ 10³ that is safe to
+  // ~9M rows per type — larger corpora quantize coarser or pre-shard
+  // the moment sums (same remedy as q_linear_probe).
+  private def qAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n").cast("double")) / col("n").cast("double")).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(col("v").cast("double") > col("mu") + lit(3.0) * col("sigma"))
+      .select(col("event_id"), col("event_type"), col("v").as("value_millis"),
+        Rounding.r((col("v").cast("double") - col("mu")) / col("sigma"), 4)
+          .as("z"))
+      .orderBy("event_id")
+  }
+
+  private val qAnomalyZscoreSql =
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type,
+       |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
+       |  FROM ev GROUP BY 1),
+       |mu AS (
+       |  SELECT event_type,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    sqrt((CAST(s2 AS DOUBLE) -
+       |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        / CAST(n AS DOUBLE)) AS sigma
+       |  FROM st)
+       |SELECT event_id, ev.event_type, v AS value_millis,
+       |  ${Rounding.rSql("(CAST(v AS DOUBLE) - mu) / sigma", 4)} AS z
+       |FROM ev JOIN mu ON ev.event_type = mu.event_type
+       |WHERE CAST(v AS DOUBLE) > mu + 3.0 * sigma
+       |ORDER BY event_id""".stripMargin
+
   // --- page-proximity range join (J4): |page_a - page_b| <= 1, executed
   // as an expand-to-equi join (explode to p-1..p+1) so it scales as a
   // hash join instead of a broadcast-nested-loop theta join
@@ -903,6 +959,7 @@ object RelationalQueries {
     "q_catalog_stats" -> (qCatalogStats _),
     "q_minmax_norm" -> (qMinmaxNorm _),
     "q_events_window" -> (qEventsWindow _),
+    "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_page_range_join" -> (qPageRangeJoin _),
     "q_range_join_rule" -> (qRangeJoinRule _),
     "q_asof_join" -> (qAsofJoin _),
@@ -938,6 +995,7 @@ object RelationalQueries {
     "q_catalog_stats" -> qCatalogStatsSql,
     "q_minmax_norm" -> qMinmaxNormSql,
     "q_events_window" -> qEventsWindowSql,
+    "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_page_range_join" -> qPageRangeJoinSql,
     "q_range_join_rule" -> qRangeJoinRuleSql,
     "q_asof_join" -> qAsofJoinSql,

@@ -366,4 +366,39 @@ class PlanGuardSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"),
       s"pair stage must be a cell equi-join:\n${p.take(3000)}")
   }
+
+  test("q_anomaly_zscore broadcasts the per-type moments — the fact side never shuffles") {
+    val p = plan("q_anomaly_zscore")
+    // |event types| stat rows ride a broadcast back onto the narrow scan;
+    // the events side must see no Exchange at all (one linear pass)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("props"), s"props column not pruned:\n$scanLine")
+  }
+
+  test("q_tfidf_keywords windows per document with a pushed group limit") {
+    val p = plan("q_tfidf_keywords")
+    // the rank<=3 cut must push map-side (WindowGroupLimit) and the
+    // window must be doc-partitioned, never corpus-wide
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000)) // 1-row N
+  }
+
+  test("q_correlation is one partial+final moment aggregation") {
+    val p = plan("q_correlation")
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Window"), s"no window belongs here:\n${p.take(3000)}")
+  }
+
+  test("q_bpe_encode applies merges via broadcast and joins the vocab on its key") {
+    val p = plan("q_bpe_encode")
+    // each merge round = broadcast 1-row pair (BNLJ); the corpus join-back
+    // is an equi-join on the word key
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000)) // argmax pair
+  }
 }
