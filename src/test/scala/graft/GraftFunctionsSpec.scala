@@ -305,4 +305,42 @@ class GraftFunctionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graft_chunks generator matches Chunker.splitTextWithOverlap over real docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    docs.toDF("doc_id", "text").createOrReplaceTempView("gen_docs")
+    val rows = spark.sql(
+      """SELECT doc_id, c.chunk_index, c.content, c.start, c.end
+        |FROM gen_docs LATERAL VIEW graft_chunks(text, 120, 20) c""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
+      .toSeq.sortBy(x => (x._1, x._2))
+    val want = docs.flatMap { case (id, text) =>
+      Chunker.splitTextWithOverlap(text, 120, 20).zipWithIndex.map {
+        case (c, i) => (id, i, c.content, c.start, c.end)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(rows == want)
+    // null text generates zero rows, like explode of an empty array
+    val nullRows = spark.sql(
+      "SELECT c.* FROM (SELECT CAST(NULL AS STRING) AS text) " +
+        "LATERAL VIEW graft_chunks(text) c").collect()
+    assert(nullRows.isEmpty)
+  }
+
+  test("graft_chunks validates size/overlap at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT c.* FROM (SELECT 'abc' AS text) " +
+        "LATERAL VIEW graft_chunks(text, 50, 50) c").collect()
+    }
+    assert(e.getMessage.contains("overlap"), e.getMessage)
+    // 1-arg form uses the reference defaults (512/50) and analyzes fine
+    val ok = spark.sql("SELECT c.content FROM (SELECT 'Short text.' AS text) " +
+      "LATERAL VIEW graft_chunks(text) c").collect()
+    assert(ok.map(_.getString(0)).toSeq ==
+      Chunker.splitTextWithOverlap("Short text.").map(_.content))
+  }
 }
