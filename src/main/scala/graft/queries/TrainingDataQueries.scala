@@ -344,6 +344,74 @@ object TrainingDataQueries {
        |  CAST(max(node) AS BIGINT) AS max_doc
        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- triangle counting over the near-dup candidate graph ------------------
+  //
+  // The graph-analytics step past connected components: per-document
+  // triangle participation over the LSH candidate graph measures how
+  // CLIQUE-LIKE a near-dup neighborhood is (true duplicate groups close
+  // their triangles; chains of borderline pairs don't — the standard
+  // cluster-quality audit before collapsing a component to one survivor).
+  // Skew-proof by DEGREE-ORDERED ORIENTATION (Schank & Wagner 2005):
+  // each edge directs from its (degree, id)-smaller endpoint, so the
+  // wedge self-join costs Σ d_out² with d_out = O(√m) REGARDLESS of how
+  // hot the hottest vertex is — a celebrity node's million neighbors
+  // orient INTO it, never out. Each triangle then has exactly one vertex
+  // with both out-edges, so closure-counting is exact with no /3 fixup.
+  // Plan: degree agg + two vocabulary-sized equi-joins + the oriented
+  // wedge join + a semi-join closure against the canonical edge list —
+  // every shuffle keyed and linear in wedges.
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashCandidates(bigramShingles(s, dir)).persist()
+    val deg = edges.select(col("doc_a").as("v"))
+      .unionAll(edges.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // doc_a < doc_b by construction, so the da == db tie orients a → b:
+    // orientation is by the total order (degree, id) — acyclic
+    val oriented = edges
+      .join(deg.toDF("doc_a", "da"), "doc_a")
+      .join(deg.toDF("doc_b", "db"), "doc_b")
+      .select(
+        when(col("da") <= col("db"), col("doc_a")).otherwise(col("doc_b")).as("u"),
+        when(col("da") <= col("db"), col("doc_b")).otherwise(col("doc_a")).as("w"))
+      .persist()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("a"), col("e1.w").as("b"), col("e2.w").as("c"))
+      .join(edges,
+        col("b") === col("doc_a") && col("c") === col("doc_b"), "left_semi")
+    tri.select(col("a").as("v"))
+      .unionAll(tri.select(col("b").as("v")))
+      .unionAll(tri.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+      .select(col("v").as("doc_id"), col("tri"))
+      .orderBy(desc("tri"), col("doc_id"))
+      .limit(10)
+  }
+
+  private def qTrianglesSql: String =
+    s"""WITH $minhashCandCtes,
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT doc_a AS v FROM cand UNION ALL SELECT doc_b FROM cand)
+       |  GROUP BY 1),
+       |oriented AS (
+       |  SELECT CASE WHEN x.d <= y.d THEN doc_a ELSE doc_b END AS u,
+       |         CASE WHEN x.d <= y.d THEN doc_b ELSE doc_a END AS w
+       |  FROM cand JOIN deg x ON cand.doc_a = x.v
+       |            JOIN deg y ON cand.doc_b = y.v),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.w AS b, e2.w AS c
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.u = e2.u AND e1.w < e2.w
+       |  WHERE EXISTS (SELECT 1 FROM cand
+       |                WHERE cand.doc_a = e1.w AND cand.doc_b = e2.w))
+       |SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS tri FROM (
+       |  SELECT a AS v FROM tri UNION ALL
+       |  SELECT b FROM tri UNION ALL
+       |  SELECT c FROM tri)
+       |GROUP BY 1 ORDER BY tri DESC, doc_id LIMIT 10""".stripMargin
+
   // --- SimHash (31-bit, token tf-weighted) ----------------------------------
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -2814,6 +2882,7 @@ object TrainingDataQueries {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_triangles" -> (qTriangles _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
@@ -2861,6 +2930,7 @@ object TrainingDataQueries {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_triangles" -> qTrianglesSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,

@@ -367,6 +367,16 @@ class PlanGuardSpec extends AnyFunSuite {
       s"pair stage must be a cell equi-join:\n${p.take(3000)}")
   }
 
+  test("q_triangles closes wedges with keyed joins — semi-join closure, no cartesian") {
+    val p = plan("q_triangles")
+    // the wedge stage must be an equi-join on the oriented source vertex
+    // (the e1.w < e2.w bound rides as a post-join filter), and the
+    // triangle closure a LeftSemi against the canonical edge list
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_anomaly_zscore broadcasts the per-type moments — the fact side never shuffles") {
     val p = plan("q_anomaly_zscore")
     // |event types| stat rows ride a broadcast back onto the narrow scan;
