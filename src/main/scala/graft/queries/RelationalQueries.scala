@@ -266,6 +266,42 @@ object RelationalQueries {
       |event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- frame-spec moving window over the events stream (ROWS BETWEEN).
+  //
+  // The one window shape the battery lacked: an explicit ROWS frame —
+  // per-user trailing 3-event sum/count over the time axis (the
+  // smoothing/telemetry primitive). Values quantize to integer millis so
+  // the frame sum is BIGINT (exact cross-engine); ordering ties break by
+  // event_id so both engines see one frame assignment. The window is
+  // USER-partitioned — bounded state per key, parallel across keys; a
+  // WindowExec whose frame is ROWS-bounded holds at most 3 rows of state
+  // per partition stream at any history length.
+  private def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      .withColumn("mov_sum", sum("v").over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .drop("ts")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val qMovingAvgSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE user_id < 50)
+      |SELECT user_id, event_id, v,
+      |  CAST(sum(v) OVER w AS BIGINT) AS mov_sum,
+      |  CAST(count(*) OVER w AS BIGINT) AS mov_n
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // --- per-type z-score anomaly detection over the events stream table.
   //
   // The standard telemetry outlier gate (flag value > μ + 3σ within each
@@ -960,6 +996,7 @@ object RelationalQueries {
     "q_minmax_norm" -> (qMinmaxNorm _),
     "q_events_window" -> (qEventsWindow _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
+    "q_moving_avg" -> (qMovingAvg _),
     "q_page_range_join" -> (qPageRangeJoin _),
     "q_range_join_rule" -> (qRangeJoinRule _),
     "q_asof_join" -> (qAsofJoin _),
@@ -996,6 +1033,7 @@ object RelationalQueries {
     "q_minmax_norm" -> qMinmaxNormSql,
     "q_events_window" -> qEventsWindowSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
+    "q_moving_avg" -> qMovingAvgSql,
     "q_page_range_join" -> qPageRangeJoinSql,
     "q_range_join_rule" -> qRangeJoinRuleSql,
     "q_asof_join" -> qAsofJoinSql,

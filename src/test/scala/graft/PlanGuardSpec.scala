@@ -367,6 +367,15 @@ class PlanGuardSpec extends AnyFunSuite {
       s"pair stage must be a cell equi-join:\n${p.take(3000)}")
   }
 
+  test("q_moving_avg frames a user-partitioned ROWS window over a pruned scan") {
+    val p = plan("q_moving_avg")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(3000))
+    assert(p.contains("specifiedwindowframe(RowFrame, -2, currentrow$())"),
+      p.take(3000))
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("props"), s"props column not pruned:\n$scanLine")
+  }
+
   test("q_triangles closes wedges with keyed joins — semi-join closure, no cartesian") {
     val p = plan("q_triangles")
     // the wedge stage must be an equi-join on the oriented source vertex
