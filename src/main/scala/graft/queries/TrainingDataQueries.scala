@@ -360,8 +360,13 @@ object TrainingDataQueries {
   // Plan: degree agg + two vocabulary-sized equi-joins + the oriented
   // wedge join + a semi-join closure against the canonical edge list —
   // every shuffle keyed and linear in wedges.
-  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = minhashCandidates(bigramShingles(s, dir)).persist()
+  /** Per-vertex triangle counts over a canonical edge list
+    * (`doc_a < doc_b`, no duplicates). Degree-ordered orientation, so the
+    * wedge join is Σd_out² with d_out = O(√m) at any vertex skew; each
+    * triangle has exactly one both-out-edges vertex (exact count, no /3).
+    * Public for the randomized brute-force parity fuzz.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("doc_a").as("v"))
       .unionAll(edges.select(col("doc_b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -385,9 +390,12 @@ object TrainingDataQueries {
       .unionAll(tri.select(col("c").as("v")))
       .groupBy("v").agg(count(lit(1)).as("tri"))
       .select(col("v").as("doc_id"), col("tri"))
+  }
+
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(minhashCandidates(bigramShingles(s, dir)).persist())
       .orderBy(desc("tri"), col("doc_id"))
       .limit(10)
-  }
 
   private def qTrianglesSql: String =
     s"""WITH $minhashCandCtes,
