@@ -840,6 +840,51 @@ object RelationalQueries {
     * the expansion is absorbed map-side — no extra shuffle vs a flat
     * group-by at any scale.
     */
+  // --- CUBE over (lang, source) — all four grouping sets in one pass.
+  // Completes the grouping-sets family next to q_rollup: Catalyst plans
+  // one Expand (4 replicas tagged by gid) into a single partial+final
+  // hash agg — never four separate scans. Ordering by gid first keeps
+  // the per-set NULL pattern constant within each sort group, so Spark's
+  // NULLS FIRST and DuckDB's NULLS LAST defaults can never disagree.
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube("lang", "source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .select("lang", "source", "gid", "n_docs", "sum_chars")
+      .orderBy("gid", "lang", "source")
+
+  private val qCubeSql =
+    """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY 3, 1, 2""".stripMargin
+
+  // --- null-safe equi-join (<=> / IS NOT DISTINCT FROM).
+  // The null-semantics corner every SQL engine must pin down: NULL keys
+  // MATCH each other under null-safe equality (a plain equi-join drops
+  // them silently). NULLs are synthesized deterministically with
+  // nullif(), and EqualNullSafe is a first-class hash-join key in
+  // Catalyst — this plans a keyed join, not a filter over a cross.
+  private def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), nullif(col("lang"), lit("de")).as("lg"))
+      .as("d")
+    val stats = d.groupBy("lg").agg(count(lit(1)).as("n_in_lang")).as("st")
+    d.join(stats, col("d.lg") <=> col("st.lg"))
+      .select(col("d.doc_id"), col("d.lg"), col("st.n_in_lang"))
+      .filter(col("doc_id") < 100)
+      .orderBy("doc_id")
+  }
+
+  private val qNullSafeJoinSql =
+    """WITH d AS (
+      |  SELECT doc_id, nullif(lang, 'de') AS lg FROM documents),
+      |stats AS (SELECT lg, count(*) AS n_in_lang FROM d GROUP BY 1)
+      |SELECT d.doc_id, d.lg, stats.n_in_lang
+      |FROM d JOIN stats ON d.lg IS NOT DISTINCT FROM stats.lg
+      |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin
+
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .rollup("lang", "source")
@@ -985,6 +1030,8 @@ object RelationalQueries {
     "q_set_ops" -> (qSetOps _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_null_safe_join" -> (qNullSafeJoin _),
     "q1_agg" -> (q1Agg _),
     "q_topk_docs" -> (qTopkDocs _),
     "q_window_dedup" -> (qWindowDedup _),
@@ -1022,6 +1069,8 @@ object RelationalQueries {
     "q_set_ops" -> qSetOpsSql,
     "q_interval_join" -> qIntervalJoinSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_null_safe_join" -> qNullSafeJoinSql,
     "q1_agg" -> q1AggSql,
     "q_topk_docs" -> qTopkDocsSql,
     "q_window_dedup" -> qWindowDedupSql,

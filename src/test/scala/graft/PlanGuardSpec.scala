@@ -367,6 +367,23 @@ class PlanGuardSpec extends AnyFunSuite {
       s"pair stage must be a cell equi-join:\n${p.take(3000)}")
   }
 
+  test("q_cube plans one Expand into a single partial+final agg — not four scans") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"cube must read the table once:\n${p.take(3000)}")
+  }
+
+  test("q_null_safe_join keys the join on null-safe equality — no nested loop") {
+    val p = plan("q_null_safe_join")
+    // EqualNullSafe is a first-class hash/sort-merge join key in Catalyst
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe join fell back to a nested loop:\n${p.take(3000)}")
+  }
+
   test("q_moving_avg frames a user-partitioned ROWS window over a pruned scan") {
     val p = plan("q_moving_avg")
     assert(p.contains("windowspecdefinition(user_id"), p.take(3000))
