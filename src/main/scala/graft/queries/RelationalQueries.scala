@@ -302,6 +302,42 @@ object RelationalQueries {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // --- RANGE-frame window: per-user trailing one-hour sum.
+  //
+  // The VALUE-framed sibling of q_moving_avg's ROWS frame: the frame is
+  // "all events of this user in the last 3600 seconds", expressed on
+  // epoch seconds so both engines run the same numeric RANGE frame.
+  // RANGE frames include PEERS (equal order keys share one frame), so
+  // the result is tie-order-proof by construction — no tie-break column
+  // needed, unlike ROWS. Same scale shape: user-partitioned window,
+  // state bounded by the hour's event count per key.
+  private def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-3600L, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      .withColumn("hour_sum", sum("v").over(w))
+      .withColumn("hour_n", count(lit(1)).over(w))
+      .select("user_id", "event_id", "v", "hour_sum", "hour_n")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val qRangeFrameSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch(ts)::BIGINT AS es,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE user_id < 50)
+      |SELECT user_id, event_id, v,
+      |  CAST(sum(v) OVER w AS BIGINT) AS hour_sum,
+      |  CAST(count(*) OVER w AS BIGINT) AS hour_n
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // --- per-type z-score anomaly detection over the events stream table.
   //
   // The standard telemetry outlier gate (flag value > μ + 3σ within each
@@ -1044,6 +1080,7 @@ object RelationalQueries {
     "q_events_window" -> (qEventsWindow _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_moving_avg" -> (qMovingAvg _),
+    "q_range_frame" -> (qRangeFrame _),
     "q_page_range_join" -> (qPageRangeJoin _),
     "q_range_join_rule" -> (qRangeJoinRule _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1083,6 +1120,7 @@ object RelationalQueries {
     "q_events_window" -> qEventsWindowSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_moving_avg" -> qMovingAvgSql,
+    "q_range_frame" -> qRangeFrameSql,
     "q_page_range_join" -> qPageRangeJoinSql,
     "q_range_join_rule" -> qRangeJoinRuleSql,
     "q_asof_join" -> qAsofJoinSql,

@@ -367,6 +367,14 @@ class PlanGuardSpec extends AnyFunSuite {
       s"pair stage must be a cell equi-join:\n${p.take(3000)}")
   }
 
+  test("q_range_frame runs a user-partitioned RANGE frame over a pruned scan") {
+    val p = plan("q_range_frame")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(3000))
+    assert(p.contains("specifiedwindowframe(RangeFrame, -3600"), p.take(3000))
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("props"), s"props column not pruned:\n$scanLine")
+  }
+
   test("q_cube plans one Expand into a single partial+final agg — not four scans") {
     val p = plan("q_cube")
     assert(p.contains("Expand"), p.take(3000))
