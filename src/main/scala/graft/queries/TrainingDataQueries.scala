@@ -2076,6 +2076,140 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- KMV sketch SET ALGEBRA (union / intersection estimates) --------------
+  //
+  // The property that makes sketches the 100 TB tool is MERGEABILITY:
+  // two sources' k-min sketches combine into the union's sketch without
+  // touching the raw data again (merge the two k-min lists, re-take the
+  // k smallest), and inclusion–exclusion then prices the intersection
+  // (est_inter = estA + estB − estU — the standard KMV set-algebra
+  // recipe). Everything derives from the shared md5-prefix hash and
+  // integer selection, so the ESTIMATES are oracle-checked exactly, next
+  // to the exact truths. Pairs are confined to the 3 lexicographically
+  // smallest sources (a deterministic, corpus-size-independent choice);
+  // per-pair state is ≤ 2k sketch rows — merging costs O(k log k)
+  // whatever the corpus size, which is the point.
+  private def qKmvAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val denom = math.pow(2.0, 4.0 * KmvHexLen)
+    def est(hk: Column, kk: Column): Column =
+      when(kk < KmvK, kk.cast("double"))
+        .otherwise(lit(KmvK - 1) / (hk / denom))
+    // item domain = bigram shingles (the unigram vocab of the synthetic
+    // corpus is a few dozen tokens — below k, where the sketch would
+    // degenerate to exact counting; bigrams give ~10k-scale sets so the
+    // (k-1)/max_k estimator branch is genuinely exercised)
+    val toks = t(s, dir, "documents")
+      .select(col("source"), simpleTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))"))
+        .as("tok"))
+    val srcs = toks.select("source").distinct()
+      .orderBy("source").limit(3).persist()
+    val st = toks.join(broadcast(srcs), "source")
+      .select("source", "tok").distinct().persist()
+    val mins = st
+      .select(col("source"), md5Sid(col("tok"), KmvHexLen).as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .select("source", "h").persist()
+    val perSrc = mins.groupBy("source")
+      .agg(max("h").as("hk"), count(lit(1)).as("kk"))
+    val pairs = srcs.toDF("sa")
+      .join(srcs.toDF("sb"), col("sa") < col("sb")).persist()
+    // merged union sketch: k smallest of the two k-min lists
+    val uRows = pairs.join(mins.toDF("sa", "h"), "sa")
+      .unionByName(pairs.join(mins.toDF("sb", "h"), "sb").select("sa", "sb", "h"))
+      .select("sa", "sb", "h").distinct()
+    val uk = uRows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sa", "sb").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .groupBy("sa", "sb").agg(max("h").as("hku"), count(lit(1)).as("kku"))
+    // exact truths per pair
+    val exactU = pairs.join(st.toDF("sa", "tok"), "sa")
+      .unionByName(pairs.join(st.toDF("sb", "tok"), "sb").select("sa", "sb", "tok"))
+      .groupBy("sa", "sb").agg(countDistinct("tok").as("exact_union"))
+    val exactI = st.toDF("sa", "tok")
+      .join(st.toDF("sb", "tok"), Seq("tok"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("exact_inter"))
+    uk.join(perSrc.toDF("sa", "hka", "kka"), "sa")
+      .join(perSrc.toDF("sb", "hkb", "kkb"), "sb")
+      .join(exactU, Seq("sa", "sb"))
+      .join(exactI, Seq("sa", "sb"), "left").na.fill(0, Seq("exact_inter"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("exact_union"), col("exact_inter"),
+        Rounding.r(est(col("hku"), col("kku")), 4).as("est_union"),
+        Rounding.r(est(col("hka"), col("kka")) + est(col("hkb"), col("kkb"))
+          - est(col("hku"), col("kku")), 4).as("est_inter"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val qKmvAlgebraSql = {
+    val denom = BigDecimal(math.pow(2.0, 4.0 * KmvHexLen)).toBigInt.toString
+    def est(hk: String, kk: String): String =
+      s"CASE WHEN $kk < $KmvK THEN $kk::DOUBLE ELSE (${KmvK - 1}) / ($hk / $denom.0) END"
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_transform(generate_series(1, len(ts)-1),
+       |    i -> ts[i] || ' ' || ts[i+1])) AS tok
+       |  FROM (SELECT source,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |            x -> x <> '') AS ts
+       |        FROM documents)
+       |  WHERE len(ts) >= 2),
+       |srcs AS (
+       |  SELECT source FROM (SELECT DISTINCT source FROM toks)
+       |  ORDER BY source LIMIT 3),
+       |st AS (
+       |  SELECT DISTINCT source, tok FROM toks JOIN srcs USING (source)),
+       |mins AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT source, ${md5SidSql("tok", KmvHexLen)} AS h FROM st))
+       |  WHERE rn <= $KmvK),
+       |persrc AS (SELECT source, max(h) AS hk, count(*) AS kk FROM mins GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |u AS (
+       |  SELECT DISTINCT sa, sb, h FROM (
+       |    SELECT pairs.sa, pairs.sb, mins.h FROM pairs
+       |      JOIN mins ON mins.source = pairs.sa
+       |    UNION ALL
+       |    SELECT pairs.sa, pairs.sb, mins.h FROM pairs
+       |      JOIN mins ON mins.source = pairs.sb)),
+       |uk AS (
+       |  SELECT sa, sb, max(h) AS hku, count(*) AS kku FROM (
+       |    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |    FROM u) WHERE rn <= $KmvK GROUP BY 1, 2),
+       |eu AS (
+       |  SELECT sa, sb, CAST(count(DISTINCT tok) AS BIGINT) AS exact_union FROM (
+       |    SELECT pairs.sa, pairs.sb, st.tok FROM pairs
+       |      JOIN st ON st.source = pairs.sa
+       |    UNION ALL
+       |    SELECT pairs.sa, pairs.sb, st.tok FROM pairs
+       |      JOIN st ON st.source = pairs.sb)
+       |  GROUP BY 1, 2),
+       |ei AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |    CAST(count(*) AS BIGINT) AS exact_inter
+       |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT uk.sa AS src_a, uk.sb AS src_b, eu.exact_union,
+       |  COALESCE(ei.exact_inter, 0) AS exact_inter,
+       |  floor((${est("uk.hku", "uk.kku")}) * 1e4 + 0.5) / 1e4 AS est_union,
+       |  floor((${est("pa.hk", "pa.kk")} + ${est("pb.hk", "pb.kk")}
+       |    - ${est("uk.hku", "uk.kku")}) * 1e4 + 0.5) / 1e4 AS est_inter
+       |FROM uk
+       |JOIN persrc pa ON pa.source = uk.sa
+       |JOIN persrc pb ON pb.source = uk.sb
+       |JOIN eu ON eu.sa = uk.sa AND eu.sb = uk.sb
+       |LEFT JOIN ei ON ei.sa = uk.sa AND ei.sb = uk.sb
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // --- HLL distinct-count sketch --------------------------------------------
   //
   // HyperLogLog register sketch of the distinct-token count per source —
@@ -2891,6 +3025,7 @@ object TrainingDataQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
+    "q_kmv_algebra" -> (qKmvAlgebra _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
@@ -2939,6 +3074,7 @@ object TrainingDataQueries {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
+    "q_kmv_algebra" -> qKmvAlgebraSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,

@@ -411,6 +411,15 @@ class PlanGuardSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_kmv_algebra merges sketches under partitioned windows with a broadcast source cut") {
+    val p = plan("q_kmv_algebra")
+    // per-source and per-pair k-min selections are PARTITIONED windows
+    assert(p.contains("windowspecdefinition(source"), p.take(3000))
+    assert(p.contains("windowspecdefinition(sa"), p.take(3000))
+    // the 3-source restriction rides a broadcast join to the shingle pass
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_anomaly_zscore broadcasts the per-type moments — the fact side never shuffles") {
     val p = plan("q_anomaly_zscore")
     // |event types| stat rows ride a broadcast back onto the narrow scan;
