@@ -2294,6 +2294,113 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- HLL SET ALGEBRA: union via elementwise register max ------------------
+  //
+  // The HLL half of the sketch-algebra pair (q_kmv_algebra covers KMV):
+  // the union of two sets' HLL sketches is EXACTLY the elementwise max of
+  // their registers — the same merge the native `graft_hll` aggregate
+  // executes in its merge() — so |A ∪ B| estimates from per-source
+  // sketches with no second pass over raw data. Same bigram item domain
+  // and 3-source restriction as q_kmv_algebra (cardinalities well above
+  // the register count's degenerate zone), exact truths certified
+  // alongside. Per-pair state is m=256 register rows; the union costs a
+  // (pair, bucket)-keyed max — O(m) per pair at any corpus size.
+  private def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7213 / (1 + 1.079 / HllM)
+    val num = alpha * HllM * HllM * (1L << HllMaxRho).toDouble
+    val toks = t(s, dir, "documents")
+      .select(col("source"), simpleTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))"))
+        .as("tok"))
+    val srcs = toks.select("source").distinct()
+      .orderBy("source").limit(3).persist()
+    val st = toks.join(broadcast(srcs), "source").persist()
+    val regs = st
+      .select(col("source"), md5Sid(col("tok"), HllHexLen).as("h"))
+      .select(col("source"), pmod(col("h"), lit(HllM)).as("bucket"),
+        expr(s"h div $HllM").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(HllMaxRho))
+          .otherwise(lit(HllMaxRho) - length(bin(col("w")))))
+      .groupBy("source", "bucket").agg(max("rho").as("mj"))
+      .persist()
+    val pairs = srcs.toDF("sa")
+      .join(srcs.toDF("sb"), col("sa") < col("sb")).persist()
+    val uregs = pairs.join(regs.toDF("sa", "bucket", "mj"), "sa")
+      .unionByName(pairs.join(regs.toDF("sb", "bucket", "mj"), "sb")
+        .select("sa", "sb", "bucket", "mj"))
+      .groupBy("sa", "sb", "bucket").agg(max("mj").as("mj"))
+    val usums = uregs.groupBy("sa", "sb")
+      .agg(sum(expr(s"shiftleft(1L, cast($HllMaxRho - mj AS int))")).as("occ"),
+        count(lit(1)).as("nocc"))
+    val exactU = pairs.join(st.toDF("sa", "tok"), "sa")
+      .unionByName(pairs.join(st.toDF("sb", "tok"), "sb").select("sa", "sb", "tok"))
+      .groupBy("sa", "sb").agg(countDistinct("tok").as("exact_union"))
+    usums.join(exactU, Seq("sa", "sb"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"), col("exact_union"),
+        Rounding.r(lit(num) /
+          (col("occ") + (lit(HllM.toLong) - col("nocc")) * lit(1L << HllMaxRho))
+            .cast("double"), 4).as("est_union"),
+        (lit(HllM.toLong) - col("nocc")).as("zero_registers"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val qHllUnionSql = {
+    val alpha = 0.7213 / (1 + 1.079 / HllM)
+    val num = alpha * HllM * HllM * (1L << HllMaxRho).toDouble
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_transform(generate_series(1, len(ts)-1),
+       |    i -> ts[i] || ' ' || ts[i+1])) AS tok
+       |  FROM (SELECT source,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |            x -> x <> '') AS ts
+       |        FROM documents)
+       |  WHERE len(ts) >= 2),
+       |srcs AS (
+       |  SELECT source FROM (SELECT DISTINCT source FROM toks)
+       |  ORDER BY source LIMIT 3),
+       |st AS (SELECT source, tok FROM toks JOIN srcs USING (source)),
+       |regs AS (
+       |  SELECT source, h % $HllM AS bucket,
+       |    max(CASE WHEN h // $HllM = 0 THEN $HllMaxRho
+       |      ELSE $HllMaxRho - length(bin(h // $HllM)) END) AS mj
+       |  FROM (SELECT source, ${md5SidSql("tok", HllHexLen)} AS h FROM st)
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |uregs AS (
+       |  SELECT sa, sb, bucket, max(mj) AS mj FROM (
+       |    SELECT pairs.sa, pairs.sb, regs.bucket, regs.mj FROM pairs
+       |      JOIN regs ON regs.source = pairs.sa
+       |    UNION ALL
+       |    SELECT pairs.sa, pairs.sb, regs.bucket, regs.mj FROM pairs
+       |      JOIN regs ON regs.source = pairs.sb)
+       |  GROUP BY 1, 2, 3),
+       |usums AS (
+       |  SELECT sa, sb,
+       |    CAST(sum(1::BIGINT << CAST($HllMaxRho - mj AS INT)) AS BIGINT) AS occ,
+       |    count(*) AS nocc
+       |  FROM uregs GROUP BY 1, 2),
+       |eu AS (
+       |  SELECT sa, sb, CAST(count(DISTINCT tok) AS BIGINT) AS exact_union FROM (
+       |    SELECT pairs.sa, pairs.sb, st.tok FROM pairs
+       |      JOIN st ON st.source = pairs.sa
+       |    UNION ALL
+       |    SELECT pairs.sa, pairs.sb, st.tok FROM pairs
+       |      JOIN st ON st.source = pairs.sb)
+       |  GROUP BY 1, 2)
+       |SELECT usums.sa AS src_a, usums.sb AS src_b, eu.exact_union,
+       |  ${Rounding.rSql(
+             s"$num / CAST(occ + ($HllM - nocc) * (1::BIGINT << $HllMaxRho) AS DOUBLE)", 4)}
+       |    AS est_union,
+       |  CAST($HllM - nocc AS BIGINT) AS zero_registers
+       |FROM usums JOIN eu ON eu.sa = usums.sa AND eu.sb = usums.sb
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // --- HLL as a NATIVE AGGREGATE (TypedImperativeAggregate) -----------------
   //
   // The same register math as `q_hll_sketch`, but computed by the custom
@@ -3026,6 +3133,7 @@ object TrainingDataQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
     "q_kmv_algebra" -> (qKmvAlgebra _),
+    "q_hll_union" -> (qHllUnion _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
@@ -3075,6 +3183,7 @@ object TrainingDataQueries {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
     "q_kmv_algebra" -> qKmvAlgebraSql,
+    "q_hll_union" -> qHllUnionSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,

@@ -420,6 +420,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_hll_union merges registers with keyed partial maxes — no distinct pass on raw data") {
+    val p = plan("q_hll_union")
+    // per-source registers and the per-pair union are partial-agg maxes;
+    // the only distinct is the exact-truth certification column
+    assert(p.contains("partial_max"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // 3-source cut
+  }
+
   test("q_anomaly_zscore broadcasts the per-type moments — the fact side never shuffles") {
     val p = plan("q_anomaly_zscore")
     // |event types| stat rows ride a broadcast back onto the narrow scan;
