@@ -420,6 +420,84 @@ object TrainingDataQueries {
        |  SELECT c FROM tri)
        |GROUP BY 1 ORDER BY tri DESC, doc_id LIMIT 10""".stripMargin
 
+  // --- PageRank over the near-dup candidate graph ---------------------------
+  //
+  // The canonical web-scale iterative graph computation (Page et al.
+  // 1999), here ranking documents by near-dup-graph centrality — a
+  // high-rank doc sits at the hub of a duplication neighborhood, the
+  // standard signal for picking the CANONICAL copy when a near-dup
+  // cluster collapses to one survivor (and, dually, for down-weighting
+  // template/boilerplate hubs in corpus curation). Damping 0.85, fixed
+  // iteration count, ALL-INTEGER fixed point (rank scaled by 1e9,
+  // contributions via integer division) so every intermediate is exact
+  // and the oracle can replay the identical arithmetic — float PageRank
+  // is schedule-dependent in its sum order and could never hash-match.
+  //
+  // Scale shape: per iteration ONE key shuffle (the contribution sum on
+  // dst) plus a state join that reuses the same hash partitioning; the
+  // symmetric edge list is persisted once and re-read per round. A hot
+  // vertex's million in-contributions collapse map-side (partial sum);
+  // its out-contributions are a 1-row state join fanned by the edge
+  // list, never a driver loop. Iterations unroll into one plan (fixed
+  // small count — no convergence check, which keeps the DuckDB twin an
+  // unrolled CTE chain rather than an unverifiable recursive fixpoint).
+
+  /** Integer-exact PageRank. `edges` = canonical undirected pairs
+    * (doc_a < doc_b); rank mass starts at `scale` per node and updates
+    * as r' = 0.15·scale + 0.85·Σ_in (r div deg), all in Long arithmetic
+    * (deterministic — no float sum-order dependence). Public for the
+    * brute-force parity fuzz.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // state carries (node, deg, r) so each round is self-contained
+    var state = deg.select(col("src").as("node"), col("deg"), lit(scale).as("r"))
+    for (_ <- 0 until iters) {
+      val contribs = sym
+        .join(state.select(col("node").as("src"), expr("r div deg").as("c")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("c").as("cin"))
+      // every node of the symmetric graph has in-edges, so inner join
+      state = deg.select(col("src").as("node"), col("deg"))
+        .join(contribs, "node")
+        .select(col("node"), col("deg"),
+          (lit(15L * scale / 100) + expr("(85 * cin) div 100")).as("r"))
+    }
+    state.select(col("node").as("doc_id"), col("r").as("rank"))
+  }
+
+  private def qPagerank(s: SparkSession, dir: String): DataFrame =
+    pageRank(minhashCandidates(bigramShingles(s, dir)).persist())
+      .orderBy(desc("rank"), col("doc_id"))
+      .limit(20)
+
+  /** DuckDB twin: the three iterations unrolled as CTEs replaying the
+    * identical integer arithmetic (`//` floor-division on positive
+    * operands == Spark `div`).
+    */
+  private def qPagerankSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT d.src AS node, d.deg,
+         |    150000000 + (85 * sum(p.r // p.deg)) // 100 AS r
+         |  FROM sym JOIN $prev p ON sym.src = p.node
+         |  JOIN deg d ON sym.dst = d.src
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH $minhashCandCtes,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |r0 AS (SELECT src AS node, deg, 1000000000 AS r FROM deg),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank
+       |FROM r3 ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // --- SimHash (31-bit, token tf-weighted) ----------------------------------
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -3132,6 +3210,7 @@ object TrainingDataQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
+    "q_pagerank" -> (qPagerank _),
     "q_kmv_algebra" -> (qKmvAlgebra _),
     "q_hll_union" -> (qHllUnion _),
     "q_simhash" -> (qSimhash _),
@@ -3182,6 +3261,7 @@ object TrainingDataQueries {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
+    "q_pagerank" -> qPagerankSql,
     "q_kmv_algebra" -> qKmvAlgebraSql,
     "q_hll_union" -> qHllUnionSql,
     "q_simhash" -> qSimhashSql,

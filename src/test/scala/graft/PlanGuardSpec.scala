@@ -411,6 +411,20 @@ class PlanGuardSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_pagerank iterates with keyed joins + partial contribution sums — no window, no cartesian") {
+    val p = plan("q_pagerank")
+    // each round's contribution sum must combine map-side (a hot vertex's
+    // in-contributions collapse before the shuffle) and the state joins
+    // must be keyed equi-joins; a window or global sort would funnel the
+    // rank vector through one task
+    assert(p.contains("partial_sum") || p.contains("partial(sum"), p.take(3000))
+    assert(!p.contains("windowspecdefinition"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    // final top-20 is distributed, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q_kmv_algebra merges sketches under partitioned windows with a broadcast source cut") {
     val p = plan("q_kmv_algebra")
     // per-source and per-pair k-min selections are PARTITIONED windows
