@@ -276,6 +276,80 @@ object RelationalQueries {
   // USER-partitioned — bounded state per key, parallel across keys; a
   // WindowExec whose frame is ROWS-bounded holds at most 3 rows of state
   // per partition stream at any history length.
+  // --- ranking-function family: ntile / percent_rank / cume_dist.
+  //
+  // The remaining SQL rank functions beyond row_number/rank (which the
+  // RRF family exercises): quartile assignment + relative-position
+  // statistics per source. The ordering key (n_chars, doc_id) is unique,
+  // so ranks are deterministic and percent_rank/cume_dist reduce to
+  // ratios of integers — one IEEE division both engines execute
+  // identically (Rounding.r belt-and-braces on top). Scale: one
+  // source-partitioned window over a text-pruned scan; no global sort.
+  private def qNtileRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", Rounding.r(percent_rank().over(w), 6))
+      .withColumn("cume", Rounding.r(cume_dist().over(w), 6))
+      .orderBy("source", "doc_id")
+  }
+
+  private val qNtileRanksSql =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+      |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+      |ORDER BY source, doc_id""".stripMargin
+
+  // --- native session windows (session_window) over the events table.
+  //
+  // The OTHER gap-sessionization surface: q_sessionize hand-builds
+  // sessions from lag + a running break sum; this is Spark's native
+  // `session_window` grouping — the form that also runs under Structured
+  // Streaming with watermark-driven state eviction. Semantics differ at
+  // the boundary: native windows break when gap ≥ 30 min (the window is
+  // [ts, ts+gap) and merging requires strict overlap), the lag form
+  // broke only on gap > 30 min — the oracle replays the native rule on
+  // exact integer microseconds. Values quantize to integer millis so
+  // the per-session sums are order-immune BIGINTs. Scale: the session
+  // merge is keyed on user_id (one linear shuffle); state per key is
+  // bounded by the session's own event count.
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    // ts is TIMESTAMP_NTZ; session TZ is UTC so the LTZ cast is identity
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp_ltz").as("tl"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+    ev.groupBy(col("user_id"), session_window(col("tl"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("v").as("total_v"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("total_v"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val qSessionWindowSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM o)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(v) AS BIGINT) AS total_v
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-2, Window.currentRow)
@@ -1080,6 +1154,8 @@ object RelationalQueries {
     "q_events_window" -> (qEventsWindow _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_moving_avg" -> (qMovingAvg _),
+    "q_ntile_ranks" -> (qNtileRanks _),
+    "q_session_window" -> (qSessionWindow _),
     "q_range_frame" -> (qRangeFrame _),
     "q_page_range_join" -> (qPageRangeJoin _),
     "q_range_join_rule" -> (qRangeJoinRule _),
@@ -1120,6 +1196,8 @@ object RelationalQueries {
     "q_events_window" -> qEventsWindowSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_moving_avg" -> qMovingAvgSql,
+    "q_ntile_ranks" -> qNtileRanksSql,
+    "q_session_window" -> qSessionWindowSql,
     "q_range_frame" -> qRangeFrameSql,
     "q_page_range_join" -> qPageRangeJoinSql,
     "q_range_join_rule" -> qRangeJoinRuleSql,
