@@ -166,6 +166,81 @@ object TrainingDataQueries {
        |WHERE floor((inter / (na.c + nb.c - inter)) * 1e5 + 0.5) / 1e5 >= 0.01
        |ORDER BY jacc DESC, doc_a, doc_b LIMIT 200""".stripMargin
 
+  // --- asymmetric shingle containment (quote / subset detection) -------------
+  //
+  // The near-dup case Jaccard DELIBERATELY misses: a short document
+  // embedded whole inside a much longer one (quoted reply, boilerplate
+  // header, excerpted article) has tiny Jaccard (|A∩B|/|A∪B| ≈ |A|/|B|)
+  // — and q_ngram_jaccard's length-decile blocking excludes exactly
+  // these pairs by design. Containment c(A,B) = |sh(A) ∩ sh(B)| /
+  // min(|sh(A)|,|sh(B)|) (Broder's max-containment) scores the smaller
+  // side's coverage instead, so a fully-quoted doc scores 1.0 at any
+  // length ratio.
+  //
+  // Scale shape: same df-capped inverted-index self-join as the Jaccard
+  // plan (cost Σdf² with df capped at max(20, N/20)), blocked on lang
+  // only — length blocking is semantically wrong here. The per-pair
+  // intersection count is one partial+final agg; sizes join back from a
+  // broadcast-sized per-doc count table.
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), simpleTokens(col("text")).as("ts"), col("lang"))
+    val sh0 = docs
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
+          .as("tok"))
+      .persist()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val capped = sh0.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(20), col("n_docs") / 20))
+      .select("tok")
+    val sh = sh0.join(broadcast(capped), Seq("tok"), "left_anti")
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+      .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+      .withColumn("containment",
+        Rounding.r(col("inter") / least(col("ca"), col("cb")), 5))
+      .filter(col("containment") >= 0.5)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  private val qContainmentSql =
+    s"""WITH toksb AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
+       |  FROM toksb WHERE len(ts) >= 2),
+       |nd AS (SELECT count(*) AS n_docs FROM toksb),
+       |capped AS (
+       |  SELECT tok FROM sh0 CROSS JOIN nd GROUP BY tok, n_docs
+       |  HAVING count(*) > greatest(20, n_docs / 20)),
+       |sh AS (SELECT * FROM sh0 WHERE tok NOT IN (SELECT tok FROM capped)),
+       |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.lang = b.lang
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  floor((inter / least(na.c, nb.c)) * 1e5 + 0.5) / 1e5 AS containment
+       |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+       |WHERE floor((inter / least(na.c, nb.c)) * 1e5 + 0.5) / 1e5 >= 0.5
+       |ORDER BY containment DESC, doc_a, doc_b LIMIT 200""".stripMargin
+
   // --- MinHash + LSH banding (token-level) ----------------------------------
 
   private val HashA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
@@ -500,7 +575,10 @@ object TrainingDataQueries {
 
   // --- SimHash (31-bit, token tf-weighted) ----------------------------------
 
-  private def qSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 31-bit SimHash signatures — shared by `q_simhash` and the
+    * banded Hamming join `q_simhash_hamming`.
+    */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val toks = sparkToks(s, dir)
     val tf = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -518,11 +596,14 @@ object TrainingDataQueries {
     hashed.groupBy("doc_id")
       .agg(weightCols.head, weightCols.tail: _*)
       .select(col("doc_id"), simhashExpr.as("simhash"))
-      .orderBy("doc_id")
   }
 
-  private val qSimhashSql =
-    s"""WITH $TokensCte,
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashDf(s, dir).orderBy("doc_id")
+
+  /** DuckDB twin of [[simhashDf]]: CTE chain ending in `sh(doc_id, simhash)`. */
+  private val SimhashCtes =
+    s"""$TokensCte,
        |tf AS (
        |  SELECT doc_id, tok, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
@@ -533,11 +614,73 @@ object TrainingDataQueries {
        |w AS (
        |  SELECT doc_id, j, sum(tf * (((h // (1::BIGINT << j)) % 2) * 2 - 1)) AS w
        |  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS j)
-       |  GROUP BY 1, 2)
-       |SELECT doc_id,
-       |  CAST(sum(CASE WHEN w > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
-       |    AS simhash
-       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN w > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+       |      AS simhash
+       |  FROM w GROUP BY 1)""".stripMargin
+
+  private val qSimhashSql =
+    s"WITH $SimhashCtes\nSELECT doc_id, simhash FROM sh ORDER BY 1"
+
+  // --- SimHash near-dup: banded Hamming-distance join ------------------------
+  //
+  // The pair-generation half of the SimHash dedup recipe (Manku et al.,
+  // WWW 2007): find all pairs within Hamming distance ≤ d of each other
+  // WITHOUT the N² signature comparison. Pigeonhole blocking: split the
+  // signature into b = d+1 disjoint bit-bands — any pair differing in at
+  // most d bits leaves at least one band untouched, so candidates =
+  // pairs agreeing EXACTLY on some band, found by a keyed equi-join on
+  // (band_idx, band_value). Recall is exact (a guarantee, not a
+  // probability — unlike MinHash banding), and the exact bit_count
+  // filter on candidates removes false positives.
+  //
+  // Scale shape: the signature table is (id, int64) — narrow at any
+  // corpus size; the band explode is ×b; the self-join is a hash join
+  // keyed on band value whose cost is Σ|bucket|², bounded by band WIDTH:
+  // here 31 bits / 2 bands ≈ 15-bit buckets for the sf corpora; at
+  // 100 TB use a 64-bit simhash with d+1 bands of 64/(d+1) ≥ 16 bits
+  // (Manku's production setting), which keeps expected bucket size
+  // N/2^16 — and identical-signature buckets are exact duplicates that
+  // q_dedup_exact already collapsed upstream.
+
+  private def qSimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashDf(s, dir)
+    // 2 bands (low 15 bits / high 16 bits) ⇒ exact recall for d ≤ 1
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("b"), (col("simhash") % 32768L).as("bv")),
+          struct(lit(1).as("b"), expr("simhash div 32768").as("bv")))).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val left = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("b"), col("bv"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("b"), col("bv"))
+    left.join(right, Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb")
+      .distinct() // a pair may agree on both bands
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val qSimhashHammingSql =
+    s"""WITH $SimhashCtes,
+       |bands AS (
+       |  SELECT doc_id, simhash, b,
+       |    CASE WHEN b = 0 THEN simhash % 32768 ELSE simhash // 32768 END AS bv
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- ANN: brute-force cosine top-k ----------------------------------------
 
@@ -3207,6 +3350,7 @@ object TrainingDataQueries {
     "q_expand_parse" -> (qExpandParse _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
@@ -3214,6 +3358,7 @@ object TrainingDataQueries {
     "q_kmv_algebra" -> (qKmvAlgebra _),
     "q_hll_union" -> (qHllUnion _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_hamming" -> (qSimhashHamming _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_bucket" -> (qAnnLshBucket _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3258,6 +3403,7 @@ object TrainingDataQueries {
     "q_expand_parse" -> qExpandParseSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_containment" -> qContainmentSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
@@ -3265,6 +3411,7 @@ object TrainingDataQueries {
     "q_kmv_algebra" -> qKmvAlgebraSql,
     "q_hll_union" -> qHllUnionSql,
     "q_simhash" -> qSimhashSql,
+    "q_simhash_hamming" -> qSimhashHammingSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_bucket" -> qAnnLshBucketSql,
     "q_ann_ivf" -> qAnnIvfSql,
