@@ -309,7 +309,10 @@ object RelationalQueries {
   // The OTHER gap-sessionization surface: q_sessionize hand-builds
   // sessions from lag + a running break sum; this is Spark's native
   // `session_window` grouping — the form that also runs under Structured
-  // Streaming with watermark-driven state eviction. Semantics differ at
+  // Streaming with watermark-driven state eviction (proven by the
+  // streaming twin `streaming/SessionWindows.scala` +
+  // `SessionWindowStreamSpec`: append-mode stream == batch per
+  // finalized session, stragglers dropped). Semantics differ at
   // the boundary: native windows break when gap ≥ 30 min (the window is
   // [ts, ts+gap) and merging requires strict overlap), the lag form
   // broke only on gap > 30 min — the oracle replays the native rule on
