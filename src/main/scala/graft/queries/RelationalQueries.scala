@@ -353,6 +353,63 @@ object RelationalQueries {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // --- SCD Type-2 dimension build (validity-interval versioning) ------------
+  //
+  // The classic warehouse operator the battery lacked: collapse a
+  // per-key CHANGE HISTORY into versioned dimension rows with
+  // [eff_from, eff_to) validity intervals and an is_current flag —
+  // here the tracked attribute is each user's event_type stream
+  // (distinct from q_sessionize, which breaks runs on TIME GAPS, and
+  // q_next_event, which counts pairwise transitions). Shape: one
+  // user-partitioned window pass (lag → change flag → running version
+  // sum), a (user, version) partial+final agg, then a second window
+  // over the VERSIONS (orders of magnitude fewer rows) for eff_to =
+  // next version's eff_from. Restricted to user_id % 50 = 0 — a
+  // pushed-down scan predicate keeping the checked result compact; the
+  // plan is identical unfiltered.
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val wEv = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wVer = Window.partitionBy("user_id").orderBy("ver")
+    val runs = t(s, dir, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(wEv).isNull ||
+          lag("event_type", 1).over(wEv) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("ver", sum("chg").over(wEv))
+      .groupBy("user_id", "ver")
+      .agg(min("event_type").as("event_type"), // constant within a run
+        min("ts").as("f"), count(lit(1)).as("n_events"))
+    runs
+      .select(col("user_id"), col("ver"), col("event_type"), col("n_events"),
+        date_format(col("f"), "yyyy-MM-dd HH:mm:ss").as("eff_from"),
+        date_format(lead("f", 1).over(wVer), "yyyy-MM-dd HH:mm:ss").as("eff_to"))
+      .withColumn("is_current", col("eff_to").isNull)
+      .orderBy("user_id", "ver")
+  }
+
+  private val qScd2Sql =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WHERE user_id % 50 = 0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+      |  FROM o),
+      |runs AS (
+      |  SELECT user_id, ver, min(event_type) AS event_type, min(ts) AS f,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM v GROUP BY 1, 2)
+      |SELECT user_id, ver, event_type, n_events,
+      |  strftime(f, '%Y-%m-%d %H:%M:%S') AS eff_from,
+      |  strftime(lead(f) OVER wv, '%Y-%m-%d %H:%M:%S') AS eff_to,
+      |  lead(f) OVER wv IS NULL AS is_current
+      |FROM runs
+      |WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+      |ORDER BY user_id, ver""".stripMargin
+
   private def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-2, Window.currentRow)
@@ -1157,6 +1214,7 @@ object RelationalQueries {
     "q_events_window" -> (qEventsWindow _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_moving_avg" -> (qMovingAvg _),
+    "q_scd2" -> (qScd2 _),
     "q_ntile_ranks" -> (qNtileRanks _),
     "q_session_window" -> (qSessionWindow _),
     "q_range_frame" -> (qRangeFrame _),
@@ -1199,6 +1257,7 @@ object RelationalQueries {
     "q_events_window" -> qEventsWindowSql,
     "q_anomaly_zscore" -> qAnomalyZscoreSql,
     "q_moving_avg" -> qMovingAvgSql,
+    "q_scd2" -> qScd2Sql,
     "q_ntile_ranks" -> qNtileRanksSql,
     "q_session_window" -> qSessionWindowSql,
     "q_range_frame" -> qRangeFrameSql,
