@@ -80,7 +80,7 @@ object TrainingDataQueries {
     * shingling keeps pairwise similarity low enough that LSH bands only
     * surface genuine near-dups instead of the whole pair space.
     */
-  private def bigramShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramShingles(s: SparkSession, dir: String): DataFrame =
     sparkToks(s, dir)
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -250,7 +250,7 @@ object TrainingDataQueries {
     * `dt` (the shingle table). Shared by the jaccard-verify query and
     * the duplicate-clustering query.
     */
-  private def minhashCandidates(dt: DataFrame): DataFrame = {
+  private[graft] def minhashCandidates(dt: DataFrame): DataFrame = {
     val withSid = dt.withColumn("sid", md5Sid(col("tok"), 10))
     // all 8 minhashes as aggregation COLUMNS of one hash aggregate — the
     // earlier crossJoin-with-params plan multiplied every shingle row 8×
@@ -578,7 +578,7 @@ object TrainingDataQueries {
   /** Per-doc 31-bit SimHash signatures — shared by `q_simhash` and the
     * banded Hamming join `q_simhash_hamming`.
     */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val toks = sparkToks(s, dir)
     val tf = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -739,7 +739,7 @@ object TrainingDataQueries {
     "SELECT count(*) AS n, greatest(4, CAST(ceil(log2(count(*) / 16.0)) AS INT)) AS r FROM e0"
 
   /** (vec_id, e, band, sig) rows — one per vector per band. */
-  private def bandSigs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandSigs(s: SparkSession, dir: String): DataFrame = {
     val emb = embDouble(s, dir)
     val stats = emb.agg(count(lit(1)).as("n"))
       .withColumn("r", greatest(lit(4), ceil(log2(col("n") / 16.0)).cast("int")))
