@@ -828,6 +828,52 @@ object CurationQueries {
           "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 6)} AS pearson_r
        |FROM m ORDER BY source""".stripMargin
 
+  // --- token-budget weighted Bernoulli sampling ------------------------------
+  //
+  // The corpus-mixing downsampler: keep each document independently with
+  // probability proportional to its weight (n_chars — the token-count
+  // proxy this schema carries), targeting an EXPECTED budget of
+  // SampleBudget documents. Weighted Poisson/Bernoulli sampling is THE
+  // way a mixing recipe takes "2.1 epochs of source A, 0.4 of source B"
+  // out of a 100 TB corpus: per-row decision, no sort, no global rank.
+  // The keep test h/2^32 < K·w/Σw uses one 32-bit md5 prefix of the
+  // doc id as the uniform draw, and every operand is an integer-valued
+  // double (exact to 2^53 — petachar corpora) flowing through identical
+  // IEEE multiply/divide/compare in both engines, so the decision is
+  // deterministic and cross-engine bit-identical: the SAMPLE ITSELF is
+  // oracle-checked, not just its size. Plan: one broadcast total + one
+  // codegen'd linear scan; rows with K·w ≥ Σw have p = 1 (always kept).
+
+  private val SampleBudget = 50
+
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tot = docs.agg(sum("n_chars").cast("double").as("tot"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double"))
+      .filter(col("h") / lit(4294967296.0) <
+        lit(SampleBudget.toDouble) * col("n_chars") / col("tot"))
+      .select(col("doc_id"), col("n_chars"),
+        Rounding.r(least(lit(1.0),
+          lit(SampleBudget.toDouble) * col("n_chars") / col("tot")), 6).as("p"))
+      .orderBy("doc_id")
+  }
+
+  private def qWeightedSampleSql: String =
+    s"""WITH tt AS (SELECT sum(n_chars)::DOUBLE AS tot FROM documents),
+       |d AS (
+       |  SELECT doc_id, n_chars,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE AS h,
+       |    tot
+       |  FROM documents CROSS JOIN tt)
+       |SELECT doc_id, n_chars,
+       |  ${Rounding.rSql(s"least(1.0, $SampleBudget.0 * n_chars / tot)", 6)} AS p
+       |FROM d
+       |WHERE h / 4294967296.0 < $SampleBudget.0 * n_chars / tot
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_encode" -> (qBpeEncode _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
@@ -840,7 +886,8 @@ object CurationQueries {
     "q_paragraph_dedup" -> (qParagraphDedup _),
     "q_ngram_diversity" -> (qNgramDiversity _),
     "q_collocations" -> (qCollocations _),
-    "q_semdedup" -> (qSemDedup _))
+    "q_semdedup" -> (qSemDedup _),
+    "q_weighted_sample" -> (qWeightedSample _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_encode" -> qBpeEncodeSql,
@@ -854,5 +901,6 @@ object CurationQueries {
     "q_paragraph_dedup" -> qParagraphDedupSql,
     "q_ngram_diversity" -> qNgramDiversitySql,
     "q_collocations" -> qCollocationsSql,
-    "q_semdedup" -> qSemDedupSql)
+    "q_semdedup" -> qSemDedupSql,
+    "q_weighted_sample" -> qWeightedSampleSql)
 }

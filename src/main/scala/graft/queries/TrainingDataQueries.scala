@@ -334,6 +334,78 @@ object TrainingDataQueries {
        |ORDER BY jacc DESC, doc_a, doc_b""".stripMargin
   }
 
+  // --- one-permutation-hashing minhash (OPH) --------------------------------
+  //
+  // Classic k-hash minhash (q_minhash_lsh) evaluates k hash functions per
+  // shingle, so at 100 TB the signature pass costs k linear scans' worth
+  // of hashing. One-permutation hashing (Li, Owen & Zhang, NIPS 2012)
+  // hashes each shingle ONCE and splits the hash space into K bins
+  // (bin = sid mod K), keeping the min sid per (doc, bin) — a k-length
+  // signature for 1/k-th the hashing compute, the variant you actually
+  // run when the minhash pass dominates the dedup job. Empty bins (docs
+  // with < K shingles) are handled estimator-side, not by a densification
+  // rotation: the pairwise estimate agree / co_filled counts only bins
+  // BOTH docs filled, the unbiased "matched empirical" form. Candidates
+  // come from a (bin, min-value) equi-join exactly like the banded
+  // plans — any pair with est > 0 shares a (bin, mv) bucket by
+  // construction, so the join materializes candidates only and stays
+  // sub-quadratic; co_filled is then counted on the candidate set alone
+  // (a candidates×K-bounded join), never on the full pair space.
+
+  private val OphBins = 16
+
+  /** OPH signature rows: (doc_id, bin, mv) — one hash evaluation per
+    * shingle, min per (doc, hash-space bin).
+    */
+  private[graft] def ophSigs(s: SparkSession, dir: String): DataFrame =
+    bigramShingles(s, dir)
+      .select(col("doc_id"), md5Sid(col("tok"), 10).as("sid"))
+      .groupBy(col("doc_id"), pmod(col("sid"), lit(OphBins.toLong)).as("bin"))
+      .agg(min("sid").as("mv"))
+
+  private def qMinhashOph(s: SparkSession, dir: String): DataFrame = {
+    // persisted: both sides of the candidate equi-join AND the per-pair
+    // co-filled-bin count read the signature table
+    val sig = ophSigs(s, dir).persist()
+    val cand = sig.toDF("doc_a", "bin", "mv")
+      .join(sig.toDF("doc_b", "bin", "mv"), Seq("bin", "mv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("agree"))
+    val both = cand.select("doc_a", "doc_b")
+      .join(sig.toDF("doc_a", "bin", "va"), "doc_a")
+      .join(sig.toDF("doc_b", "bin", "vb"), Seq("doc_b", "bin"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("co_filled"))
+    cand.join(both, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("agree"), col("co_filled"),
+        Rounding.r(col("agree") / col("co_filled"), 5).as("est"))
+      .filter(col("est") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def qMinhashOphSql: String =
+    s"""WITH $TokensCte,
+       |$ShinglesCte,
+       |ws AS (SELECT doc_id, ${md5SidSql("tok", 10)} AS sid FROM sh),
+       |sg AS (SELECT doc_id, sid % $OphBins AS bin, min(sid) AS mv
+       |  FROM ws GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS agree
+       |  FROM sg a JOIN sg b
+       |    ON a.bin = b.bin AND a.mv = b.mv AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cf AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS co_filled
+       |  FROM cand c
+       |  JOIN sg a ON a.doc_id = c.doc_a
+       |  JOIN sg b ON b.doc_id = c.doc_b AND b.bin = a.bin
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, c.agree, f.co_filled,
+       |    floor((c.agree / f.co_filled) * 1e5 + 0.5) / 1e5 AS est
+       |  FROM cand c JOIN cf f ON c.doc_a = f.doc_a AND c.doc_b = f.doc_b)
+       |SELECT doc_a, doc_b, agree, co_filled, est FROM est
+       |WHERE est >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
   // --- duplicate clustering: connected components over candidate pairs -----
   //
   // Pairwise near-dup output is only half the dedup story — keeping one
@@ -842,6 +914,74 @@ object TrainingDataQueries {
        |  FROM cand)
        |SELECT id_a, id_b, bands_hit, floor((cos) * 1e4 + 0.5) / 1e4 AS cos FROM p
        |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin
+
+  // --- contrastive hard-negative mining -------------------------------------
+  //
+  // Embedding-model training wants, per anchor vector, the most SIMILAR
+  // vectors of a DIFFERENT label — "hard negatives", the pairs that
+  // actually move a contrastive loss. Candidates come from the same
+  // band-amplified LSH agreement join as q_ann_lsh_bucket (sub-quadratic;
+  // the anchor table is a broadcast, the corpus side never shuffles),
+  // same-label rows are filtered out AFTER candidate generation (labels
+  // ride a narrow broadcast-joined projection), and each anchor keeps its
+  // top-NegK by exact cosine via a window over its own candidate set —
+  // bounded by bucket size × bands, never the corpus. At 100 TB this is
+  // the mining job behind every hard-negative curriculum: one signature
+  // pass + one bucket join per refresh.
+
+  private val NegAnchors = 3
+  private val NegK = 5
+
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val lbl = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    // persisted: the b·r-hyperplane signature pass feeds the anchor
+    // projection and the corpus side of the candidate join
+    val sigs = bandSigs(s, dir).persist()
+    val anchors = sigs.filter(col("vec_id") < NegAnchors)
+      .join(lbl, "vec_id")
+      .select(col("vec_id").as("anchor"), col("e").as("ae"),
+        col("label").as("albl"), col("band").as("ab"), col("sig").as("asig"))
+    val cands = sigs.join(broadcast(anchors),
+        col("band") === col("ab") && col("sig") === col("asig") &&
+          col("vec_id") =!= col("anchor"))
+      .groupBy("anchor", "vec_id")
+      .agg(first("ae").as("ae"), first("albl").as("albl"), first("e").as("e"))
+      .join(lbl, "vec_id")
+      .filter(col("label") =!= col("albl"))
+      .select(col("anchor"), col("vec_id"), col("label"),
+        Rounding.r(expr("graft_cosine(e, ae)"), 4).as("cos"))
+    val w = Window.partitionBy("anchor").orderBy(desc("cos"), col("vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= NegK)
+      .select("anchor", "vec_id", "label", "cos", "rk")
+      .orderBy("anchor", "rk")
+  }
+
+  private def qHardNegativesSql: String =
+    s"""WITH $BandSigsCte,
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |an AS (
+       |  SELECT sg.vec_id AS anchor, sg.e AS ae, lb.label AS albl,
+       |    sg.band AS ab, sg.sig AS asig
+       |  FROM sg JOIN lb ON lb.vec_id = sg.vec_id WHERE sg.vec_id < $NegAnchors),
+       |cd AS (
+       |  SELECT an.anchor, sg.vec_id, any_value(an.ae) AS ae,
+       |    any_value(an.albl) AS albl, any_value(sg.e) AS e
+       |  FROM sg JOIN an
+       |    ON sg.band = an.ab AND sg.sig = an.asig AND sg.vec_id <> an.anchor
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT cd.anchor, cd.vec_id, lb.label,
+       |    floor(${cosSql("cd.e", "cd.ae")} * 1e4 + 0.5) / 1e4 AS cos
+       |  FROM cd JOIN lb ON lb.vec_id = cd.vec_id
+       |  WHERE lb.label <> cd.albl),
+       |rk AS (
+       |  SELECT anchor, vec_id, label, cos,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY anchor ORDER BY cos DESC, vec_id) AS INT) AS rk
+       |  FROM sc)
+       |SELECT anchor, vec_id, label, cos, rk FROM rk
+       |WHERE rk <= $NegK ORDER BY anchor, rk""".stripMargin
 
   // --- ANN: IVF cell-probed search, nlist ~ √N + multiprobe -----------------
   //
@@ -3352,6 +3492,7 @@ object TrainingDataQueries {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_minhash_oph" -> (qMinhashOph _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank" -> (qPagerank _),
@@ -3369,6 +3510,7 @@ object TrainingDataQueries {
     "q_dsir_weights" -> (qDsirWeights _),
     "q_cluster_mix" -> (qClusterMix _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -3405,6 +3547,7 @@ object TrainingDataQueries {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_containment" -> qContainmentSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_minhash_oph" -> qMinhashOphSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
     "q_pagerank" -> qPagerankSql,
@@ -3422,6 +3565,7 @@ object TrainingDataQueries {
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_cluster_mix" -> qClusterMixSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
