@@ -874,6 +874,197 @@ object CurationQueries {
        |WHERE h / 4294967296.0 < $SampleBudget.0 * n_chars / tot
        |ORDER BY doc_id""".stripMargin
 
+  // --- bigram-LM fluency scoring (CCNet/KenLM-lite) --------------------------
+  //
+  // The other half of CCNet's LM filter next to q_lexical_score's
+  // OOV/commonness signal: score each document by the mean transition
+  // probability of its bigrams under a corpus-trained bigram model —
+  // templated/repetitive text scores high, token salad scores low.
+  // p(w2|w1) = C(w1 w2) / C(w1·) with C(w1·) counting bigram CONTEXTS
+  // (occurrences of w1 that start a bigram), both counted over this same
+  // corpus in the same job. Cross-engine float discipline: each
+  // position's probability is fixed-pointed to floor(c12·10⁶/c1) — an
+  // exact integer both engines agree on (c12·10⁶ stays below 2^53) — so
+  // the per-doc score is an ORDER-IMMUNE integer sum; one double
+  // division at the end. Plan: one position pass, two linear count aggs
+  // (the "training"), two key-joins back (each position matches exactly
+  // one count row — probe-side Zipf skew is AQE's skew-split case, the
+  // build side is one row per key), one per-doc agg. Every stage linear
+  // in tokens at any corpus size.
+
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the position table feeds the bigram count, the context
+    // count, and the scoring join
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"), simpleTokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ts)-2),
+          |  i -> struct(element_at(ts, i+1) AS w1, element_at(ts, i+2) AS w2))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
+    val c12 = pos.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pos.groupBy("w1").agg(count(lit(1)).as("c1"))
+    pos.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(col("c12") * lit(1e6) / col("c1")).cast("long").as("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("fp").cast("long").as("score_fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("score_fp"),
+        Rounding.r(col("score_fp") / col("n_bigrams") / lit(1e6), 6).as("mean_p"))
+      .orderBy("doc_id")
+  }
+
+  private def qLmScoreSql: String =
+    s"""WITH $TokensCte,
+       |pos AS (
+       |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-1),
+       |      i -> {'w1': ts[i], 'w2': ts[i+1]})) AS u
+       |    FROM toks WHERE len(ts) >= 2) x),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pos GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY 1),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(b.c12 * 1e6 / u.c1) AS BIGINT) AS fp
+       |  FROM pos p
+       |  JOIN c12 b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |  JOIN c1 u ON u.w1 = p.w1),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(fp) AS BIGINT) AS score_fp
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n_bigrams, score_fp,
+       |  ${Rounding.rSql("(score_fp / n_bigrams) / 1e6", 6)} AS mean_p
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // --- incremental aggregate maintenance (mergeable per-source stats) --------
+  //
+  // The stats-table discipline at 100 TB: NEVER re-scan history to
+  // refresh corpus statistics — keep a tiny per-source stats table of
+  // MERGEABLE aggregates (count/sum/min/max are semigroup ops; distinct
+  // rides q_hll_agg's registers) and fold each ingest batch's delta agg
+  // into it with a key join. This query runs the exact maintenance plan:
+  // the "history" partition's agg stands for the stored table (at scale
+  // it is READ, not recomputed — the history scan here exists only so
+  // the oracle can check the merged result end-to-end), the delta agg is
+  // the per-batch work, and the merge is a source-keyed full-outer join
+  // over two vocabulary-sized tables. Merged output provably equals a
+  // full recompute because every stat is associative-commutative.
+
+  private def qIncrStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def agg(df: DataFrame) = df.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("n_chars").as("sc"),
+      min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val hist = agg(docs.filter(col("doc_id") % 4 =!= 0))
+      .toDF("source", "nh", "sh", "mnh", "mxh")
+    val delta = agg(docs.filter(col("doc_id") % 4 === 0))
+      .toDF("source", "nd", "sd", "mnd", "mxd")
+    hist.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("nh"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+          .cast("long").as("n_docs"),
+        (coalesce(col("sh"), lit(0L)) + coalesce(col("sd"), lit(0L)))
+          .cast("long").as("sum_chars"),
+        least(coalesce(col("mnh"), col("mnd")), coalesce(col("mnd"), col("mnh")))
+          .cast("long").as("min_chars"),
+        greatest(coalesce(col("mxh"), col("mxd")), coalesce(col("mxd"), col("mxh")))
+          .cast("long").as("max_chars"))
+      .orderBy("source")
+  }
+
+  private def qIncrStatsSql: String =
+    s"""WITH h AS (
+       |  SELECT source, count(*) AS nh, sum(n_chars) AS sh,
+       |    min(n_chars) AS mnh, max(n_chars) AS mxh
+       |  FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1),
+       |d AS (
+       |  SELECT source, count(*) AS nd, sum(n_chars) AS sd,
+       |    min(n_chars) AS mnd, max(n_chars) AS mxd
+       |  FROM documents WHERE doc_id % 4 = 0 GROUP BY 1)
+       |SELECT coalesce(h.source, d.source) AS source,
+       |  CAST(coalesce(nh, 0) + coalesce(nd, 0) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sh, 0) + coalesce(sd, 0) AS BIGINT) AS sum_chars,
+       |  CAST(least(coalesce(mnh, mnd), coalesce(mnd, mnh)) AS BIGINT) AS min_chars,
+       |  CAST(greatest(coalesce(mxh, mxd), coalesce(mxd, mxh)) AS BIGINT) AS max_chars
+       |FROM h FULL OUTER JOIN d ON h.source = d.source
+       |ORDER BY source""".stripMargin
+
+  // --- declarative data-quality constraint checks (Deequ-style) --------------
+  //
+  // The pre-ingest gate a 100 TB pipeline runs on every batch before the
+  // expensive stages touch it: a CHECK SUITE — uniqueness, completeness,
+  // domain membership, column consistency, referential integrity —
+  // evaluated in as few passes as the checks allow and reported as one
+  // (check, n_violations) table that either blocks the run or lands in
+  // the metrics store. Plan shapes are the cheapest each check class
+  // admits: completeness/consistency/domain checks fold into ONE shared
+  // conditional-count scan (zero shuffles); uniqueness is a key-hash agg
+  // (partial-agg, linear); referential integrity is a key-distinct +
+  // left-anti join (two linear shuffles) — never a window, never a
+  // collect. Violation COUNTS (not samples) keep the output O(checks).
+
+  private def qDataChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val events = t(s, dir, "events")
+    val orders = t(s, dir, "orders")
+    val custs = t(s, dir, "customer")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    // one shared scan: every per-row predicate of a table in one pass
+    val rowChecks = docs.agg(
+      cnt(col("text").isNull || length(col("text")) === 0).as("doc_text_empty"),
+      cnt(col("n_chars") =!= length(col("text"))).as("doc_nchars_mismatch"),
+      cnt(!col("lang").isin("en", "de", "fr", "es", "pt")).as("doc_lang_domain"))
+    val evChecks = events.agg(
+      cnt(col("user_id").isNull).as("event_user_null"),
+      cnt(col("value") < 0).as("event_value_negative"))
+    val dupDocs = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .agg(cnt(col("c") > 1).as("doc_id_dup_keys"))
+    val orphans = orders.select(col("o_custkey").as("k")).distinct()
+      .join(custs.select(col("c_custkey").as("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("order_orphan_custkeys"))
+    def unpivot(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("check"), col(c).cast("long").as("n_violations"))): _*))
+        .as("kv")).select(col("kv.check"), col("kv.n_violations"))
+    }
+    unpivot(rowChecks).unionByName(unpivot(evChecks))
+      .unionByName(unpivot(dupDocs)).unionByName(unpivot(orphans))
+      .orderBy("check")
+  }
+
+  private def qDataChecksSql: String =
+    s"""WITH rc AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS doc_text_empty,
+       |    CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS doc_nchars_mismatch,
+       |    CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','pt') THEN 1 ELSE 0 END) AS BIGINT) AS doc_lang_domain
+       |  FROM documents),
+       |ec AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_user_null,
+       |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS event_value_negative
+       |  FROM events),
+       |dd AS (
+       |  SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_dup_keys
+       |  FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY 1)),
+       |oo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS order_orphan_custkeys FROM (
+       |    SELECT DISTINCT o_custkey FROM orders
+       |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+       |SELECT 'doc_text_empty' AS "check", doc_text_empty AS n_violations FROM rc
+       |UNION ALL SELECT 'doc_nchars_mismatch', doc_nchars_mismatch FROM rc
+       |UNION ALL SELECT 'doc_lang_domain', doc_lang_domain FROM rc
+       |UNION ALL SELECT 'event_user_null', event_user_null FROM ec
+       |UNION ALL SELECT 'event_value_negative', event_value_negative FROM ec
+       |UNION ALL SELECT 'doc_id_dup_keys', doc_id_dup_keys FROM dd
+       |UNION ALL SELECT 'order_orphan_custkeys', order_orphan_custkeys FROM oo
+       |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_encode" -> (qBpeEncode _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
@@ -887,7 +1078,10 @@ object CurationQueries {
     "q_ngram_diversity" -> (qNgramDiversity _),
     "q_collocations" -> (qCollocations _),
     "q_semdedup" -> (qSemDedup _),
-    "q_weighted_sample" -> (qWeightedSample _))
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_lm_score" -> (qLmScore _),
+    "q_incr_stats" -> (qIncrStats _),
+    "q_data_checks" -> (qDataChecks _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_encode" -> qBpeEncodeSql,
@@ -902,5 +1096,8 @@ object CurationQueries {
     "q_ngram_diversity" -> qNgramDiversitySql,
     "q_collocations" -> qCollocationsSql,
     "q_semdedup" -> qSemDedupSql,
-    "q_weighted_sample" -> qWeightedSampleSql)
+    "q_weighted_sample" -> qWeightedSampleSql,
+    "q_lm_score" -> qLmScoreSql,
+    "q_incr_stats" -> qIncrStatsSql,
+    "q_data_checks" -> qDataChecksSql)
 }

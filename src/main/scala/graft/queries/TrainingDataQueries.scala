@@ -346,11 +346,16 @@ object TrainingDataQueries {
   // with < K shingles) are handled estimator-side, not by a densification
   // rotation: the pairwise estimate agree / co_filled counts only bins
   // BOTH docs filled, the unbiased "matched empirical" form. Candidates
-  // come from a (bin, min-value) equi-join exactly like the banded
-  // plans — any pair with est > 0 shares a (bin, mv) bucket by
-  // construction, so the join materializes candidates only and stays
-  // sub-quadratic; co_filled is then counted on the candidate set alone
-  // (a candidates×K-bounded join), never on the full pair space.
+  // need the SAME AND-amplification as the classic plan: one bin alone
+  // collides dissimilar pairs with probability ≈ j (a j=0.05 background
+  // pair still collides somewhere among K bins — effectively quadratic
+  // with a small constant; measured as the slowest battery query at
+  // sf0.1 before banding), so the K bins pair up into K/2 bands of 2 and
+  // a candidate must match BOTH bins of some band (collision ≈ j² per
+  // band, the q_minhash_lsh discipline — same probabilistic-recall
+  // tradeoff, same sub-quadratic candidate bound). agree/co_filled are
+  // then counted on the candidate set alone in ONE candidates×K-bounded
+  // join, never on the full pair space.
 
   private val OphBins = 16
 
@@ -363,19 +368,31 @@ object TrainingDataQueries {
       .groupBy(col("doc_id"), pmod(col("sid"), lit(OphBins.toLong)).as("bin"))
       .agg(min("sid").as("mv"))
 
-  private def qMinhashOph(s: SparkSession, dir: String): DataFrame = {
-    // persisted: both sides of the candidate equi-join AND the per-pair
-    // co-filled-bin count read the signature table
-    val sig = ophSigs(s, dir).persist()
-    val cand = sig.toDF("doc_a", "bin", "mv")
-      .join(sig.toDF("doc_b", "bin", "mv"), Seq("bin", "mv"))
+  /** Banded OPH candidate pairs: bins pair into bands of 2; a pair is a
+    * candidate when some band's BOTH bin minima match (NULL-rejecting
+    * equi-join, so half-empty bands never match).
+    */
+  private[graft] def ophCandidates(sig: DataFrame): DataFrame = {
+    val banded = sig
+      .groupBy(col("doc_id"), floor(col("bin") / 2).cast("long").as("band"))
+      .agg(min(when(col("bin") % 2 === 0, col("mv"))).as("m0"),
+        min(when(col("bin") % 2 === 1, col("mv"))).as("m1"))
+    banded.toDF("doc_a", "band", "m0", "m1")
+      .join(banded.toDF("doc_b", "band", "m0", "m1"), Seq("band", "m0", "m1"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("agree"))
-    val both = cand.select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  private def qMinhashOph(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the banded candidate join AND the per-pair verify join
+    // both read the signature table
+    val sig = ophSigs(s, dir).persist()
+    ophCandidates(sig)
       .join(sig.toDF("doc_a", "bin", "va"), "doc_a")
       .join(sig.toDF("doc_b", "bin", "vb"), Seq("doc_b", "bin"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("co_filled"))
-    cand.join(both, Seq("doc_a", "doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("agree"),
+        count(lit(1)).as("co_filled"))
       .select(col("doc_a"), col("doc_b"), col("agree"), col("co_filled"),
         Rounding.r(col("agree") / col("co_filled"), 5).as("est"))
       .filter(col("est") >= 0.5)
@@ -388,23 +405,29 @@ object TrainingDataQueries {
        |ws AS (SELECT doc_id, ${md5SidSql("tok", 10)} AS sid FROM sh),
        |sg AS (SELECT doc_id, sid % $OphBins AS bin, min(sid) AS mv
        |  FROM ws GROUP BY 1, 2),
+       |bd AS (
+       |  SELECT doc_id, bin // 2 AS band,
+       |    min(CASE WHEN bin % 2 = 0 THEN mv END) AS m0,
+       |    min(CASE WHEN bin % 2 = 1 THEN mv END) AS m1
+       |  FROM sg GROUP BY 1, 2),
        |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS agree
-       |  FROM sg a JOIN sg b
-       |    ON a.bin = b.bin AND a.mv = b.mv AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |cf AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS co_filled
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bd a JOIN bd b
+       |    ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+       |    AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       |    count(*) AS co_filled
        |  FROM cand c
        |  JOIN sg a ON a.doc_id = c.doc_a
        |  JOIN sg b ON b.doc_id = c.doc_b AND b.bin = a.bin
-       |  GROUP BY 1, 2),
-       |est AS (
-       |  SELECT c.doc_a, c.doc_b, c.agree, f.co_filled,
-       |    floor((c.agree / f.co_filled) * 1e5 + 0.5) / 1e5 AS est
-       |  FROM cand c JOIN cf f ON c.doc_a = f.doc_a AND c.doc_b = f.doc_b)
-       |SELECT doc_a, doc_b, agree, co_filled, est FROM est
-       |WHERE est >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, agree, co_filled,
+       |  floor((agree / co_filled) * 1e5 + 0.5) / 1e5 AS est
+       |FROM est
+       |WHERE floor((agree / co_filled) * 1e5 + 0.5) / 1e5 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- duplicate clustering: connected components over candidate pairs -----
   //

@@ -30,6 +30,15 @@ class NearDupCandidateBoundSpec extends AnyFunSuite {
     assert(r < 0.10, f"minhash banding degenerated: ratio $r%.4f")
   }
 
+  test("banded OPH surfaces <10% of the pair space") {
+    val sig = TrainingDataQueries.ophSigs(spark, dir)
+    val cands = TrainingDataQueries.ophCandidates(sig).count()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val r = ratio(cands, n)
+    info(f"oph: $cands candidates of ${n * (n - 1) / 2} pairs (ratio $r%.4f)")
+    assert(r < 0.10, f"banded OPH degenerated: ratio $r%.4f")
+  }
+
   test("embedding LSH bands surface <10% of the pair space") {
     val sigs = TrainingDataQueries.bandSigs(spark, dir)
       .select("vec_id", "band", "sig")
