@@ -1006,6 +1006,68 @@ object TrainingDataQueries {
        |SELECT anchor, vec_id, label, cos, rk FROM rk
        |WHERE rk <= $NegK ORDER BY anchor, rk""".stripMargin
 
+  // --- per-group embedding drift monitor -------------------------------------
+  //
+  // The distribution-shift audit an embedding pipeline runs per refresh:
+  // each group's centroid vs the global centroid, reported as an L1 drift
+  // score per group (label stands in for the source/shard axis). Cross-row
+  // ELEMENTWISE float sums are order-dependent, so the centroid math runs
+  // on fixed-point integers: x → floor(x·2^20) per dimension (exact — a
+  // float's 24-bit mantissa times 2^20 is an exact double), per-(group,
+  // dim) integer sums are order-immune, means re-fix-pointed at 2^10, and
+  // the per-group L1 is an integer sum of |Δmfp| — one double division at
+  // the end. Plan: one posexplode (linear in N·d), two-level hash aggs
+  // keyed by (group, dim) and (dim) — never a window, never a collect;
+  // the dim-keyed global table is d rows, broadcast by AQE into the
+  // final join at any corpus size.
+
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the fixed-point projection feeds the per-group and the
+    // global aggregations
+    val fp = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("fp"))
+      .persist()
+    val byLabel = fp.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("fp").as("sfp"))
+      .withColumn("mfp", floor(col("sfp") * lit(1024.0) / col("n")).cast("long"))
+    val global = fp.groupBy("dim")
+      .agg(count(lit(1)).as("gn"), sum("fp").as("gsfp"))
+      .withColumn("gmfp", floor(col("gsfp") * lit(1024.0) / col("gn")).cast("long"))
+    byLabel.join(global, "dim")
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        sum(abs(col("mfp") - col("gmfp"))).cast("long").as("l1_fp"))
+      .select(col("label"), col("n_vecs"), col("l1_fp"),
+        Rounding.r(col("l1_fp") / lit(1073741824.0), 6).as("l1_drift"))
+      .orderBy("label")
+  }
+
+  private def qEmbedDriftSql: String =
+    s"""WITH fp AS (
+       |  SELECT label, u.dim AS dim,
+       |    CAST(floor(u.x * 1048576.0) AS BIGINT) AS fp
+       |  FROM (
+       |    SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+       |      i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS u
+       |    FROM embeddings) t),
+       |bl AS (
+       |  SELECT label, dim, count(*) AS n,
+       |    CAST(floor(sum(fp) * 1024.0 / count(*)) AS BIGINT) AS mfp
+       |  FROM fp GROUP BY 1, 2),
+       |g AS (
+       |  SELECT dim,
+       |    CAST(floor(sum(fp) * 1024.0 / count(*)) AS BIGINT) AS gmfp
+       |  FROM fp GROUP BY 1),
+       |j AS (
+       |  SELECT b.label, max(b.n) AS n_vecs,
+       |    CAST(sum(abs(b.mfp - g.gmfp)) AS BIGINT) AS l1_fp
+       |  FROM bl b JOIN g ON b.dim = g.dim GROUP BY 1)
+       |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs, l1_fp,
+       |  ${Rounding.rSql("l1_fp / 1073741824.0", 6)} AS l1_drift
+       |FROM j ORDER BY label""".stripMargin
+
   // --- ANN: IVF cell-probed search, nlist ~ √N + multiprobe -----------------
   //
   // Deterministic "trained" centroids = the first nlist vectors, where
@@ -3534,6 +3596,7 @@ object TrainingDataQueries {
     "q_cluster_mix" -> (qClusterMix _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_visual_fusion" -> (qVisualFusion _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -3589,6 +3652,7 @@ object TrainingDataQueries {
     "q_cluster_mix" -> qClusterMixSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_hard_negatives" -> qHardNegativesSql,
+    "q_embed_drift" -> qEmbedDriftSql,
     "q_visual_fusion" -> qVisualFusionSql,
     "q_lang_id" -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
