@@ -17,13 +17,15 @@ object ChunkPerf {
     exs.foreach { e => nc += Chunker.splitTextWithOverlap(e.text, 512, 50).size }
     val chSec = (System.nanoTime()-t0)/1e9
     println(f"extract: ${exSec*1e6/turns.size}%.1f us/turn   chunk: ${chSec*1e6/turns.size}%.1f us/turn   nChunks=$nc")
-    // breakdown by kind
+    // breakdown by kind: extraction AND chunking cost per format
     val byKind = turns.groupBy(t => Extractor.sniff(t.text))
     byKind.foreach { case (k, ts) =>
+      val t2 = System.nanoTime()
       val es = ts.map(t => Extractor.extract(t.text))
+      val exUs = (System.nanoTime() - t2) / 1e3 / ts.size
       val t1 = System.nanoTime()
       es.foreach(e => Chunker.splitTextWithOverlap(e.text, 512, 50))
-      println(f"  kind=$k%-8s n=${ts.size}%6d chunk=${(System.nanoTime()-t1)/1e3/ts.size}%.1f us/turn avgLen=${es.map(_.text.length).sum/math.max(es.size,1)}")
+      println(f"  kind=$k%-8s n=${ts.size}%6d extract=$exUs%.1f us/turn chunk=${(System.nanoTime()-t1)/1e3/ts.size}%.1f us/turn avgLen=${es.map(_.text.length).sum/math.max(es.size,1)}")
     }
   }
 }
