@@ -514,6 +514,53 @@ object TrainingDataQueries {
        |  CAST(max(node) AS BIGINT) AS max_doc
        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- duplicate-cluster survivor selection ---------------------------------
+  //
+  // The decision q_dedup_clusters stops short of: WHICH copy survives
+  // when a near-dup cluster collapses. Real pipelines pick by a quality
+  // rule, not by id — here "longest document wins, smallest id breaks
+  // ties", the common keep-the-most-complete-copy policy. Plan: the CC
+  // labels join the documents table on doc_id (linear, key-partitioned),
+  // and the argmax is a row_number window PARTITIONED BY CLUSTER —
+  // bounded by cluster size, never a global sort. At 100 TB the label
+  // table is the (small) multi-doc-cluster membership, not the corpus.
+
+  private def qClusterRep(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(
+      minhashCandidates(bigramShingles(s, dir)))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val sized = labels.join(docs, labels("node") === docs("doc_id"))
+    val w = Window.partitionBy("label").orderBy(desc("n_chars"), col("node"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    sized.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(sizes, "label")
+      .select(col("label").as("cluster"), col("node").as("survivor"),
+        col("n_chars").as("survivor_chars"), col("n_docs"))
+      .orderBy("cluster")
+  }
+
+  private def qClusterRepSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+       |  UNION
+       |  SELECT sym.src, reach.lab FROM sym JOIN reach ON sym.dst = reach.node),
+       |labels AS (SELECT node, min(lab) AS label FROM reach GROUP BY 1),
+       |sz AS (SELECT label, count(*) AS n_docs FROM labels GROUP BY 1),
+       |rk AS (
+       |  SELECT l.label, l.node, d.n_chars,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY l.label ORDER BY d.n_chars DESC, l.node) AS INT) AS rk
+       |  FROM labels l JOIN documents d ON d.doc_id = l.node)
+       |SELECT r.label AS cluster, CAST(r.node AS BIGINT) AS survivor,
+       |  CAST(r.n_chars AS BIGINT) AS survivor_chars, s.n_docs
+       |FROM rk r JOIN sz s ON s.label = r.label
+       |WHERE r.rk = 1 ORDER BY cluster""".stripMargin
+
   // --- triangle counting over the near-dup candidate graph ------------------
   //
   // The graph-analytics step past connected components: per-document
@@ -3578,6 +3625,7 @@ object TrainingDataQueries {
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_oph" -> (qMinhashOph _),
+    "q_cluster_rep" -> (qClusterRep _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank" -> (qPagerank _),
@@ -3634,6 +3682,7 @@ object TrainingDataQueries {
     "q_containment" -> qContainmentSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_oph" -> qMinhashOphSql,
+    "q_cluster_rep" -> qClusterRepSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
     "q_pagerank" -> qPagerankSql,
