@@ -14,23 +14,36 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
 
   // --- aggregation (A1-A8): partial+final hash agg, no shuffle surprises
-  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+  //
+  // The money columns are two-decimal values stored as DOUBLE; summing
+  // them directly is an order-dependent float sum (a 1-ulp partial-agg
+  // difference at a .5 rounding tie flips the last digit — the
+  // q_training_select failure mode). Each value fixed-points exactly to
+  // an integer per row, the LONG sums are order-immune, and one double
+  // division restores the scale.
+  private def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    def fp(c: String, scale: Double) =
+      sum(floor(col(c) * lit(scale) + lit(0.5)).cast("long"))
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        Rounding.r(sum("l_quantity"), 2).as("sum_qty"),
-        Rounding.r(sum("l_extendedprice"), 2).as("sum_price"),
-        Rounding.r(avg("l_discount"), 6).as("avg_disc"),
+        Rounding.r(fp("l_quantity", 1e2) / lit(1e2), 2).as("sum_qty"),
+        Rounding.r(fp("l_extendedprice", 1e2) / lit(1e2), 2).as("sum_price"),
+        Rounding.r(fp("l_discount", 1e6) / count(lit(1)) / lit(1e6), 6).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
-  private val q1AggSql =
-    """SELECT l_returnflag, l_linestatus,
-      |floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
-      |floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price,
-      |floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
-      |count(*) AS n
-      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  private val q1AggSql = {
+    def fp(c: String, scale: String) =
+      s"CAST(sum(CAST(floor($c * $scale + 0.5) AS BIGINT)) AS BIGINT)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |floor((${fp("l_quantity", "1e2")} / 1e2) * 1e2 + 0.5) / 1e2 AS sum_qty,
+       |floor((${fp("l_extendedprice", "1e2")} / 1e2) * 1e2 + 0.5) / 1e2 AS sum_price,
+       |floor(((${fp("l_discount", "1e6")} / count(*)) / 1e6) * 1e6 + 0.5) / 1e6 AS avg_disc,
+       |count(*) AS n
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   // --- dimension join + conditional aggregate (TPC-H Q14 shape) ------------
 
@@ -43,12 +56,16 @@ object RelationalQueries {
     val li = t(s, dir, "lineitem")
       .select("l_partkey", "l_extendedprice", "l_discount")
     val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_type")
-    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // per-row revenue fixed-points to an integer before summation (the
+    // same IEEE product both engines compute), so the group sums are
+    // order-immune longs — see q1Agg's note on float-sum rounding ties
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * lit(1e2) + lit(0.5)).cast("long")
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(Rounding.r(sum(rev), 2).as("revenue"),
+      .agg(Rounding.r(sum(rev) / lit(1e2), 2).as("revenue"),
         Rounding.r(sum(when(col("p_type") === "PROMO", rev)
-          .otherwise(lit(0.0))), 2).as("promo_revenue"),
+          .otherwise(lit(0L))) / lit(1e2), 2).as("promo_revenue"),
         count(lit(1)).as("n_items"))
       .withColumn("promo_ratio",
         when(col("revenue") > 0,
@@ -60,10 +77,10 @@ object RelationalQueries {
   private val qPromoRevenueSql =
     """WITH agg AS (
       |  SELECT p_brand,
-      |    floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+      |    floor((CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e2 + 0.5) AS BIGINT)) AS BIGINT) / 1e2) * 1e2 + 0.5) / 1e2
       |      AS revenue,
-      |    floor(sum(CASE WHEN p_type = 'PROMO'
-      |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1e2 + 0.5)
+      |    floor((CAST(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e2 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) / 1e2) * 1e2 + 0.5)
       |      / 1e2 AS promo_revenue,
       |    count(*) AS n_items
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -152,12 +169,12 @@ object RelationalQueries {
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        Rounding.r(sum("o_totalprice"), 2).as("total"))
+        Rounding.r(Rounding.fpSum(col("o_totalprice"), 1e2), 2).as("total"))
       .orderBy("c_mktsegment")
 
   private val qBroadcastJoinSql =
-    """SELECT c_mktsegment, count(*) AS n_orders,
-      |floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+      |floor((${Rounding.fpSumSql("o_totalprice", "1e2")}) * 1e2 + 0.5) / 1e2 AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -258,12 +275,14 @@ object RelationalQueries {
     t(s, dir, "events")
       .groupBy(date_format(date_trunc("hour", col("ts")),
         "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Rounding.r(sum("value"), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        Rounding.r(Rounding.fpSum(col("value"), 1e4), 4).as("total"))
       .orderBy("hour", "event_type")
 
   private val qEventsWindowSql =
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-      |event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |event_type, count(*) AS n,
+      |floor((${Rounding.fpSumSql("value", "1e4")}) * 1e4 + 0.5) / 1e4 AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --- frame-spec moving window over the events stream (ROWS BETWEEN).
@@ -905,7 +924,7 @@ object RelationalQueries {
     val daily = t(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-      .agg(sum("value").as("v"))
+      .agg(Rounding.fpSum(col("value"), 1e4).as("v"))
       .persist() // feeds the span grid AND the fill join — one events pass
     val grid = daily.groupBy("user_id")
       .agg(min("d").as("lo"), max("d").as("hi"))
@@ -923,8 +942,9 @@ object RelationalQueries {
   }
 
   private val qGapFillSql =
-    """WITH daily AS (
-      |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS v
+    s"""WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    ${Rounding.fpSumSql("value", "1e4")} AS v
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
       |span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
       |grid AS (

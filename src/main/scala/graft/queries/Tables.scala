@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{floor, lit, sum}
 
 /** Table access for the driver-provided testdata directory. */
 object Tables {
@@ -30,4 +30,19 @@ object Rounding {
   /** DuckDB side: the same expression, same IEEE operation order. */
   def rSql(e: String, scale: Int): String =
     s"floor(($e) * 1e$scale + 0.5) / 1e$scale"
+
+  /** Order-immune sum of a ~k-decimal DOUBLE column: each row
+    * fixed-points to an integer (both engines compute the identical
+    * double product, so the floor agrees), the LONG sum is
+    * order-immune, and one double division restores the scale. A direct
+    * float sum is order-dependent across partitionings and flips
+    * rounding ties — the q_training_select sf0.1 failure (0.4366 vs
+    * 0.4365 from a 1-ulp partial-agg difference at a .5 tie).
+    */
+  def fpSum(c: Column, scale: Double): Column =
+    sum(floor(c * lit(scale) + lit(0.5)).cast("long")) / lit(scale)
+
+  /** DuckDB twin of [[fpSum]], same operation order. */
+  def fpSumSql(e: String, scale: String): String =
+    s"(CAST(sum(CAST(floor(($e) * $scale + 0.5) AS BIGINT)) AS BIGINT) / $scale)"
 }

@@ -2455,17 +2455,17 @@ object TrainingDataQueries {
         date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         count(lit(1)).as("n_events"),
-        Rounding.r(sum("value"), 4).as("total_value"))
+        Rounding.r(Rounding.fpSum(col("value"), 1e4), 4).as("total_value"))
       .drop("sess")
       .orderBy("user_id", "session_start")
   }
 
   private val qSessionizeSql =
-    """SELECT user_id,
+    s"""SELECT user_id,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
       |  count(*) AS n_events,
-      |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS total_value
+      |  floor((${Rounding.fpSumSql("value", "1e4")}) * 1e4 + 0.5) / 1e4 AS total_value
       |FROM (
       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
       |  FROM (
@@ -3108,8 +3108,15 @@ object TrainingDataQueries {
         col("quality") >= 0.40 && col("n_toks") >= 20 &&
         hashFrac(col("doc_id")) < 0.9)
       .groupBy("source")
+      // avg over rounded DOUBLES is still an order-dependent float sum
+      // (caught at sf0.1: a 1-ulp partial-agg difference landed on a
+      // .5 rounding tie — 0.4366 vs 0.4365); quality is k/10⁴ by
+      // construction, so recover the integer k per row, sum the longs
+      // (order-immune), and divide once
       .agg(count(lit(1)).as("n_selected"), sum("n_toks").as("sum_tokens"),
-        Rounding.r(avg("quality"), 4).as("avg_quality"))
+        Rounding.r(
+          sum(floor(col("quality") * lit(1e4) + lit(0.5)).cast("long")) /
+            count(lit(1)) / lit(1e4), 4).as("avg_quality"))
       .orderBy("source")
   }
 
@@ -3133,7 +3140,8 @@ object TrainingDataQueries {
        |  FROM t0)
        |SELECT source, count(*) AS n_selected,
        |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
-       |  floor((avg(quality)) * 1e4 + 0.5) / 1e4 AS avg_quality
+       |  floor(((CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+       |    / count(*)) / 1e4) * 1e4 + 0.5) / 1e4 AS avg_quality
        |FROM m
        |WHERE rn = 1 AND stop_ratio >= 0.06 AND quality >= 0.40
        |  AND n_toks >= 20 AND frac < 0.9
