@@ -429,6 +429,97 @@ object TrainingDataQueries {
        |WHERE floor((agree / co_filled) * 1e5 + 0.5) / 1e5 >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- dedup-recall audit (measure, don't guess — the q_ann_recall twin) ----
+  //
+  // The minhash banding is a PROBABILISTIC filter; its recall at the
+  // dedup threshold is a NUMBER the pipeline reports per corpus, not a
+  // hope. Ground truth: exact shingle-Jaccard ≥ 0.5 over every
+  // shingle-sharing pair (a pair at j ≥ 0.5 shares a shingle, so the
+  // inverted-index join finds all of them — no pair is missed by
+  // construction). The exact leg costs Σdf², which is the point of an
+  // audit: at 100 TB this query runs on a deterministic SLICE
+  // (doc_id ≡ 0 mod 4 here — the q_ann_recall probe-sample discipline)
+  // after each parameter change, never as the serving path. Output is
+  // one row: truth/candidate/hit counts with recall and precision
+  // derived from the same integers in both engines.
+
+  private def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the slice's shingles feed the banded candidates, the
+    // exact-truth self-join (both sides) and the per-doc size agg
+    val dt = bigramShingles(s, dir).filter(col("doc_id") % 4 === 0).persist()
+    val cand = minhashCandidates(dt)
+    val n = dt.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = dt.toDF("doc_a", "tok")
+      .join(dt.toDF("doc_b", "tok"), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(n.toDF("doc_a", "ca"), "doc_a")
+      .join(n.toDF("doc_b", "cb"), "doc_b")
+      .filter(Rounding.r(
+        col("inter") / (col("ca") + col("cb") - col("inter")), 5) >= 0.5)
+      .select("doc_a", "doc_b")
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    val a = truth.agg(count(lit(1)).as("n_true"))
+    val b = cand.agg(count(lit(1)).as("n_candidates"))
+    val h = hit.agg(count(lit(1)).as("n_hit"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(h))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        when(col("n_true") > 0,
+          Rounding.r(col("n_hit") / col("n_true"), 4)).otherwise(lit(1.0))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          Rounding.r(col("n_hit") / col("n_candidates"), 4)).otherwise(lit(1.0))
+          .as("precision"))
+  }
+
+  private def qDedupRecallSql: String =
+    s"""WITH $TokensCte,
+       |sh1 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
+       |  FROM toks WHERE len(ts) >= 2 AND doc_id % 4 = 0),
+       |dt AS (SELECT doc_id, tok FROM sh1),
+       |ws AS (SELECT doc_id, ${md5SidSql("tok", 10)} AS sid FROM dt),
+       |params(i, a, b) AS (VALUES ${HashA.indices
+        .map(i => s"(${i}, ${HashA(i)}, ${HashB(i)})").mkString(", ")}),
+       |mh AS (
+       |  SELECT doc_id, i, min((a * sid + b) % $P31) AS mh
+       |  FROM ws CROSS JOIN params GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, (i // 2) AS band,
+       |    min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+       |    min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+       |    AND x.doc_id < y.doc_id),
+       |n AS (SELECT doc_id, count(*) AS c FROM dt GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM p JOIN n na ON p.doc_a = na.doc_id
+       |  JOIN n nb ON p.doc_b = nb.doc_id
+       |  WHERE floor((p.inter / (na.c + nb.c - p.inter)) * 1e5 + 0.5) / 1e5 >= 0.5),
+       |hit AS (
+       |  SELECT t.doc_a FROM truth t
+       |  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+       |m AS (
+       |  SELECT (SELECT count(*) FROM truth) AS n_true,
+       |    (SELECT count(*) FROM cand) AS n_candidates,
+       |    (SELECT count(*) FROM hit) AS n_hit)
+       |SELECT n_true, n_candidates, n_hit,
+       |  CASE WHEN n_true > 0
+       |    THEN ${Rounding.rSql("n_hit / n_true", 4)} ELSE 1.0 END AS recall,
+       |  CASE WHEN n_candidates > 0
+       |    THEN ${Rounding.rSql("n_hit / n_candidates", 4)} ELSE 1.0 END AS precision
+       |FROM m""".stripMargin
+
   // --- duplicate clustering: connected components over candidate pairs -----
   //
   // Pairwise near-dup output is only half the dedup story — keeping one
@@ -3633,6 +3724,7 @@ object TrainingDataQueries {
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_oph" -> (qMinhashOph _),
+    "q_dedup_recall" -> (qDedupRecall _),
     "q_cluster_rep" -> (qClusterRep _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
@@ -3690,6 +3782,7 @@ object TrainingDataQueries {
     "q_containment" -> qContainmentSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_oph" -> qMinhashOphSql,
+    "q_dedup_recall" -> qDedupRecallSql,
     "q_cluster_rep" -> qClusterRepSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
