@@ -1385,6 +1385,79 @@ object TrainingDataQueries {
        |FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
        |ORDER BY 1""".stripMargin
 
+  // --- ANN: LSH recall audit (completes the audit trio with IVF + PQ) -------
+  //
+  // Recall@10 of the band-amplified LSH candidates vs exact brute force,
+  // per probe — the same measure-don't-guess discipline as q_ann_recall
+  // (IVF) and q_pq_recall (PQ), for the third index family. The exact
+  // leg is the point (ground truth over a probe sample); the approx leg
+  // ranks only the band-agreement candidates. At 100 TB this is the
+  // post-build audit job over a sampled probe set, not the serving path.
+
+  private def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    // persisted: signatures feed the probe projection and the corpus
+    // side of the candidate join
+    val sigs = bandSigs(s, dir).persist()
+    val emb = embDouble(s, dir)
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("e").as("qe"))
+    val wProbe = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", expr("graft_cosine(e, qe)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id")
+    val pb = sigs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"),
+        col("band").as("qband"), col("sig").as("qsig"))
+    val approx = sigs.join(broadcast(pb),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id").agg(first("e").as("e"))
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cos", expr("graft_cosine(e, qe)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "vec_id")
+    val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("probe_id"), col("n_hit"),
+        (col("n_hit") / 10.0).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  private def qLshRecallSql: String =
+    s"""WITH $BandSigsCte,
+       |pe AS (SELECT vec_id AS probe_id, e AS qe FROM e0 WHERE vec_id < 8),
+       |ex AS (SELECT probe_id, vec_id FROM (
+       |  SELECT p.probe_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("c.e", "p.qe")} DESC, c.vec_id) AS rn
+       |  FROM e0 c CROSS JOIN pe p WHERE c.vec_id <> p.probe_id) x
+       |  WHERE rn <= 10),
+       |pb AS (SELECT vec_id AS probe_id, band AS qband, sig AS qsig
+       |  FROM sg WHERE vec_id < 8),
+       |cd AS (SELECT pb.probe_id, sg.vec_id, any_value(sg.e) AS e
+       |  FROM sg JOIN pb ON sg.band = pb.qband AND sg.sig = pb.qsig
+       |    AND sg.vec_id <> pb.probe_id
+       |  GROUP BY 1, 2),
+       |ap AS (SELECT probe_id, vec_id FROM (
+       |  SELECT cd.probe_id, cd.vec_id,
+       |    row_number() OVER (PARTITION BY cd.probe_id
+       |      ORDER BY ${cosSql("cd.e", "pe.qe")} DESC, cd.vec_id) AS rn
+       |  FROM cd JOIN pe ON pe.probe_id = cd.probe_id) y
+       |  WHERE rn <= 10),
+       |h AS (SELECT e.probe_id, count(*) AS n_hit
+       |  FROM ex e JOIN ap a ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+       |  GROUP BY 1)
+       |SELECT p.probe_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  coalesce(h.n_hit, 0) / 10.0 AS recall
+       |FROM pe p LEFT JOIN h ON h.probe_id = p.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+
   // --- ANN: product quantization (ADC scan) ---------------------------------
   //
   // The 100 TB STORAGE path for the ANN family: instead of scanning raw
@@ -3725,6 +3798,7 @@ object TrainingDataQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_oph" -> (qMinhashOph _),
     "q_dedup_recall" -> (qDedupRecall _),
+    "q_lsh_recall" -> (qLshRecall _),
     "q_cluster_rep" -> (qClusterRep _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
@@ -3783,6 +3857,7 @@ object TrainingDataQueries {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_oph" -> qMinhashOphSql,
     "q_dedup_recall" -> qDedupRecallSql,
+    "q_lsh_recall" -> qLshRecallSql,
     "q_cluster_rep" -> qClusterRepSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
