@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  /** Whitespace tokenizer (column form) — same as the dedup family's. */
-  private def simpleTokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), x => x =!= "")
+  /** Whitespace tokenizer (column form) — same as the dedup family's:
+    * the codegen'd `graft_ws_tokens`, bit-identical to the interpreted
+    * `filter(split(lower(c), "\\s+"), _ != "")` composition it replaces.
+    */
+  private def simpleTokens(c: Column): Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("graft_ws_tokens", c)
+  }
 
   private val TokensCte =
     """toks AS (

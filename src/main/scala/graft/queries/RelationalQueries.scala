@@ -914,30 +914,31 @@ object RelationalQueries {
   /** Time-series gap fill + LOCF (last observation carried forward): each
     * user's purchase history densified to a DAILY grid spanning their
     * first-to-last purchase, gaps forward-filled with the latest prior
-    * day's total. Grid generation is `sequence()` + `explode` (rows =
-    * users × span-days, linear, never a cross join); the fill is a
-    * per-user running `last(ignoreNulls)` window — partitioned by user, so
-    * no task ever sees more than one user's span. Dates travel as ISO
-    * strings so both engines hash identically.
+    * day's total. Run-based form: one `lead(d)` window over the SMALL
+    * per-(user, day) aggregate finds each observation's successor, then
+    * each observation explodes directly into its carry run
+    * `[d, next_d)` — the grid, the LOCF value, and the gap flag all fall
+    * out of the run itself. One keyed shuffle total (the window; the
+    * explode is narrow), vs the naive grid ⋈ daily + second window form —
+    * no join, no persist, and nothing downstream ever re-reads events.
+    * Dates travel as ISO strings so both engines hash identically.
     */
   private def qGapFill(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
       .agg(Rounding.fpSum(col("value"), 1e4).as("v"))
-      .persist() // feeds the span grid AND the fill join — one events pass
-    val grid = daily.groupBy("user_id")
-      .agg(min("d").as("lo"), max("d").as("hi"))
-      .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("d"))
     val w = Window.partitionBy("user_id").orderBy("d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(daily, Seq("user_id", "d"), "left")
-      .select(col("user_id"), col("d"),
-        when(col("v").isNull, 1).otherwise(0).as("is_gap"),
-        last("v", ignoreNulls = true).over(w).as("vf"))
-      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
-        col("is_gap"), Rounding.r(col("vf"), 4).as("v_filled"))
+    daily
+      .withColumn("nd", lead("d", 1).over(w))
+      .select(col("user_id"), col("d"), col("v"),
+        explode(sequence(
+          col("d"),
+          coalesce(date_sub(col("nd"), 1), col("d")),
+          expr("INTERVAL 1 DAY"))).as("g"))
+      .select(col("user_id"), date_format(col("g"), "yyyy-MM-dd").as("day"),
+        when(col("g") === col("d"), 0).otherwise(1).as("is_gap"),
+        Rounding.r(col("v"), 4).as("v_filled"))
       .orderBy("user_id", "day")
   }
 

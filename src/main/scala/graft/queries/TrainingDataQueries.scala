@@ -32,9 +32,17 @@ object TrainingDataQueries {
 
   private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime modulus)
 
-  /** Simple whitespace tokenizer used by the dedup family (column form). */
-  private def simpleTokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), x => x =!= "")
+  /** Simple whitespace tokenizer used by the dedup family (column form).
+    * Promoted to the codegen'd `graft_ws_tokens` expression — bit-identical
+    * to `filter(split(lower(c), "\\s+"), x -> x != '')`, whose `filter`
+    * HOF is interpreted per row (parity-spec'd in `GraftFunctionsSpec`).
+    * Registration is idempotent and keyed off the active session, so every
+    * battery builder stays a pure `(SparkSession, dir) => DataFrame`.
+    */
+  private def simpleTokens(c: Column): Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("graft_ws_tokens", c)
+  }
 
   private val TokensCte =
     """toks AS (
@@ -78,14 +86,18 @@ object TrainingDataQueries {
 
   /** Bigram shingles per doc (shared by the jaccard and minhash plans) —
     * shingling keeps pairwise similarity low enough that LSH bands only
-    * surface genuine near-dups instead of the whole pair space.
+    * surface genuine near-dups instead of the whole pair space. Uses the
+    * codegen'd `graft_shingles` expression (bit-identical to the
+    * tokenize→transform→array_distinct built-in chain, which is three
+    * interpreted HOFs per row — the measured hot path of the whole
+    * near-dup family); docs with <2 tokens yield an empty array, which
+    * `explode` drops, matching the old `size(ts) >= 2` guard.
     */
-  private[graft] def bigramShingles(s: SparkSession, dir: String): DataFrame =
-    sparkToks(s, dir)
-      .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
-        .as("tok"))
+  private[graft] def bigramShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("graft_shingles(text)")).as("tok"))
+  }
 
   private val ShinglesCte =
     """sh AS (
@@ -99,17 +111,15 @@ object TrainingDataQueries {
     * 10× in length).
     */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), simpleTokens(col("text")).as("ts"),
+      .select(col("doc_id"), col("text"),
         col("lang"), floor(col("n_chars") / lit(200)).cast("int").as("lb"))
     // persisted: consumed by the df-cap pass, both sides of the self-join
     // AND the size agg — without the cache the shingling explode re-runs
     val sh0 = docs
-      .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"), col("lb"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
-          .as("tok"))
+        explode(expr("graft_shingles(text)")).as("tok"))
       .persist()
     // DF-CAP: drop corpus-frequent shingles BEFORE the inverted-index
     // self-join — its cost is Σ df(shingle)², so one "of the"-grade bigram
@@ -183,14 +193,12 @@ object TrainingDataQueries {
   // intersection count is one partial+final agg; sizes join back from a
   // broadcast-sized per-doc count table.
   private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), simpleTokens(col("text")).as("ts"), col("lang"))
+      .select(col("doc_id"), col("text"), col("lang"))
     val sh0 = docs
-      .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(ts)-2), i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))")))
-          .as("tok"))
+        explode(expr("graft_shingles(text)")).as("tok"))
       .persist()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val capped = sh0.groupBy("tok").agg(count(lit(1)).as("df"))

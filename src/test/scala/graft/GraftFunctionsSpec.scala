@@ -65,6 +65,55 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got == java.text.Normalizer.normalize(mixed, java.text.Normalizer.Form.NFC))
   }
 
+  test("graft_ws_tokens is bit-identical to the filter/split/lower chain") {
+    import spark.implicits._
+    val chain = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr(s"$chain AS slow", "graft_ws_tokens(text) AS fast")
+    assert(docs.count() > 0)
+    assert(docs.filter("slow != fast").count() == 0)
+    val edges = Seq("  A  b\tC \n", "", "one", "Émile ZOLA", null).toDF("text")
+      .selectExpr(s"$chain AS slow", "graft_ws_tokens(text) AS fast").collect()
+    edges.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
+  test("graft_shingles is bit-identical to the tokenize/transform/distinct chain") {
+    import spark.implicits._
+    // the interpreted composition graft_shingles replaces, verbatim from
+    // the pre-promotion bigramShingles/qNgramJaccard plans
+    val hof = "array_distinct(transform(sequence(0, size(ts)-2), " +
+      "i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2))))"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("text", "filter(split(lower(text), '\\\\s+'), x -> x != '') AS ts")
+      .selectExpr(s"CASE WHEN size(ts) >= 2 THEN $hof ELSE array() END AS slow",
+        "graft_shingles(text) AS fast")
+    assert(docs.count() > 0)
+    assert(docs.filter("slow != fast").count() == 0)
+    // edge + adversarial shapes: whitespace runs, unicode, dup bigrams,
+    // <2 tokens, empty, null
+    val edges = Seq("a b a b a", "  leading  and\ttrailing \n", "one",
+      "", "Émile Zola ÉMILE zola", "x\u00a0y z", null).toDF("text")
+      .selectExpr("CASE WHEN text IS NULL THEN NULL ELSE " +
+        "filter(split(lower(text), '\\\\s+'), x -> x != '') END AS ts", "text")
+      .selectExpr(
+        s"CASE WHEN ts IS NULL THEN NULL WHEN size(ts) >= 2 THEN $hof ELSE array() END AS slow",
+        "graft_shingles(text) AS fast")
+      .collect()
+    edges.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+    // stays inside whole-stage codegen over a real scan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("graft_shingles(text) AS sh").filter("size(sh) >= 0")
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_shingles.*"),
+      s"projection not codegen'd:\n$plan")
+  }
+
   test("graft_hll plans as partial ObjectHashAggregate, matches the SQL register math, merge-order-proof") {
     import org.apache.spark.sql.functions._
     val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
