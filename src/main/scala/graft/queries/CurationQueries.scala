@@ -1070,6 +1070,238 @@ object CurationQueries {
        |UNION ALL SELECT 'order_orphan_custkeys', order_orphan_custkeys FROM oo
        |ORDER BY "check"""".stripMargin
 
+  // --- normalization-aware exact dedup (CCNet-style) ------------------------
+  //
+  // Wenzek et al. 2020 (CCNet) dedups on NORMALIZED text — lowercase,
+  // digits to a placeholder, punctuation stripped — because web near-copies
+  // differ in exactly those surface features. This query measures the
+  // uplift: per source, how many docs join a duplicate group under the
+  // normalized hash that the raw hash missed. The normalization chain is
+  // codegen'd built-ins end-to-end (NFC → lower → digits→0 → strip \p{P}
+  // → collapse \s+ → trim; no accent fold — ICU accent tables differ
+  // across engines, the rest is IEEE-free byte-deterministic string work).
+  // Plan shape: two linear hash-key aggs (raw md5, norm md5) joined back
+  // on their own keys — the exact-dedup discipline twice, no pair space.
+  // Deterministic enrichment exercises the contrast: %13 ids get an exact
+  // copy (raw-dup AND norm-dup), %7 ids get two punctuation/digit variants
+  // (norm-dup ONLY — '*** 123 ***' and ',,, 456 !!' both normalize to
+  // ' 000').
+
+  /** The CCNet-ish normalization column (Spark side; oracle mirrors it
+    * operation-for-operation with DuckDB's `nfc_normalize`).
+    */
+  private def ccnetNorm(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(call_function("graft_nfc", c)),
+      "[0-9]", "0"), "\\p{P}", ""), "\\s+", " "))
+
+  private def enrichedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    base
+      .unionAll(base.filter(col("doc_id") % 13 === 0).select(
+        (col("doc_id") + 10000000L).as("doc_id"), col("source"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 20000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit("\n*** 123 ***")).as("text")))
+      .unionAll(base.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 30000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit(" ,,, 456 !!")).as("text")))
+  }
+
+  private def qNormDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val h = enrichedDocs(s, dir)
+      .select(col("source"), md5(col("text")).as("rh"),
+        md5(ccnetNorm(col("text"))).as("nh"))
+    val rdf = h.groupBy("rh").agg(count(lit(1)).as("rc"))
+    val ndf = h.groupBy("nh").agg(count(lit(1)).as("nc"))
+    h.join(rdf, "rh").join(ndf, "nh")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rc") >= 2, 1L).otherwise(0L)).as("raw_dup"),
+        sum(when(col("nc") >= 2, 1L).otherwise(0L)).as("norm_dup"))
+      .select(col("source"), col("n_docs"), col("raw_dup"), col("norm_dup"),
+        (col("norm_dup") - col("raw_dup")).as("uplift"))
+      .orderBy("source")
+  }
+
+  private val NormSqlExpr =
+    """trim(regexp_replace(regexp_replace(regexp_replace(
+      |  lower(nfc_normalize(text)), '[0-9]', '0', 'g'), '\p{P}', '', 'g'),
+      |  '\s+', ' ', 'g'))""".stripMargin
+
+  private val qNormDedupSql =
+    s"""WITH en AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000000, source, text
+       |    FROM documents WHERE doc_id % 13 = 0
+       |  UNION ALL SELECT doc_id + 20000000, source, text || chr(10) || '*** 123 ***'
+       |    FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 30000000, source, text || ' ,,, 456 !!'
+       |    FROM documents WHERE doc_id % 7 = 0),
+       |h AS (SELECT source, md5(text) AS rh, md5($NormSqlExpr) AS nh FROM en),
+       |rdf AS (SELECT rh, CAST(count(*) AS BIGINT) AS rc FROM h GROUP BY 1),
+       |ndf AS (SELECT nh, CAST(count(*) AS BIGINT) AS nc FROM h GROUP BY 1)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS raw_dup,
+       |  CAST(sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS norm_dup,
+       |  CAST(sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END)
+       |     - sum(CASE WHEN rc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS uplift
+       |FROM h JOIN rdf USING (rh) JOIN ndf USING (nh)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- pairwise source divergence (total-variation distance) ----------------
+  //
+  // The corpus-mix drift audit: for every source pair, the total-variation
+  // distance between unigram distributions, TV = ½ Σ_t |p₁(t) − p₂(t)|.
+  // Cross-multiplying by the token totals keeps it INTEGER-EXACT until one
+  // final division: TV·2N₁N₂ = Σ_shared |c₁N₂ − c₂N₁| + (N₁−S₁)N₂ +
+  // (N₂−S₂)N₁ where S_i sums the shared-token counts — so tokens present
+  // in only one source are priced by the CLOSED FORM, never materialized.
+  // Plan: one (source, tok) partial agg, a vocab-keyed self-join (≤ |pairs|
+  // rows per token, sources are a tiny dimension), two broadcast joins for
+  // the totals, one pair agg. Int64 holds to N₁N₂·10⁶ < 2⁶³ (≈ 10⁵ docs
+  // per source at this doc length); past that the micros scale drops or
+  // the sums move to DECIMAL — documented, not silent.
+
+  private def qSourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "documents")
+      .select(col("source"), explode(simpleTokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .persist() // both sides of the pair join + the totals agg
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val pairs = cnt.as("a")
+      .join(cnt.select(col("source").as("s2"), col("tok"), col("c").as("c2")),
+        Seq("tok"))
+      .filter(col("source") < col("s2"))
+      .join(broadcast(tot.select(col("source"), col("n").as("n1"))), "source")
+      .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+    val out = pairs.groupBy(col("source").as("s1"), col("s2"))
+      .agg(min("n1").as("n1"), min("n2").as("n2"),
+        count(lit(1)).as("shared_toks"),
+        sum(abs(col("c") * col("n2") - col("c2") * col("n1"))).as("sd"),
+        sum("c").as("sc1"), sum("c2").as("sc2"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("shared_toks"),
+        expr("""(1000000 * (sd + (n1 - sc1) * n2 + (n2 - sc2) * n1))
+                 div (2 * n1 * n2)""").as("tv_micros"))
+      .orderBy("s1", "s2")
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  private val qSourceDivergenceSql =
+    s"""WITH $TokensCte,
+       |st AS (
+       |  SELECT d.source, unnest(t.ts) AS tok
+       |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+       |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+       |pair AS (
+       |  SELECT a.source AS s1, b.source AS s2, a.c AS c1, b.c AS c2,
+       |    t1.n AS n1, t2.n AS n2
+       |  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+       |  JOIN tot t1 ON t1.source = a.source
+       |  JOIN tot t2 ON t2.source = b.source),
+       |agg AS (
+       |  SELECT s1, s2, min(n1) AS n1, min(n2) AS n2,
+       |    CAST(count(*) AS BIGINT) AS shared_toks,
+       |    CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS sd,
+       |    CAST(sum(c1) AS BIGINT) AS sc1, CAST(sum(c2) AS BIGINT) AS sc2
+       |  FROM pair GROUP BY 1, 2)
+       |SELECT s1, s2, n1, n2, shared_toks,
+       |  (1000000 * (sd + (n1 - sc1) * n2 + (n2 - sc2) * n1)) // (2 * n1 * n2)
+       |    AS tv_micros
+       |FROM agg ORDER BY s1, s2""".stripMargin
+
+  // --- vocabulary head coverage ---------------------------------------------
+  //
+  // The tokenizer-sizing signal: what fraction of each source's running
+  // tokens does the global top-K vocabulary cover? (The Zipf head-mass
+  // curve every vocab-size decision reads.) Plan: (source, tok) partial
+  // agg → vocab-sized global agg → distributed TakeOrdered(K) with a
+  // deterministic (count desc, tok) tie-break → O(K) broadcast back onto
+  // the per-source counts. Integer-exact coverage in micros. K = 8 here
+  // because the synthetic corpus draws from a ~31-token vocabulary — the
+  // head-mass number is only informative with K below the vocab size; a
+  // real corpus uses K = target tokenizer vocab (32k/64k), same plan.
+
+  private val VocabK = 8
+
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "documents")
+      .select(col("source"), explode(simpleTokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .persist() // feeds the global vocab agg AND the coverage join
+    val top = cnt.groupBy("tok").agg(sum("c").as("g"))
+      .orderBy(desc("g"), col("tok")).limit(VocabK)
+      .select("tok")
+    val cov = cnt.join(broadcast(top), "tok")
+      .groupBy("source").agg(sum("c").as("covered"))
+    val out = cnt.groupBy("source").agg(sum("c").as("n_toks"))
+      .join(cov, Seq("source"), "left")
+      .select(col("source"), col("n_toks"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        expr("(1000000 * coalesce(covered, 0L)) div n_toks").as("coverage_micros"))
+      .orderBy("source")
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  private val qVocabCoverageSql =
+    s"""WITH $TokensCte,
+       |st AS (
+       |  SELECT d.source, unnest(t.ts) AS tok
+       |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+       |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok FROM (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM cnt GROUP BY 1)
+       |  ORDER BY g DESC, tok LIMIT $VocabK),
+       |cov AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS covered
+       |  FROM cnt JOIN top USING (tok) GROUP BY 1),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_toks FROM cnt GROUP BY 1)
+       |SELECT source, n_toks, COALESCE(covered, 0) AS covered,
+       |  (1000000 * COALESCE(covered, 0)) // n_toks AS coverage_micros
+       |FROM tot LEFT JOIN cov USING (source) ORDER BY source""".stripMargin
+
+  // --- probe calibration curve ----------------------------------------------
+  //
+  // The third leg of the train → score → evaluate loop (after
+  // q_linear_probe and q_probe_auc): a DECILE CALIBRATION of the trained
+  // probe — positives rate per score decile over the same deterministic
+  // md5-ordered eval sample, the reliability diagram a curator reads
+  // before trusting the probe's threshold. The global ntile window is
+  // bounded by the eval cut (the withRank contract); rates are integer
+  // micros, ties in score break on doc_id in both engines.
+
+  private def qProbeCalibration(s: SparkSession, dir: String): DataFrame = {
+    val eval0 = probeScores(s, dir)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(AucEvalSize)
+    eval0
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("pos"))
+      .select(col("decile"), col("n"), col("pos"),
+        expr("(1000000 * pos) div n").as("pos_rate_micros"))
+      .orderBy("decile")
+  }
+
+  private val qProbeCalibrationSql =
+    s"""WITH $ProbeCtes,
+       |eval AS (
+       |  SELECT * FROM scores ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |  LIMIT $AucEvalSize),
+       |d AS (
+       |  SELECT y, CAST(ntile(10) OVER (ORDER BY score, doc_id) AS INT) AS decile
+       |  FROM eval)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+       |  (1000000 * CAST(sum(y) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |    AS pos_rate_micros
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_encode" -> (qBpeEncode _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
@@ -1086,7 +1318,11 @@ object CurationQueries {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_lm_score" -> (qLmScore _),
     "q_incr_stats" -> (qIncrStats _),
-    "q_data_checks" -> (qDataChecks _))
+    "q_data_checks" -> (qDataChecks _),
+    "q_norm_dedup" -> (qNormDedup _),
+    "q_source_divergence" -> (qSourceDivergence _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_probe_calibration" -> (qProbeCalibration _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_encode" -> qBpeEncodeSql,
@@ -1104,5 +1340,9 @@ object CurationQueries {
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_lm_score" -> qLmScoreSql,
     "q_incr_stats" -> qIncrStatsSql,
-    "q_data_checks" -> qDataChecksSql)
+    "q_data_checks" -> qDataChecksSql,
+    "q_norm_dedup" -> qNormDedupSql,
+    "q_source_divergence" -> qSourceDivergenceSql,
+    "q_vocab_coverage" -> qVocabCoverageSql,
+    "q_probe_calibration" -> qProbeCalibrationSql)
 }
