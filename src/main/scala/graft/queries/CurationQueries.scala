@@ -1176,7 +1176,7 @@ object CurationQueries {
       .filter(col("source") < col("s2"))
       .join(broadcast(tot.select(col("source"), col("n").as("n1"))), "source")
       .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))), "s2")
-    val out = pairs.groupBy(col("source").as("s1"), col("s2"))
+    pairs.groupBy(col("source").as("s1"), col("s2"))
       .agg(min("n1").as("n1"), min("n2").as("n2"),
         count(lit(1)).as("shared_toks"),
         sum(abs(col("c") * col("n2") - col("c2") * col("n1"))).as("sd"),
@@ -1185,8 +1185,6 @@ object CurationQueries {
         expr("""(1000000 * (sd + (n1 - sc1) * n2 + (n2 - sc2) * n1))
                  div (2 * n1 * n2)""").as("tv_micros"))
       .orderBy("s1", "s2")
-    cnt.unpersist(blocking = false)
-    out
   }
 
   private val qSourceDivergenceSql =
@@ -1237,14 +1235,12 @@ object CurationQueries {
       .select("tok")
     val cov = cnt.join(broadcast(top), "tok")
       .groupBy("source").agg(sum("c").as("covered"))
-    val out = cnt.groupBy("source").agg(sum("c").as("n_toks"))
+    cnt.groupBy("source").agg(sum("c").as("n_toks"))
       .join(cov, Seq("source"), "left")
       .select(col("source"), col("n_toks"),
         coalesce(col("covered"), lit(0L)).as("covered"),
         expr("(1000000 * coalesce(covered, 0L)) div n_toks").as("coverage_micros"))
       .orderBy("source")
-    cnt.unpersist(blocking = false)
-    out
   }
 
   private val qVocabCoverageSql =
