@@ -3066,6 +3066,132 @@ object TrainingDataQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // --- HLL over TIME: rolling 7-day distinct via register-max merge ---------
+  //
+  // The sketch-algebra-over-time composition: daily HLL register rows
+  // (30×m state for a month, at ANY event volume) merge into each day's
+  // TRAILING 7-DAY distinct-user count by an elementwise register max
+  // over a RANGE window — the raw events are scanned once; the rolling
+  // distinct never re-touches them. This is how dashboards price
+  // "7-day actives" at 100 TB: count(DISTINCT) over a sliding window
+  // re-scans the window's raw rows every day, while sketch rows make the
+  // roll-up O(days × m). The window maxes over a DENSE (day × bucket)
+  // grid (days is a tiny dimension; missing registers stay NULL and
+  // count as zero registers), RANGE-framed on an integer day key so gap
+  // days can't widen the frame. Exact daily/7-day truths ride alongside
+  // (the 7-day exact via a 0..6-offset expansion — linear ×7, no range
+  // join) so the oracle certifies the estimates' error.
+  //
+  // Registers are sized to the POPULATION regime (m = 32 ≪ n ≈ 150
+  // daily users, n > 2.5m, α₃₂ = 0.697): the docs-family sketches count
+  // thousands of bigrams and can afford m = 256, but raw HLL with m ≳ n
+  // lands in the small-range zone where the standard correction is
+  // linear counting — whose ln() is not cross-engine bit-exact, so the
+  // repo's sketch discipline is "size m to the population" instead.
+
+  private val HllDailyM = 32
+  private val HllDailyMaxRho = 44 // 43 payload bits after 5 bucket bits
+
+  private def qHllDaily(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.697 // standard HLL alpha for m = 32
+    val num = alpha * HllDailyM * HllDailyM * (1L << HllDailyMaxRho).toDouble
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .withColumn("dk", datediff(col("d"), lit("2020-01-01").cast("date")))
+      .persist() // feeds registers, the day grid, and both exact truths
+    val regs = ev
+      .select(col("d"), col("dk"),
+        md5Sid(col("user_id").cast("string"), HllHexLen).as("h"))
+      .select(col("d"), col("dk"), pmod(col("h"), lit(HllDailyM)).as("bucket"),
+        expr(s"h div $HllDailyM").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(HllDailyMaxRho))
+        .otherwise(lit(HllDailyMaxRho) - length(bin(col("w")))))
+      .groupBy("d", "dk", "bucket").agg(max("rho").as("mj"))
+    val days = ev.select("d", "dk").distinct()
+    val grid = days.select(col("d"), col("dk"),
+      explode(sequence(lit(0), lit(HllDailyM - 1))).as("bucket"))
+    val win = Window.partitionBy("bucket").orderBy("dk").rangeBetween(-6, 0)
+    val dense = grid
+      .join(regs.select("dk", "bucket", "mj"), Seq("dk", "bucket"), "left")
+      .withColumn("mj7", max("mj").over(win))
+    def est(sInt: Column): Column = Rounding.r(lit(num) / sInt.cast("double"), 4)
+    val daily = regs.groupBy("d").agg(
+      sum(expr(s"shiftleft(1L, cast($HllDailyMaxRho - mj AS int))")).as("occ"),
+      count(lit(1)).as("nocc"))
+      .select(col("d"), est(col("occ") +
+        (lit(HllDailyM.toLong) - col("nocc")) * lit(1L << HllDailyMaxRho)).as("est_daily"))
+    val roll = dense.groupBy("d").agg(
+      sum(when(col("mj7").isNotNull,
+        expr(s"shiftleft(1L, cast($HllDailyMaxRho - mj7 AS int))"))
+        .otherwise(lit(0L))).as("occ7"),
+      count(col("mj7")).as("nocc7"))
+      .select(col("d"), est(col("occ7") +
+        (lit(HllDailyM.toLong) - col("nocc7")) * lit(1L << HllDailyMaxRho)).as("est_7d"))
+    val exactDaily = ev.groupBy("d")
+      .agg(countDistinct("user_id").as("exact_daily"))
+    val exact7 = ev
+      .select(explode(sequence(lit(0), lit(6))).as("o"), col("dk"), col("user_id"))
+      .select((col("dk") + col("o")).as("dk"), col("user_id"))
+      .join(days, "dk")
+      .groupBy("d").agg(countDistinct("user_id").as("exact_7d"))
+    exactDaily.join(daily, "d").join(exact7, "d").join(roll, "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("exact_daily"), col("est_daily"), col("exact_7d"), col("est_7d"))
+      .orderBy("day")
+  }
+
+  private val qHllDailySql = {
+    val alpha = 0.697 // standard HLL alpha for m = 32
+    val num = alpha * HllDailyM * HllDailyM * (1L << HllDailyMaxRho).toDouble
+    def estSql(sInt: String): String =
+      Rounding.rSql(s"$num / CAST($sInt AS DOUBLE)", 4)
+    s"""WITH ev AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |    date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS dk, user_id
+       |  FROM events),
+       |h AS (
+       |  SELECT d, dk,
+       |    ${md5SidSql("CAST(user_id AS VARCHAR)", HllHexLen)} AS h
+       |  FROM ev),
+       |regs AS (
+       |  SELECT d, dk, h % $HllDailyM AS bucket,
+       |    max(CASE WHEN h // $HllDailyM = 0 THEN $HllDailyMaxRho
+       |      ELSE $HllDailyMaxRho - length(bin(h // $HllDailyM)) END) AS mj
+       |  FROM h GROUP BY 1, 2, 3),
+       |days AS (SELECT DISTINCT d, dk FROM ev),
+       |grid AS (
+       |  SELECT d, dk, unnest(generate_series(0, ${HllDailyM - 1})) AS bucket
+       |  FROM days),
+       |dense AS (
+       |  SELECT g.d, g.dk, g.bucket,
+       |    max(r.mj) OVER (PARTITION BY g.bucket ORDER BY g.dk
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mj7
+       |  FROM grid g LEFT JOIN regs r ON r.dk = g.dk AND r.bucket = g.bucket),
+       |daily AS (
+       |  SELECT d, ${estSql(
+             s"sum(1::BIGINT << CAST($HllDailyMaxRho - mj AS INT)) + ($HllDailyM - count(*)) * (1::BIGINT << $HllDailyMaxRho)")}
+       |    AS est_daily
+       |  FROM regs GROUP BY 1),
+       |roll AS (
+       |  SELECT d, ${estSql(
+             s"sum(CASE WHEN mj7 IS NOT NULL THEN 1::BIGINT << CAST($HllDailyMaxRho - mj7 AS INT) ELSE 0 END) + ($HllDailyM - count(mj7)) * (1::BIGINT << $HllDailyMaxRho)")}
+       |    AS est_7d
+       |  FROM dense GROUP BY 1),
+       |ed AS (
+       |  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_daily
+       |  FROM ev GROUP BY 1),
+       |e7 AS (
+       |  SELECT days.d, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_7d
+       |  FROM (SELECT dk + unnest(generate_series(0, 6)) AS dk, user_id FROM ev) x
+       |  JOIN days ON days.dk = x.dk
+       |  GROUP BY 1)
+       |SELECT strftime(ed.d, '%Y-%m-%d') AS day, ed.exact_daily, daily.est_daily,
+       |  e7.exact_7d, roll.est_7d
+       |FROM ed JOIN daily ON daily.d = ed.d
+       |JOIN e7 ON e7.d = ed.d JOIN roll ON roll.d = ed.d
+       |ORDER BY day""".stripMargin
+  }
+
   // --- HLL as a NATIVE AGGREGATE (TypedImperativeAggregate) -----------------
   //
   // The same register math as `q_hll_sketch`, but computed by the custom
@@ -3813,6 +3939,7 @@ object TrainingDataQueries {
     "q_pagerank" -> (qPagerank _),
     "q_kmv_algebra" -> (qKmvAlgebra _),
     "q_hll_union" -> (qHllUnion _),
+    "q_hll_daily" -> (qHllDaily _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
@@ -3872,6 +3999,7 @@ object TrainingDataQueries {
     "q_pagerank" -> qPagerankSql,
     "q_kmv_algebra" -> qKmvAlgebraSql,
     "q_hll_union" -> qHllUnionSql,
+    "q_hll_daily" -> qHllDailySql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_hamming" -> qSimhashHammingSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
