@@ -3192,6 +3192,109 @@ object TrainingDataQueries {
        |ORDER BY day""".stripMargin
   }
 
+  // --- embedding-spectrum audit (integer power iteration on the Gram) -------
+  //
+  // The embedding-collapse / anisotropy audit a curation pipeline runs
+  // before trusting cosine geometry (Ethayarajh 2019; Mu & Viswanath
+  // 2018 "all-but-the-top"): the share of total variance captured by the
+  // top principal direction. Both the statistic and the direction come
+  // from a THREE-STEP POWER ITERATION on the centered Gram matrix — run
+  // entirely in int64 so it is bit-identical across engines where float
+  // linear algebra would differ by accumulation order:
+  //   q_ij = ⌊1000·e_ij + ½⌋   (fixed-point embeddings)
+  //   c_ij = q_ij − (Σ_i q_ij div N)   (truncated-mean centering)
+  //   G    = CᵀC   (one D²-bounded partial agg, the linear-probe shape)
+  //   w ← G·w, rescaled to |w|∞ ≤ 2²⁰ by a truncating division each step
+  // λ is the Rayleigh-free |G·w|∞/|w|∞ ratio and top_share = λ/tr(G) —
+  // each ONE double division at the very end (IEEE-exact both engines).
+  // Scale shape: one narrow N×D pass, Gram state O(D²) at any corpus
+  // size, iterations on D-row frames. Int64 holds while N·(2·10³·maxq)²
+  // ·2²⁰·D < 2⁶³ (N ≈ 10⁵ at D = 64) — past that, train the Gram on a
+  // deterministic hash-sample (the q_linear_probe remedy).
+
+  private val SpecWScale = 1048576L // 2^20
+
+  private def qEmbedSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "e")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        floor(col("e").cast("double") * lit(1000.0) + lit(0.5))
+          .cast("long").as("q"))
+    val mu = vecs.groupBy("j").agg(expr("sum(q) div count(1)").as("mu"))
+    val cvecs = vecs.join(broadcast(mu), "j")
+      .select(col("vec_id"), col("j"), (col("q") - col("mu")).as("c"))
+      .persist() // both sides of the Gram pair join
+    val g = cvecs
+      .join(cvecs.select(col("vec_id"), col("j").as("k"), col("c").as("c2")),
+        "vec_id")
+      .groupBy("j", "k").agg(sum(col("c") * col("c2")).as("g"))
+      .persist() // read by every iteration + the diagonal/trace
+    val trace = g.filter(col("j") === col("k")).agg(sum("g").as("t"))
+    var w = mu.select(col("j"), lit(SpecWScale).as("w"))
+    for (_ <- 1 to 3) {
+      val u = g.join(w.select(col("j").as("k"), col("w")), "k")
+        .groupBy("j").agg(sum(col("g") * col("w")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      w = u.crossJoin(broadcast(m))
+        .select(col("j"), expr(s"u div (m div ${SpecWScale}L + 1L)").as("w"))
+    }
+    val u4 = g.join(w.select(col("j").as("k"), col("w")), "k")
+      .groupBy("j").agg(sum(col("g") * col("w")).as("u"))
+    val fin = u4.agg(max(abs(col("u"))).as("muv"))
+      .crossJoin(w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mw")))
+      .crossJoin(trace)
+    g.filter(col("j") === col("k")).select(col("j"), col("g").as("var_dim"))
+      .join(w, "j").crossJoin(broadcast(fin))
+      .select(col("j"), col("var_dim"), col("w"),
+        Rounding.r(col("muv").cast("double") / col("mw").cast("double"), 4)
+          .as("lam"),
+        Rounding.r((col("muv").cast("double") / col("mw").cast("double")) /
+          col("t").cast("double"), 6).as("top_share"))
+      .orderBy("j")
+  }
+
+  private val qEmbedSpectrumSql = {
+    def iter(i: Int, prev: String): String =
+      s"""u$i AS (
+         |  SELECT g.j, CAST(sum(g.g * $prev.w) AS BIGINT) AS u
+         |  FROM g JOIN $prev ON $prev.j = g.k GROUP BY 1),
+         |w$i AS (
+         |  SELECT j, u // ((SELECT max(abs(u)) FROM u$i) // $SpecWScale + 1) AS w
+         |  FROM u$i)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, j - 1 AS j,
+       |    -- CAST first: DuckDB keeps FLOAT * 1000.0 in FLOAT, whose
+       |    -- rounding differs from Spark's FLOAT→DOUBLE promotion at ties
+       |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS j
+       |        FROM embeddings)),
+       |mu AS (SELECT j, CAST(sum(q) AS BIGINT) // count(*) AS mu FROM q GROUP BY 1),
+       |c AS (
+       |  SELECT vec_id, q.j, q.q - mu.mu AS c FROM q JOIN mu USING (j)),
+       |g AS (
+       |  SELECT a.j AS j, b.j AS k, CAST(sum(a.c * b.c) AS BIGINT) AS g
+       |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |tr AS (SELECT CAST(sum(g) AS BIGINT) AS t FROM g WHERE j = k),
+       |w0 AS (SELECT j, CAST($SpecWScale AS BIGINT) AS w FROM mu),
+       |${iter(1, "w0")},
+       |${iter(2, "w1")},
+       |${iter(3, "w2")},
+       |u4 AS (
+       |  SELECT g.j, CAST(sum(g.g * w3.w) AS BIGINT) AS u
+       |  FROM g JOIN w3 ON w3.j = g.k GROUP BY 1),
+       |fin AS (
+       |  SELECT (SELECT max(abs(u)) FROM u4) AS muv,
+       |    greatest((SELECT max(abs(w)) FROM w3), 1) AS mw)
+       |SELECT d.j, d.g AS var_dim, w3.w AS w,
+       |  ${Rounding.rSql("muv / CAST(mw AS DOUBLE)", 4)} AS lam,
+       |  ${Rounding.rSql("(muv / CAST(mw AS DOUBLE)) / CAST(t AS DOUBLE)", 6)}
+       |    AS top_share
+       |FROM (SELECT j, g FROM g WHERE j = k) d
+       |JOIN w3 USING (j) CROSS JOIN fin CROSS JOIN tr
+       |ORDER BY j""".stripMargin
+  }
+
   // --- HLL as a NATIVE AGGREGATE (TypedImperativeAggregate) -----------------
   //
   // The same register math as `q_hll_sketch`, but computed by the custom
@@ -3940,6 +4043,7 @@ object TrainingDataQueries {
     "q_kmv_algebra" -> (qKmvAlgebra _),
     "q_hll_union" -> (qHllUnion _),
     "q_hll_daily" -> (qHllDaily _),
+    "q_embed_spectrum" -> (qEmbedSpectrum _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_hamming" -> (qSimhashHamming _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
@@ -4000,6 +4104,7 @@ object TrainingDataQueries {
     "q_kmv_algebra" -> qKmvAlgebraSql,
     "q_hll_union" -> qHllUnionSql,
     "q_hll_daily" -> qHllDailySql,
+    "q_embed_spectrum" -> qEmbedSpectrumSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_hamming" -> qSimhashHammingSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
