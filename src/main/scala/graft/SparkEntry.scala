@@ -33,9 +33,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RetrievalQueries.queries ++
-      TrainingDataQueries.queries ++ CurationQueries.queries
+      TrainingDataQueries.queries ++ CurationQueries.queries ++
+      ScaleQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RetrievalQueries.oracles ++
-      TrainingDataQueries.oracles ++ CurationQueries.oracles
+      TrainingDataQueries.oracles ++ CurationQueries.oracles ++
+      ScaleQueries.oracles
 }
