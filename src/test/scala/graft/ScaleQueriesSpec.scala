@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the scale-infrastructure quartet
+  * ([[graft.queries.ScaleQueries]]) that the DuckDB hash oracle cannot
+  * express — the winnowing guarantee, Lloyd-step conservation, rollup
+  * grain consistency, and canonicalization invariants.
+  */
+class ScaleQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  // --- winnowing -----------------------------------------------------------
+
+  test("winnowing guarantee: every footer-planted doc shares a fingerprint") {
+    // The planted footer (doc_id % 7 == 0) is far longer than k + w - 1,
+    // so the Schleimer/Wilkerson/Aiken theorem REQUIRES at least one
+    // shared fingerprint between any two docs carrying it — n_shared >= 1
+    // for every planted doc (there are many at sf0.001, so each has a
+    // partner).
+    val out = run("q_winnowing").persist()
+    try {
+      val planted = out.filter(col("doc_id") % 7 === 0)
+      assert(planted.count() >= 2, "need >=2 planted docs for the property")
+      val violating = planted.filter(col("n_shared") < 1).count()
+      assert(violating === 0,
+        "a footer-planted doc has zero shared fingerprints — the winnowing " +
+          "window-min guarantee is broken")
+    } finally out.unpersist()
+  }
+
+  test("winnowing fingerprints: share_frac in [0,1] and n_shared <= n_fp") {
+    val bad = run("q_winnowing")
+      .filter(col("n_shared") > col("n_fp") ||
+        col("share_frac") < 0 || col("share_frac") > 1)
+      .count()
+    assert(bad === 0)
+  }
+
+  // --- k-means ---------------------------------------------------------------
+
+  test("kmeans conserves vectors and bounds the cluster ids") {
+    val out = run("q_kmeans").persist()
+    try {
+      val total = out.agg(sum("n_vecs")).head.getLong(0)
+      val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      assert(total === nVecs, "every vector must be assigned exactly once")
+      val badCid = out.filter(col("cluster") < 0 || col("cluster") > 7).count()
+      assert(badCid === 0)
+      val negInertia = out.filter(col("inertia") < 0).count()
+      assert(negInertia === 0, "squared-L2 inertia cannot be negative")
+    } finally out.unpersist()
+  }
+
+  test("kmeans second-iteration inertia does not exceed first-iteration inertia") {
+    // Lloyd's theorem: re-assigning to the UPDATED centroids can only
+    // lower (or keep) the summed squared distance relative to assigning
+    // to those same centroids' parents. Recompute iteration-1 inertia
+    // against the seed centroids and compare.
+    import graft.queries.Tables.t
+    val fp = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+      .persist()
+    try {
+      val seed = fp.withColumn("m", md5(col("vec_id").cast("string")))
+        .orderBy("m", "vec_id").limit(8)
+        .withColumn("cid", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("m", "vec_id")) - 1).cast("long"))
+        .select(col("cid"), col("x").as("c"))
+      val inertia1 = fp.crossJoin(broadcast(seed))
+        .withColumn("dist",
+          expr("aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+        .groupBy("vec_id").agg(min("dist").as("d"))
+        .agg(sum("d")).head.getLong(0)
+      val inertia2 = run("q_kmeans").agg(sum("inertia")).head.getLong(0)
+      assert(inertia2 <= inertia1,
+        s"Lloyd step increased inertia: $inertia1 -> $inertia2")
+    } finally fp.unpersist()
+  }
+
+  // --- grouping sets -----------------------------------------------------------
+
+  test("grouping-sets grains are mutually consistent") {
+    val out = run("q_grouping_sets").persist()
+    try {
+      // gid 0 = (lang, source) detail; gid 1 = lang subtotal (source
+      // aggregated away); gid 2 = source subtotal. Detail must re-sum to
+      // each subtotal grain exactly.
+      val detail = out.filter(col("gid") === 0)
+      val byLang = detail.groupBy("lang")
+        .agg(sum("n_docs").as("d_docs"), sum("chars").as("d_chars"))
+      val langGrain = out.filter(col("gid") === 1)
+        .select(col("lang"), col("n_docs"), col("chars"))
+      val mism = langGrain.join(byLang, "lang")
+        .filter(col("n_docs") =!= col("d_docs") || col("chars") =!= col("d_chars"))
+        .count()
+      assert(mism === 0, "lang subtotal grain disagrees with detail re-sum")
+      val bySource = detail.groupBy("source").agg(sum("n_docs").as("d_docs"))
+      val mism2 = out.filter(col("gid") === 2).join(bySource, "source")
+        .filter(col("n_docs") =!= col("d_docs")).count()
+      assert(mism2 === 0, "source subtotal grain disagrees with detail re-sum")
+    } finally out.unpersist()
+  }
+
+  // --- URL canonicalization ------------------------------------------------------
+
+  test("url canonicalization invariants: no www domains, dupes consistent") {
+    val out = run("q_url_canonical").persist()
+    try {
+      assert(out.filter(col("domain").startsWith("www.")).count() === 0,
+        "www. prefix must be stripped from the canonical domain")
+      val bad = out.filter(col("n_canonical") > col("n_urls") ||
+        col("n_dupes") =!= col("n_urls") - col("n_canonical") ||
+        col("n_tracked") > col("n_urls")).count()
+      assert(bad === 0)
+      // the planted %400 path bucket forces real dupes at any sf with
+      // >400 docs per (source, lang) — at sf0.001 just require >=0 and
+      // that the total rows match the (source, lang) domain space
+      assert(out.count() > 0)
+    } finally out.unpersist()
+  }
+}
