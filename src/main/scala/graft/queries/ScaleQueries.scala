@@ -322,15 +322,229 @@ object ScaleQueries {
        |  CAST(sum(CASE WHEN q LIKE '%utm\\_%' ESCAPE '\\' THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- Z-order (Morton) layout clustering ------------------------------------
+  //
+  // The data-layout primitive behind multi-dimensional data skipping
+  // (Delta/Iceberg `OPTIMIZE ZORDER BY`): interleave the bits of two
+  // clustering dimensions into one Morton key, chunk the key space into
+  // file-sized buckets, and report each bucket's min/max range on BOTH
+  // dimensions — narrow ranges on both axes are what lets a scan prune
+  // files for 2-D predicates, where a plain sort clusters only its
+  // leading column. Dimensions here: a saturated length bin
+  // (min(n_chars div 2, 255) — real magnitude, real locality) and the
+  // ingestion-sequence bin (doc_id mod 256). Everything is a pure
+  // per-row projection (x, y, z, bucket) plus ONE aggregate — no global
+  // sort, no window: at 100 TB the bucket column feeds
+  // `repartitionByRange(z) + sortWithinPartitions(z)` at write time and
+  // this min/max table IS the file-skipping index. `prunable_len` marks
+  // the buckets a `len_bin BETWEEN 100 AND 140` scan would skip.
+
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        least(expr("n_chars div 2"), lit(255L)).as("x"),
+        (col("doc_id") % 256).cast("long").as("y"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 7), 0L, (acc, j) ->
+          |  acc + shiftleft(CAST(shiftright(x, j) & 1 AS BIGINT), 2 * j)
+          |      + shiftleft(CAST(shiftright(y, j) & 1 AS BIGINT), 2 * j + 1))""".stripMargin))
+      .withColumn("bucket", expr("z div 2048"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .select(col("bucket"), col("n_docs"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        (col("max_x") - col("min_x") + col("max_y") - col("min_y")).as("span"),
+        when(col("max_x") < 100 || col("min_x") > 140, 1L).otherwise(0L)
+          .as("prunable_len"))
+      .orderBy("bucket")
+
+  private val qZorderLayoutSql =
+    """WITH d AS (
+      |  SELECT doc_id, least(n_chars // 2, 255) AS x,
+      |    CAST(doc_id % 256 AS BIGINT) AS y
+      |  FROM documents),
+      |zz AS (
+      |  SELECT doc_id, x, y,
+      |    CAST(list_sum(list_transform(generate_series(0, 7), j ->
+      |      (((x >> j) & 1) << (2 * j)) + (((y >> j) & 1) << (2 * j + 1))))
+      |      AS BIGINT) AS z
+      |  FROM d)
+      |SELECT z // 2048 AS bucket, count(*) AS n_docs,
+      |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+      |  max(x) - min(x) + max(y) - min(y) AS span,
+      |  CAST(CASE WHEN max(x) < 100 OR min(x) > 140 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS prunable_len
+      |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- output-shard planning (write bin-packing) ------------------------------
+  //
+  // The write-sizing math every 100 TB job runs before its final
+  // `partitionBy(source, lang)` sink: size each partition grain from its
+  // byte total, derive the shard count as ceil(bytes / target) (the
+  // `maxRecordsPerFile` / AQE-coalesce decision made explicit), spread
+  // rows across shards by a content hash, and report planned fill +
+  // skew. Shapes that scale: one partial-agg for the grain table (tiny —
+  // one row per (source, lang)), a BROADCAST join back onto the corpus,
+  // one (grain, shard)-keyed agg. No window, no sort until the final
+  // tiny report.
+
+  private val ShardTarget = 1024L // n_chars proxy-bytes per shard at test SF
+
+  private def qShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grain = docs.groupBy("source", "lang")
+      .agg(sum("n_chars").as("part_bytes"), count(lit(1)).as("n_docs"))
+      .withColumn("n_shards",
+        greatest(lit(1L), expr(s"(part_bytes + ${ShardTarget - 1}) div $ShardTarget")))
+    val shards = docs.join(broadcast(grain), Seq("source", "lang"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"))
+      .withColumn("shard", pmod(col("h"), col("n_shards")))
+      .groupBy("source", "lang", "shard")
+      .agg(sum("n_chars").as("shard_bytes"))
+    shards.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_filled"),
+        max("shard_bytes").as("max_shard"), min("shard_bytes").as("min_shard"))
+      .join(broadcast(grain), Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("part_bytes"), col("n_docs"),
+        col("n_shards"), col("n_filled"), col("max_shard"), col("min_shard"),
+        Rounding.r(col("max_shard") * col("n_shards") / col("part_bytes").cast("double"), 4)
+          .as("skew"))
+      .orderBy("source", "lang")
+  }
+
+  private val qShardPlanSql =
+    s"""WITH g AS (
+       |  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS part_bytes,
+       |    count(*) AS n_docs,
+       |    greatest(1, (CAST(sum(n_chars) AS BIGINT) + ${ShardTarget - 1}) // $ShardTarget)
+       |      AS n_shards
+       |  FROM documents GROUP BY 1, 2),
+       |asg AS (
+       |  SELECT d.source, d.lang, d.n_chars,
+       |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % g.n_shards
+       |      AS shard
+       |  FROM documents d JOIN g USING (source, lang)),
+       |sb AS (
+       |  SELECT source, lang, shard, CAST(sum(n_chars) AS BIGINT) AS shard_bytes
+       |  FROM asg GROUP BY 1, 2, 3),
+       |f AS (
+       |  SELECT source, lang, count(*) AS n_filled,
+       |    max(shard_bytes) AS max_shard, min(shard_bytes) AS min_shard
+       |  FROM sb GROUP BY 1, 2)
+       |SELECT g.source, g.lang, g.part_bytes, g.n_docs, g.n_shards,
+       |  f.n_filled, f.max_shard, f.min_shard,
+       |  ${Rounding.rSql("f.max_shard * g.n_shards / g.part_bytes::DOUBLE", 4)} AS skew
+       |FROM f JOIN g USING (source, lang)
+       |ORDER BY 1, 2""".stripMargin
+
+  // --- mutual kNN graph (reciprocal nearest neighbors) ------------------------
+  //
+  // The noise-robust neighborhood structure deduplication and clustering
+  // pipelines build on top of ANN: a directed kNN edge survives only if
+  // it is RECIPROCATED (a ∈ kNN(b) and b ∈ kNN(a)) — hub vectors that
+  // appear in everyone's neighbor list but reciprocate almost none are
+  // demoted, which is exactly the hubness pathology of high-dim spaces.
+  // Candidates come from the same band-amplified LSH agreement join as
+  // q_ann_lsh_bucket / q_embed_neardup (sub-quadratic: bucket count
+  // scales with N), distances are exact fixed-point integer L2 on the
+  // candidates only, and each vector's kNN is a window over ITS OWN
+  // candidate set — bounded by bucket size × bands, never the corpus.
+  // The mutuality test is then a self-join of the (tiny) directed kNN
+  // edge table on the reversed key.
+
+  private val MkK = 3
+
+  private def qMutualKnn(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the b·r-hyperplane signature pass feeds both sides of
+    // the candidate self-join
+    val sigs = TrainingDataQueries.bandSigs(s, dir).persist()
+    val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("band"), col("sig"))
+    val pairs = a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("ea").as("ea"), first("eb").as("eb"))
+      // fixed-point integer L2: per-element quantization is
+      // order-independent and the BIGINT sum is exact, so both engines
+      // rank candidates identically (ties break on neighbor id)
+      .withColumn("dist", expr(
+        """aggregate(zip_with(ea, eb, (p, q) ->
+          |  CAST(floor(p * 1048576.0) AS BIGINT) - CAST(floor(q * 1048576.0) AS BIGINT)),
+          |  0L, (acc, v) -> acc + v * v)""".stripMargin))
+      .select("id_a", "id_b", "dist")
+    val w = Window.partitionBy("id_a").orderBy(col("dist"), col("id_b"))
+    // persisted: the directed edge table feeds its own reversal join,
+    // the per-vector base counts, and the mutual aggregation
+    val knn = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MkK)
+      .select("id_a", "id_b", "dist")
+      .persist()
+    val mutual = knn.as("f").join(
+        knn.select(col("id_a").as("rb"), col("id_b").as("ra")),
+        col("f.id_a") === col("ra") && col("f.id_b") === col("rb"))
+      .select(col("f.id_a").as("id_a"), col("f.dist").as("dist"))
+    val base = knn.groupBy("id_a").agg(count(lit(1)).as("n_knn"))
+    val m = mutual.groupBy("id_a")
+      .agg(count(lit(1)).as("n_mutual"), min("dist").as("md"))
+    base.join(m, Seq("id_a"), "left")
+      .select(col("id_a").as("vec_id"), col("n_knn"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        coalesce(col("md"), lit(-1L)).as("nearest_mutual"))
+      .orderBy("vec_id")
+  }
+
+  private val qMutualKnnSql =
+    s"""WITH ${TrainingDataQueries.BandSigsCte},
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    any_value(a.e) AS ea, any_value(b.e) AS eb
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(generate_series(1, len(ea)), i ->
+       |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+       |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)) *
+       |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+       |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)))) AS BIGINT) AS dist
+       |  FROM pr),
+       |kn AS (
+       |  SELECT id_a, id_b, dist,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS rk
+       |  FROM pd),
+       |k AS (SELECT id_a, id_b, dist FROM kn WHERE rk <= $MkK),
+       |mu AS (
+       |  SELECT f.id_a, f.dist
+       |  FROM k f JOIN k r ON f.id_a = r.id_b AND f.id_b = r.id_a),
+       |bs AS (SELECT id_a, count(*) AS n_knn FROM k GROUP BY 1),
+       |m AS (SELECT id_a, count(*) AS n_mutual, min(dist) AS md FROM mu GROUP BY 1)
+       |SELECT bs.id_a AS vec_id, bs.n_knn,
+       |  CAST(coalesce(m.n_mutual, 0) AS BIGINT) AS n_mutual,
+       |  CAST(coalesce(m.md, -1) AS BIGINT) AS nearest_mutual
+       |FROM bs LEFT JOIN m ON bs.id_a = m.id_a
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
     "q_kmeans" -> (qKmeans _),
-    "q_url_canonical" -> (qUrlCanonical _))
+    "q_url_canonical" -> (qUrlCanonical _),
+    "q_zorder_layout" -> (qZorderLayout _),
+    "q_shard_plan" -> (qShardPlan _),
+    "q_mutual_knn" -> (qMutualKnn _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_winnowing" -> qWinnowingSql,
     "q_kmeans" -> qKmeansSql,
-    "q_url_canonical" -> qUrlCanonicalSql)
+    "q_url_canonical" -> qUrlCanonicalSql,
+    "q_zorder_layout" -> qZorderLayoutSql,
+    "q_shard_plan" -> qShardPlanSql,
+    "q_mutual_knn" -> qMutualKnnSql)
 }

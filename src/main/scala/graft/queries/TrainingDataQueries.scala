@@ -993,7 +993,7 @@ object TrainingDataQueries {
       .select(col("vec_id"), col("e"), posexplode(col("sigs")).as(Seq("band", "sig")))
   }
 
-  private val BandSigsCte =
+  private[graft] val BandSigsCte =
     s"""e0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |  FROM embeddings),

@@ -124,4 +124,72 @@ class ScaleQueriesSpec extends AnyFunSuite {
       assert(out.count() > 0)
     } finally out.unpersist()
   }
+
+  // --- Z-order layout ------------------------------------------------------
+
+  test("zorder: bit interleave is exact and every doc lands in one bucket") {
+    // interleave(x=3, y=5): x bits {0,1} -> z bits {0,2} = 5;
+    // y bits {0,2} -> z bits {1,5} = 34; z = 39.
+    val z = spark.range(1).selectExpr(
+      """aggregate(sequence(0, 7), 0L, (acc, j) ->
+        |  acc + shiftleft(CAST(shiftright(3L, j) & 1 AS BIGINT), 2 * j)
+        |      + shiftleft(CAST(shiftright(5L, j) & 1 AS BIGINT), 2 * j + 1))
+        |""".stripMargin.trim + " AS z").head.getLong(0)
+    assert(z === 39L)
+    val out = run("q_zorder_layout")
+    val total = out.agg(sum("n_docs")).head.getLong(0)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total === nDocs, "bucket assignment must partition the corpus")
+    val bad = out.filter(col("min_x") < 0 || col("max_x") > 255 ||
+      col("min_y") < 0 || col("max_y") > 255 ||
+      col("min_x") > col("max_x") || col("min_y") > col("max_y")).count()
+    assert(bad === 0)
+  }
+
+  test("zorder buckets bound BOTH dimensions (the point of Morton order)") {
+    // A Morton bucket of 2048 consecutive z values covers an aligned
+    // 32x64 (or 64x32) tile of the 256x256 grid — so per-bucket spans
+    // are structurally bounded on BOTH axes, which a 1-D sort cannot do
+    // for its trailing dimension.
+    val viol = run("q_zorder_layout")
+      .filter(col("max_x") - col("min_x") > 63 ||
+        col("max_y") - col("min_y") > 63).count()
+    assert(viol === 0, "a z-bucket leaked past its aligned Morton tile")
+  }
+
+  // --- shard planning ------------------------------------------------------
+
+  test("shard plan: conservation, pigeonhole, and fill bounds") {
+    val out = run("q_shard_plan").persist()
+    try {
+      val total = out.agg(sum("part_bytes")).head.getLong(0)
+      val truth = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(sum("n_chars")).head.getLong(0)
+      assert(total === truth, "grain byte totals must conserve corpus bytes")
+      val bad = out.filter(
+        col("n_filled") > col("n_shards") ||
+          col("max_shard") < col("min_shard") ||
+          // pigeonhole: the fullest shard holds at least the mean fill
+          col("max_shard") * col("n_shards") < col("part_bytes") ||
+          col("skew") < 1.0).count()
+      assert(bad === 0)
+    } finally out.unpersist()
+  }
+
+  // --- mutual kNN ----------------------------------------------------------
+
+  test("mutual kNN: reciprocity is symmetric and bounded by the directed graph") {
+    val out = run("q_mutual_knn").persist()
+    try {
+      val bad = out.filter(col("n_mutual") > col("n_knn") || col("n_knn") > 3 ||
+        (col("n_mutual") > 0 && col("nearest_mutual") < 0) ||
+        (col("n_mutual") === 0 && col("nearest_mutual") =!= -1)).count()
+      assert(bad === 0)
+      // every mutual edge is counted once at EACH endpoint -> even total
+      val totalMutual = out.agg(sum("n_mutual")).head.getLong(0)
+      assert(totalMutual % 2 === 0,
+        s"mutual edge endpoint count $totalMutual must be even")
+      assert(totalMutual > 0, "banded candidates should yield some mutual pairs")
+    } finally out.unpersist()
+  }
 }
