@@ -530,6 +530,151 @@ object ScaleQueries {
        |FROM bs LEFT JOIN m ON bs.id_a = m.id_a
        |ORDER BY 1""".stripMargin
 
+  // --- 2-D skyline (Pareto front) ---------------------------------------------
+  //
+  // "Best documents" under two competing axes — length and vocabulary
+  // richness — with no weighting: a doc survives iff NO other doc of the
+  // same language is >= on both axes and > on one (classic dominance).
+  // The naive skyline is an O(N²) self-join; this is the linear
+  // sort-based form expressed relationally: within each language, a doc
+  // is dominated iff some STRICTLY longer doc has vocab >= its own
+  // (one RANGE window over x) or an equal-length doc has STRICTLY more
+  // vocab (one (lang, x)-grain max). Both windows are partitioned by
+  // lang — never a global sort — and at 100 TB the standard
+  // skyline-merge refinement applies unchanged: per-partition skyline
+  // first (mapPartitions), then this same query over the tiny candidate
+  // union.
+
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
+        size(array_distinct(call_function("graft_ws_tokens", col("text"))))
+          .cast("long").as("y"))
+    val wHigher = Window.partitionBy("lang").orderBy("x")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wSameX = Window.partitionBy("lang", "x")
+    d.withColumn("m1", max("y").over(wHigher))
+      .withColumn("m2", max("y").over(wSameX))
+      .filter(col("y") > coalesce(col("m1"), lit(-1L)) && col("y") === col("m2"))
+      .select(col("lang"), col("doc_id"), col("x").as("len_chars"),
+        col("y").as("n_vocab"))
+      .orderBy("lang", "doc_id")
+  }
+
+  private val qSkylineSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars AS x,
+      |    CAST(len(list_distinct(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS BIGINT) AS y
+      |  FROM documents),
+      |w AS (
+      |  SELECT lang, doc_id, x, y,
+      |    max(y) OVER (PARTITION BY lang ORDER BY x
+      |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m1,
+      |    max(y) OVER (PARTITION BY lang, x) AS m2
+      |  FROM d)
+      |SELECT lang, doc_id, x AS len_chars, y AS n_vocab
+      |FROM w WHERE y > coalesce(m1, -1) AND y = m2
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // --- skew-immune salted aggregation -----------------------------------------
+  //
+  // The two patterns that keep per-language aggregates alive when one
+  // language is 90 % of a 100 TB corpus: (a) exact distinct counting as
+  // a (lang, token) dedup grain — the distinct state spreads across the
+  // token dimension and partial-aggregates map-side, where a
+  // countDistinct would funnel every token of the hot language through
+  // one reducer's hash set; (b) an explicit salt stage for the
+  // algebraic sums — (lang, doc_id % 16) partials merge to lang — the
+  // shape that remains when the combiner can't see enough rows per key.
+  // The oracle is the DIRECT unsalted aggregate: salting must be
+  // invisible in the result.
+
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val vocab = docs
+      .select(col("lang"),
+        explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(count(lit(1)).as("n_vocab"))
+    val salted = docs
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+      .groupBy("lang", "salt")
+      .agg(sum("n_chars").as("pc"), count(lit(1)).as("pn"))
+      .groupBy("lang")
+      .agg(sum("pc").as("total_chars"), sum("pn").as("n_docs"))
+    salted.join(vocab, Seq("lang")).orderBy("lang")
+  }
+
+  private val qSaltedAggSql =
+    """WITH tk AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS tok
+      |  FROM documents),
+      |v AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+      |      FROM tk GROUP BY 1),
+      |g AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |        count(*) AS n_docs
+      |      FROM documents GROUP BY 1)
+      |SELECT g.lang, g.total_chars, g.n_docs, v.n_vocab
+      |FROM g JOIN v USING (lang) ORDER BY 1""".stripMargin
+
+  // --- character-entropy quality filter ----------------------------------------
+  //
+  // Shannon entropy of the per-document character distribution — the
+  // cheap detector for mojibake, repeated-character spam, and
+  // binary-in-text garbage that length/stopword heuristics
+  // (q_gopher_rules, q_quality_score) miss. Per-term fixed-point makes
+  // it cross-engine exact: every (char, count) term rounds to an
+  // integer microbit BEFORE the sum, so the BIGINT total is
+  // order-immune across partitionings and the pass flag compares
+  // integers, never floats. Per-doc grain with map-side partial aggs —
+  // narrow at any corpus size.
+
+  private def qEntropyFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(lower(text))), i -> substring(lower(text), i, 1))"))
+        .as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(collect_list("c").as("cs"), sum("c").as("n"),
+        count(lit(1)).as("n_alphabet"))
+      .withColumn("hfp", expr(
+        """aggregate(cs, 0L, (acc, c) -> acc +
+          |  CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |    log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), col("n").as("n_chars_used"), col("n_alphabet"),
+        Rounding.r(col("hfp") / lit(1e6), 4).as("entropy"),
+        (col("hfp") >= 2000000L).cast("int").as("pass"))
+      .orderBy("doc_id")
+
+  private val qEntropyFilterSql =
+    """WITH ch AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(lower(text))),
+      |      i -> substr(lower(text), i, 1))) AS ch
+      |  FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT doc_id, list(c) AS cs, CAST(sum(c) AS BIGINT) AS n,
+      |    count(*) AS n_alphabet
+      |  FROM cc GROUP BY 1),
+      |h AS (
+      |  SELECT doc_id, n AS n_chars_used, n_alphabet,
+      |    CAST(list_sum(list_transform(cs, c ->
+      |      CAST(floor((c::DOUBLE / n::DOUBLE) *
+      |        log2(n::DOUBLE / c::DOUBLE) * 1e6 + 0.5) AS BIGINT)))
+      |      AS BIGINT) AS hfp
+      |  FROM ag)
+      |SELECT doc_id, n_chars_used, n_alphabet,
+      |  floor((hfp / 1e6) * 1e4 + 0.5) / 1e4 AS entropy,
+      |  CAST(CASE WHEN hfp >= 2000000 THEN 1 ELSE 0 END AS INT) AS pass
+      |FROM h ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -537,7 +682,10 @@ object ScaleQueries {
     "q_url_canonical" -> (qUrlCanonical _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_shard_plan" -> (qShardPlan _),
-    "q_mutual_knn" -> (qMutualKnn _))
+    "q_mutual_knn" -> (qMutualKnn _),
+    "q_skyline" -> (qSkyline _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_entropy_filter" -> (qEntropyFilter _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -546,5 +694,8 @@ object ScaleQueries {
     "q_url_canonical" -> qUrlCanonicalSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_shard_plan" -> qShardPlanSql,
-    "q_mutual_knn" -> qMutualKnnSql)
+    "q_mutual_knn" -> qMutualKnnSql,
+    "q_skyline" -> qSkylineSql,
+    "q_salted_agg" -> qSaltedAggSql,
+    "q_entropy_filter" -> qEntropyFilterSql)
 }

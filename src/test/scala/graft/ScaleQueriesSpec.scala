@@ -192,4 +192,73 @@ class ScaleQueriesSpec extends AnyFunSuite {
       assert(totalMutual > 0, "banded candidates should yield some mutual pairs")
     } finally out.unpersist()
   }
+
+  // --- skyline ---------------------------------------------------------------
+
+  test("skyline is sound and complete vs brute-force dominance") {
+    import graft.queries.Tables.t
+    graft.functions.GraftFunctions.register(spark)
+    val d = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
+        size(array_distinct(call_function("graft_ws_tokens", col("text"))))
+          .cast("long").as("y"))
+      .persist()
+    try {
+      val sky = run("q_skyline")
+        .select(col("lang"), col("doc_id"),
+          col("len_chars").as("x"), col("n_vocab").as("y"))
+      // soundness: no survivor is dominated by ANY doc of its language
+      val dominatedSurvivors = sky.as("s").join(d.as("o"),
+        col("s.lang") === col("o.lang") && col("s.doc_id") =!= col("o.doc_id") &&
+          col("o.x") >= col("s.x") && col("o.y") >= col("s.y") &&
+          (col("o.x") > col("s.x") || col("o.y") > col("s.y")),
+        "left_semi").count()
+      assert(dominatedSurvivors === 0, "a dominated doc leaked onto the skyline")
+      // completeness: every non-survivor IS dominated by someone
+      val nonSky = d.join(sky.select("lang", "doc_id"), Seq("lang", "doc_id"),
+        "left_anti")
+      val undominated = nonSky.as("s").join(d.as("o"),
+        col("s.lang") === col("o.lang") && col("s.doc_id") =!= col("o.doc_id") &&
+          col("o.x") >= col("s.x") && col("o.y") >= col("s.y") &&
+          (col("o.x") > col("s.x") || col("o.y") > col("s.y")),
+        "left_anti").count()
+      assert(undominated === 0, "an undominated doc was excluded from the skyline")
+    } finally d.unpersist()
+  }
+
+  // --- salted aggregation ------------------------------------------------------
+
+  test("salting is invisible: salted two-stage equals direct aggregate") {
+    import graft.queries.Tables.t
+    graft.functions.GraftFunctions.register(spark)
+    val direct = t(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        array_distinct(call_function("graft_ws_tokens", col("text"))).as("ts"))
+      .select(col("lang"), col("n_chars"), explode(col("ts")).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct("tok").as("n_vocab"))
+    val out = run("q_salted_agg")
+    val mism = out.join(direct.withColumnRenamed("n_vocab", "d_vocab"), "lang")
+      .filter(col("n_vocab") =!= col("d_vocab")).count()
+    assert(mism === 0, "salted distinct count disagrees with countDistinct")
+    val totals = out.agg(sum("n_docs")).head.getLong(0)
+    assert(totals === t(spark, dir, "documents").count())
+  }
+
+  // --- entropy filter ----------------------------------------------------------
+
+  test("entropy is bounded by log2(alphabet) and coherent with the pass flag") {
+    val out = run("q_entropy_filter").persist()
+    try {
+      val bad = out.filter(col("entropy") < 0 ||
+        col("entropy") > log2(col("n_alphabet").cast("double")) + 1e-4).count()
+      assert(bad === 0, "Shannon entropy escaped [0, log2(|alphabet|)]")
+      val incoherent = out.filter(
+        (col("pass") === 1 && col("entropy") < 1.9999) ||
+          (col("pass") === 0 && col("entropy") > 2.0001)).count()
+      assert(incoherent === 0)
+      assert(out.count() ===
+        spark.read.parquet(s"$dir/documents.parquet").count())
+    } finally out.unpersist()
+  }
 }
