@@ -1,80 +1,79 @@
 package graft
 
+import graft.sources.Bucketing
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import java.nio.file.Files
-
-/** Substantiates the SURVEY's bucketing claim with a real co-located
-  * join: two tables bucketed on the join key by the same bucket count
-  * must sort-merge-join with NO Exchange on either side — the shape
-  * that turns a repeated 100 TB fact-fact join from two full shuffles
-  * into zero. Also pins that the bucketed join returns exactly the
-  * plain join's rows.
+/** The co-located-join contract of [[graft.sources.Bucketing]]: writing
+  * both join sides bucketed by the key makes the join EXCHANGE-FREE —
+  * the shuffle is paid once at write time, not per join. The spec pins
+  * (1) zero Exchange operators in the bucketed join's plan where the
+  * plain join of the same data plans two, and (2) row parity between
+  * the two forms.
   */
 class BucketedJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def withSmjOnly[A](f: => A): A = {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  private def withNoAqeNoBroadcast[T](f: => T): T = {
+    // AQE re-plans mid-query and broadcast elides the shuffle for tiny
+    // sides — both would mask what this spec measures. Restore after.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
-
-  test("same-bucketed tables join with zero exchanges and identical rows") {
-    val docs = queries.Tables.t(spark, dir, "documents")
-    val left = docs.select(col("doc_id"), col("n_chars"))
-    val right = docs.select(col("doc_id"), col("lang"))
-
-    val base = Files.createTempDirectory("graft_bucketed").toString
-    Seq("bj_left" -> left, "bj_right" -> right).foreach { case (name, df) =>
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      df.write.option("path", s"$base/$name")
-        .bucketBy(8, "doc_id").sortBy("doc_id").format("parquet")
-        .saveAsTable(name)
-    }
-    try withSmjOnly {
-      val joined = spark.table("bj_left").join(spark.table("bj_right"), "doc_id")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(2000)}")
-      assert(!plan.contains("Exchange"),
-        s"bucketed join must not shuffle either side:\n${plan.take(3000)}")
-      // bucket pruning metadata reaches the scan
-      assert(plan.contains("SelectedBucketsCount"), plan.take(3000))
-
-      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-      val want = left.join(right, "doc_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-      assert(got == want, "bucketed join rows == plain join rows")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS bj_left")
-      spark.sql("DROP TABLE IF EXISTS bj_right")
+    try f
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
     }
   }
 
-  test("single-key lookup on a bucketed table prunes to one bucket") {
-    val docs = queries.Tables.t(spark, dir, "documents")
-    val base = Files.createTempDirectory("graft_bucket_prune").toString
-    spark.sql("DROP TABLE IF EXISTS bj_prune")
-    docs.select(col("doc_id"), col("n_chars"))
-      .write.option("path", s"$base/bj_prune")
-      .bucketBy(8, "doc_id").format("parquet").saveAsTable("bj_prune")
-    // without a join/agg consuming the bucketing, the planner auto-falls
-    // back to a plain scan ("Bucketed: false (disabled by query
-    // planner)") — pin the bucketed scan on so the bucket filter applies
-    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(k, "true")
-    spark.conf.set(k, "false")
+  test("bucketed-by-key tables join with zero Exchange; plain join shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val left = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val right = docs.select(col("doc_id"), col("source"))
+    Bucketing.writeBucketed(left, "bk_left", "doc_id", 8)
+    Bucketing.writeBucketed(right, "bk_right", "doc_id", 8)
     try {
-      val q = spark.table("bj_prune").filter(col("doc_id") === 7L)
-      val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
-        s"expected 1-of-8 bucket prune:\n${plan.take(3000)}")
-      assert(q.collect().map(_.getLong(0)).toSeq == Seq(7L))
+      withNoAqeNoBroadcast {
+        val bucketed = Bucketing.bucketedJoin(spark, "bk_left", "bk_right", "doc_id")
+        val bPlan = bucketed.queryExecution.executedPlan.toString
+        assert(!bPlan.contains("Exchange"),
+          s"bucketed join planned a shuffle:\n$bPlan")
+        assert(bPlan.contains("SortMergeJoin"), bPlan)
+        assert(bPlan.contains("SelectedBucketsCount"), bPlan)
+
+        val plain = left.join(right, "doc_id")
+        val pPlan = plain.queryExecution.executedPlan.toString
+        assert(pPlan.contains("Exchange"),
+          "control: the unbucketed join should shuffle under these confs")
+
+        // row parity: bucketing must be invisible in the result
+        assert(bucketed.count() === plain.count())
+        val mism = bucketed.exceptAll(plain).count() +
+          plain.exceptAll(bucketed).count()
+        assert(mism === 0, "bucketed join result differs from plain join")
+      }
     } finally {
-      spark.conf.set(k, prev)
-      spark.sql("DROP TABLE IF EXISTS bj_prune")
+      Bucketing.drop(spark, "bk_left")
+      Bucketing.drop(spark, "bk_right")
     }
+  }
+
+  test("bucketed aggregation on the bucket key is also exchange-free") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Bucketing.writeBucketed(
+      docs.select(col("doc_id"), col("n_chars")), "bk_agg", "doc_id", 8)
+    try {
+      withNoAqeNoBroadcast {
+        val agg = spark.table("bk_agg").groupBy("doc_id")
+          .agg(sum("n_chars").as("c"))
+        val plan = agg.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"group-by on the bucket key planned a shuffle:\n$plan")
+        assert(agg.count() === docs.select("doc_id").distinct().count())
+      }
+    } finally Bucketing.drop(spark, "bk_agg")
   }
 }
