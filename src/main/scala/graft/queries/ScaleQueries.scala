@@ -675,6 +675,178 @@ object ScaleQueries {
       |  CAST(CASE WHEN hfp >= 2000000 THEN 1 ELSE 0 END AS INT) AS pass
       |FROM h ORDER BY 1""".stripMargin
 
+  // --- two-sample Kolmogorov–Smirnov drift test ---------------------------------
+  //
+  // The distribution-shift detector between corpus slices: for each
+  // language, the KS distance between its length distribution and the
+  // rest of the corpus — max |ECDF_a − ECDF_b| over the merged support.
+  // Exact and integer throughout: the ECDF difference at value v is
+  // |cum_a·n_b − cum_b·n_a| (cross-multiplied — no float division until
+  // the final report), with RANGE frames so ties in v include their
+  // peers as a proper CDF step. Scale shape: counts collapse to the
+  // (lang, value) grain FIRST (one partial agg — the "binned ECDF"
+  // form), so the per-lang window runs over the tiny distinct-value
+  // table, never the corpus; at 100 TB you'd bin values before this
+  // query and nothing else changes.
+
+  private def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val grain = d.groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("a_c"))
+    val tot = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("t_c"))
+    val wCum = Window.partitionBy("lang").orderBy("v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLang = Window.partitionBy("lang")
+    // complement counts at each support point: b_c = total at v − lang at v;
+    // the lang list is a broadcast-sized dimension (5 rows)
+    val langs = grain.select(col("lang")).distinct()
+    val merged = tot.crossJoin(broadcast(langs))
+      .join(grain, Seq("lang", "v"), "left")
+      .select(col("lang"), col("v"),
+        coalesce(col("a_c"), lit(0L)).as("a_c"),
+        (col("t_c") - coalesce(col("a_c"), lit(0L))).as("b_c"))
+    merged
+      .withColumn("cum_a", sum("a_c").over(wCum))
+      .withColumn("cum_b", sum("b_c").over(wCum))
+      .withColumn("n_a", sum("a_c").over(wLang))
+      .withColumn("n_b", sum("b_c").over(wLang))
+      .groupBy("lang")
+      .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .as("ks_num"))
+      .select(col("lang"), col("n_a"), col("n_b"), col("ks_num"),
+        Rounding.r(col("ks_num") / (col("n_a") * col("n_b")).cast("double"), 4)
+          .as("ks"))
+      .orderBy("lang")
+  }
+
+  private val qKsTestSql =
+    """WITH g AS (
+      |  SELECT lang, n_chars AS v, count(*) AS a_c
+      |  FROM documents GROUP BY 1, 2),
+      |tt AS (SELECT n_chars AS v, count(*) AS t_c FROM documents GROUP BY 1),
+      |m AS (
+      |  SELECT l.lang, tt.v,
+      |    coalesce(g.a_c, 0) AS a_c, tt.t_c - coalesce(g.a_c, 0) AS b_c
+      |  FROM (SELECT DISTINCT lang FROM g) l
+      |  CROSS JOIN tt
+      |  LEFT JOIN g ON g.lang = l.lang AND g.v = tt.v),
+      |c AS (
+      |  SELECT lang, v,
+      |    sum(a_c) OVER (PARTITION BY lang ORDER BY v
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |    sum(b_c) OVER (PARTITION BY lang ORDER BY v
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+      |    sum(a_c) OVER (PARTITION BY lang) AS n_a,
+      |    sum(b_c) OVER (PARTITION BY lang) AS n_b
+      |  FROM m)
+      |SELECT lang, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+      |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+      |  floor((max(abs(cum_a * n_b - cum_b * n_a)) /
+      |    (max(n_a) * max(n_b))::DOUBLE) * 1e4 + 0.5) / 1e4 AS ks
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Poisson-bootstrap confidence intervals ------------------------------------
+  //
+  // THE bootstrap that works at 100 TB: classic resampling needs random
+  // access to the corpus per replica; the Poisson bootstrap (Chamandy et
+  // al., Google 2012) instead gives every row an independent
+  // Poisson(1) weight per replica — ONE streaming pass computes all R
+  // replicas as a (group, rep)-keyed partial agg. Weights are
+  // deterministic here: u = md5(doc_id, rep)/2³², inverted through the
+  // exact Poisson(1) CDF thresholds, so both engines draw the identical
+  // resample and the CI itself is oracle-checked, not just its shape.
+  // Replica means fix-point to integers before the rank step so the
+  // 2nd-lowest/2nd-highest selection (a ~93 % interval at R=32) is
+  // order-immune.
+
+  private val BootReps = 32
+
+  private def bootW(u: Column): Column =
+    when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.9999167588507119, 6L)
+      .otherwise(7L)
+
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val reps = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws("_", col("doc_id"), col("rep"))), 1, 8),
+          16, 10).cast("long") / lit(4294967296.0))
+      .withColumn("w", bootW(col("u")))
+      .groupBy("source", "rep")
+      .agg(sum(col("w") * col("n_chars")).as("ws"), sum("w").as("wn"))
+      .withColumn("m_fp",
+        when(col("wn") === 0, 0L).otherwise(
+          floor(col("ws").cast("double") / col("wn").cast("double") * 1e4 + 0.5)
+            .cast("long")))
+    val wAsc = Window.partitionBy("source").orderBy(col("m_fp"), col("rep"))
+    val wDesc = Window.partitionBy("source").orderBy(col("m_fp").desc, col("rep"))
+    reps
+      .withColumn("r_lo", row_number().over(wAsc))
+      .withColumn("r_hi", row_number().over(wDesc))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("r_lo") === 2, col("m_fp"))).as("lo_fp"),
+        max(when(col("r_hi") === 2, col("m_fp"))).as("hi_fp"),
+        sum("m_fp").as("sum_fp"))
+      .select(col("source"), col("n_reps"),
+        (col("lo_fp") / lit(1e4)).as("boot_lo"),
+        (col("hi_fp") / lit(1e4)).as("boot_hi"),
+        Rounding.r(col("sum_fp") / lit(BootReps.toDouble) / lit(1e4), 4)
+          .as("boot_mean"))
+      .orderBy("source")
+  }
+
+  private val qBootstrapCiSql =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    unnest(generate_series(0, ${BootReps - 1})) AS rep
+       |  FROM documents),
+       |uw AS (
+       |  SELECT source, rep, n_chars,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+       |      CAST(rep AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+       |  FROM r),
+       |w AS (
+       |  SELECT source, rep, n_chars,
+       |    CASE WHEN u < 0.36787944117144233 THEN 0
+       |         WHEN u < 0.7357588823428847 THEN 1
+       |         WHEN u < 0.9196986029286058 THEN 2
+       |         WHEN u < 0.9810118431238462 THEN 3
+       |         WHEN u < 0.9963401531726563 THEN 4
+       |         WHEN u < 0.9994058151824183 THEN 5
+       |         WHEN u < 0.9999167588507119 THEN 6
+       |         ELSE 7 END AS w
+       |  FROM uw),
+       |rm AS (
+       |  SELECT source, rep,
+       |    CAST(sum(w * n_chars) AS BIGINT) AS ws, CAST(sum(w) AS BIGINT) AS wn
+       |  FROM w GROUP BY 1, 2),
+       |mf AS (
+       |  SELECT source, rep,
+       |    CASE WHEN wn = 0 THEN 0
+       |         ELSE CAST(floor(ws::DOUBLE / wn::DOUBLE * 1e4 + 0.5) AS BIGINT)
+       |    END AS m_fp
+       |  FROM rm),
+       |rk AS (
+       |  SELECT source, m_fp,
+       |    row_number() OVER (PARTITION BY source ORDER BY m_fp, rep) AS r_lo,
+       |    row_number() OVER (PARTITION BY source ORDER BY m_fp DESC, rep) AS r_hi
+       |  FROM mf)
+       |SELECT source, count(*) AS n_reps,
+       |  max(CASE WHEN r_lo = 2 THEN m_fp END) / 1e4 AS boot_lo,
+       |  max(CASE WHEN r_hi = 2 THEN m_fp END) / 1e4 AS boot_hi,
+       |  floor((CAST(sum(m_fp) AS BIGINT) / ${BootReps.toDouble} / 1e4) * 1e4 + 0.5) / 1e4
+       |    AS boot_mean
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -685,7 +857,9 @@ object ScaleQueries {
     "q_mutual_knn" -> (qMutualKnn _),
     "q_skyline" -> (qSkyline _),
     "q_salted_agg" -> (qSaltedAgg _),
-    "q_entropy_filter" -> (qEntropyFilter _))
+    "q_entropy_filter" -> (qEntropyFilter _),
+    "q_ks_test" -> (qKsTest _),
+    "q_bootstrap_ci" -> (qBootstrapCi _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -697,5 +871,7 @@ object ScaleQueries {
     "q_mutual_knn" -> qMutualKnnSql,
     "q_skyline" -> qSkylineSql,
     "q_salted_agg" -> qSaltedAggSql,
-    "q_entropy_filter" -> qEntropyFilterSql)
+    "q_entropy_filter" -> qEntropyFilterSql,
+    "q_ks_test" -> qKsTestSql,
+    "q_bootstrap_ci" -> qBootstrapCiSql)
 }

@@ -261,4 +261,52 @@ class ScaleQueriesSpec extends AnyFunSuite {
         spark.read.parquet(s"$dir/documents.parquet").count())
     } finally out.unpersist()
   }
+
+  // --- KS test ---------------------------------------------------------------
+
+  test("KS distance matches an independent in-memory recomputation") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = rows.groupBy(_._1)
+    val expected = byLang.map { case (lang, a) =>
+      val as = a.map(_._2)
+      val bs = rows.filter(_._1 != lang).map(_._2)
+      val support = (as ++ bs).distinct.sorted
+      val nA = as.length.toLong
+      val nB = bs.length.toLong
+      val ksNum = support.map { v =>
+        math.abs(as.count(_ <= v) * nB - bs.count(_ <= v) * nA)
+      }.max
+      lang -> (nA, nB, ksNum)
+    }
+    val out = run("q_ks_test").collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (nA, nB, ksNum) = expected(r.getString(0))
+      assert(r.getLong(1) === nA && r.getLong(2) === nB,
+        s"${r.getString(0)}: sample sizes disagree")
+      assert(r.getLong(3) === ksNum,
+        s"${r.getString(0)}: KS numerator ${r.getLong(3)} != brute-force $ksNum")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  // --- Poisson bootstrap ------------------------------------------------------
+
+  test("bootstrap CIs are ordered, complete, and cover most true means") {
+    val out = run("q_bootstrap_ci").persist()
+    try {
+      assert(out.filter(col("n_reps") =!= 32).count() === 0)
+      assert(out.filter(col("boot_lo") > col("boot_hi")).count() === 0)
+      val truth = spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source").agg(avg("n_chars").as("mu"))
+      // a ~93% interval per source: allow a couple of deterministic
+      // misses across the 20 sources, but most must cover
+      val covered = out.join(truth, "source")
+        .filter(col("mu") >= col("boot_lo") && col("mu") <= col("boot_hi"))
+        .count()
+      assert(covered >= 15, s"only $covered/20 CIs cover the true mean")
+    } finally out.unpersist()
+  }
 }
