@@ -847,6 +847,128 @@ object ScaleQueries {
        |    AS boot_mean
        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- per-epoch training shuffle ------------------------------------------------
+  //
+  // How a 100 TB corpus is "randomly shuffled" for each training epoch
+  // without a permutation in memory: sort by a per-epoch keyed hash —
+  // one range-partitioned sort pass per epoch, fully deterministic and
+  // resumable (the property a `rand()` shuffle cannot give a restarted
+  // job). Batches are consecutive runs of the hash order; the report
+  // proves the shuffle MIXES (every batch sees many languages/sources)
+  // and that epochs differ (the hash is keyed by epoch). The per-epoch
+  // row_number here is the oracle-exact stand-in for the cluster form —
+  // repartitionByRange(hash) + sortWithinPartitions + monotonic ids per
+  // range — same order, no global window.
+
+  private val EpochN = 4
+  private val BatchSize = 64
+
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        explode(sequence(lit(0L), lit(EpochN - 1L))).as("epoch"))
+      .withColumn("h", md5(concat_ws("_", col("doc_id"), col("epoch"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch").orderBy("h", "doc_id")))
+      .withColumn("batch", expr(s"(pos - 1) div $BatchSize"))
+      .groupBy("epoch", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("batch_chars"))
+      .orderBy("epoch", "batch")
+
+  private val qEpochShuffleSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    unnest(generate_series(0, ${EpochN - 1})) AS epoch
+       |  FROM documents),
+       |h AS (
+       |  SELECT epoch, lang, source, n_chars,
+       |    md5(CAST(doc_id AS VARCHAR) || '_' || CAST(epoch AS VARCHAR)) AS h,
+       |    doc_id
+       |  FROM r),
+       |p AS (
+       |  SELECT epoch, lang, source, n_chars,
+       |    row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+       |  FROM h)
+       |SELECT epoch, (pos - 1) // $BatchSize AS batch, count(*) AS n_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(sum(n_chars) AS BIGINT) AS batch_chars
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- incremental ingest dedup ---------------------------------------------------
+  //
+  // The re-crawl discipline: a delta batch deduplicates against the
+  // HISTORY fingerprint store (never the raw history corpus) and then
+  // within itself, history always winning and the smallest delta id
+  // winning otherwise — so re-ingesting the same crawl is idempotent
+  // and every document maps to one canonical survivor. Keys are
+  // whitespace-normalized content hashes; duplicate groups are planted
+  // deterministically in BOTH engines (every 9th doc collapses to a
+  // shared payload keyed by doc_id div 90, so some payload classes span
+  // the history/delta boundary and some are delta-only — all three
+  // decision outcomes occur) since the synthetic corpus has no natural
+  // dups. Scale shape: the store is (key, min_id) — one partial agg —
+  // the delta joins it by key (broadcast when the delta's key set is
+  // small, shuffle-hash otherwise), and the within-delta tie-break is a
+  // key-partitioned min, never a sort. The near-dup extension swaps the
+  // exact key for q_minhash_lsh's band signatures; the decision algebra
+  // below is unchanged.
+
+  private val IncrSplit = 250L
+
+  private def qIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .withColumn("body",
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(lit("planted shared payload "),
+            expr("doc_id div 90").cast("string")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("body"), "\\s+", " "))).as("k"))
+    val hist = keyed.filter(col("doc_id") < IncrSplit)
+      .groupBy("k").agg(min("doc_id").as("h_min"))
+    val delta = keyed.filter(col("doc_id") >= IncrSplit)
+      .withColumn("d_min",
+        min("doc_id").over(Window.partitionBy("k")))
+    delta.join(broadcast(hist), Seq("k"), "left")
+      .select(col("doc_id"),
+        when(col("h_min").isNotNull, lit("dup_history"))
+          .when(col("doc_id") === col("d_min"), lit("new"))
+          .otherwise(lit("dup_delta")).as("status"),
+        coalesce(col("h_min"),
+          when(col("doc_id") === col("d_min"), col("doc_id"))
+            .otherwise(col("d_min"))).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  private val qIncrDedupSql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    md5(lower(regexp_replace(
+       |      CASE WHEN doc_id % 9 = 0
+       |        THEN 'planted shared payload ' || CAST(doc_id // 90 AS VARCHAR)
+       |        ELSE text END, '\\s+', ' ', 'g'))) AS k
+       |  FROM documents),
+       |hist AS (
+       |  SELECT k, min(doc_id) AS h_min FROM keyed
+       |  WHERE doc_id < $IncrSplit GROUP BY 1),
+       |delta AS (
+       |  SELECT doc_id, k,
+       |    min(doc_id) OVER (PARTITION BY k) AS d_min
+       |  FROM keyed WHERE doc_id >= $IncrSplit)
+       |SELECT d.doc_id,
+       |  CASE WHEN h.h_min IS NOT NULL THEN 'dup_history'
+       |       WHEN d.doc_id = d.d_min THEN 'new'
+       |       ELSE 'dup_delta' END AS status,
+       |  coalesce(h.h_min,
+       |    CASE WHEN d.doc_id = d.d_min THEN d.doc_id ELSE d.d_min END)
+       |    AS canonical_id
+       |FROM delta d LEFT JOIN hist h ON d.k = h.k
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -859,7 +981,9 @@ object ScaleQueries {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_entropy_filter" -> (qEntropyFilter _),
     "q_ks_test" -> (qKsTest _),
-    "q_bootstrap_ci" -> (qBootstrapCi _))
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
+    "q_incr_dedup" -> (qIncrDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -873,5 +997,7 @@ object ScaleQueries {
     "q_salted_agg" -> qSaltedAggSql,
     "q_entropy_filter" -> qEntropyFilterSql,
     "q_ks_test" -> qKsTestSql,
-    "q_bootstrap_ci" -> qBootstrapCiSql)
+    "q_bootstrap_ci" -> qBootstrapCiSql,
+    "q_epoch_shuffle" -> qEpochShuffleSql,
+    "q_incr_dedup" -> qIncrDedupSql)
 }

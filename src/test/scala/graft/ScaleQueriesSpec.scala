@@ -309,4 +309,54 @@ class ScaleQueriesSpec extends AnyFunSuite {
       assert(covered >= 15, s"only $covered/20 CIs cover the true mean")
     } finally out.unpersist()
   }
+
+  // --- epoch shuffle -----------------------------------------------------------
+
+  test("epoch shuffle conserves docs, mixes batches, and varies across epochs") {
+    val out = run("q_epoch_shuffle").persist()
+    try {
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val perEpoch = out.groupBy("epoch").agg(sum("n_docs").as("n")).collect()
+      assert(perEpoch.length === 4)
+      perEpoch.foreach(r => assert(r.getLong(1) === nDocs,
+        s"epoch ${r.getLong(0)} lost documents"))
+      // mixing: every FULL batch of 64 should see several languages —
+      // a sorted-by-lang layout would give 1
+      val poorMix = out.filter(col("n_docs") === 64 && col("n_langs") < 3).count()
+      assert(poorMix === 0, "a full shuffled batch saw < 3 languages")
+      // epochs must actually differ: batch_chars profiles of epoch 0 and 1
+      val e0 = out.filter(col("epoch") === 0).select("batch", "batch_chars")
+      val e1 = out.filter(col("epoch") === 1)
+        .select(col("batch"), col("batch_chars").as("bc1"))
+      val same = e0.join(e1, "batch")
+        .filter(col("batch_chars") === col("bc1")).count()
+      val total = e0.count()
+      assert(same < total, "epoch 0 and epoch 1 produced identical batches")
+    } finally out.unpersist()
+  }
+
+  // --- incremental dedup --------------------------------------------------------
+
+  test("incremental dedup: history wins, canonicals are survivors, idempotent") {
+    val out = run("q_incr_dedup").persist()
+    try {
+      // dup_history canonicals point INTO history
+      assert(out.filter(col("status") === "dup_history" &&
+        col("canonical_id") >= 250).count() === 0)
+      // new docs are their own canonical
+      assert(out.filter(col("status") === "new" &&
+        col("canonical_id") =!= col("doc_id")).count() === 0)
+      // a dup_delta's canonical is a delta doc that was judged NEW
+      // (if its key were in history the whole group would be dup_history)
+      val canonStatus = out.select(col("doc_id").as("canonical_id"),
+        col("status").as("c_status"))
+      val badChain = out.filter(col("status") === "dup_delta")
+        .join(canonStatus, "canonical_id")
+        .filter(col("c_status") =!= "new").count()
+      assert(badChain === 0, "a dup_delta canonical is not a surviving 'new' doc")
+      // the planted payload groups force all three statuses to appear
+      val statuses = out.select("status").distinct().collect().map(_.getString(0)).toSet
+      assert(statuses === Set("dup_history", "dup_delta", "new"))
+    } finally out.unpersist()
+  }
 }
