@@ -969,6 +969,183 @@ object ScaleQueries {
        |FROM delta d LEFT JOIN hist h ON d.k = h.k
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- weighted reservoir sampling (Efraimidis–Spirakis) --------------------------
+  //
+  // Weighted sampling WITHOUT replacement in one distributed pass: each
+  // row draws key = ln(u)/w (u uniform from its content hash, w the
+  // weight) and the k LARGEST keys per group are exactly a weighted
+  // reservoir (Efraimidis & Spirakis 2006 — the A-ES scheme; ln(u)/w is
+  // the monotone twin of u^{1/w}). This is the without-replacement
+  // complement of q_weighted_sample's Bernoulli sampler: top-k by key
+  // is MERGEABLE (each partition keeps its local top-k, merge keeps the
+  // top-k of the union), so at 100 TB it runs as one scan + a tiny
+  // per-group heap merge, never a sort of the corpus. u ∈ (0, 1]
+  // (hash+1 over 2³²) keeps ln finite; both engines evaluate the same
+  // IEEE ln/÷ on the same doubles.
+
+  private val ResK = 5
+
+  private def qReservoirSample(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("u", (col("h") + 1L) / lit(4294967296.0))
+      .withColumn("key", log(col("u")) / col("n_chars").cast("double"))
+    keyed
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("key").desc, col("doc_id"))))
+      .filter(col("rank") <= ResK)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("source", "rank")
+  }
+
+  private val qReservoirSampleSql =
+    s"""WITH k AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+       |       / 4294967296.0) / n_chars::DOUBLE AS key
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id)
+       |      AS rank
+       |  FROM k)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+       |FROM r WHERE rank <= $ResK
+       |ORDER BY source, rank""".stripMargin
+
+  // --- rendezvous (HRW) routing stability -----------------------------------------
+  //
+  // Highest-random-weight hashing — how stateful services (shard
+  // routers, cache rings, stream repartitioners) assign keys so that
+  // GROWING the fleet moves the THEORETICAL MINIMUM of keys: under
+  // argmax_s h(key, s), adding shard S only reclaims the keys whose new
+  // argmax IS S (expected 1/(S+1) of them); no key ever moves BETWEEN
+  // old shards. Both assignments (8 shards and 9) come out of ONE
+  // narrow explode+argmax pass; the argmax travels as h·16+s so ties
+  // (impossible with md5, but the discipline stands) break to the
+  // higher shard identically in both engines. The spec pins the HRW
+  // invariant exactly: every moved doc's new home is shard 8.
+
+  private val HrwOld = 8
+
+  private def qRendezvous(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(HrwOld.toLong))).as("sh"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws("_", col("doc_id"), col("sh"))), 1, 14),
+          16, 10).cast("long"))
+      .withColumn("k", col("h") * 16L + col("sh"))
+      .groupBy("doc_id")
+      .agg((max(when(col("sh") < HrwOld, col("k"))) % 16).as("a_old"),
+        (max(col("k")) % 16).as("a_new"))
+      .groupBy("a_old")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a_new") =!= col("a_old"), 1L).otherwise(0L)).as("n_moved"))
+      .select(col("a_old").as("shard"), col("n_docs"), col("n_moved"),
+        Rounding.r(lit(1.0) - col("n_moved") / col("n_docs").cast("double"), 4)
+          .as("stay_frac"))
+      .orderBy("shard")
+
+  private val qRendezvousSql =
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(generate_series(0, $HrwOld)) AS sh
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, sh,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+       |      CAST(sh AS VARCHAR)), 1, 14))::BIGINT * 16 + sh AS k
+       |  FROM e),
+       |a AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN sh < $HrwOld THEN k END) % 16 AS a_old,
+       |    max(k) % 16 AS a_new
+       |  FROM h GROUP BY 1)
+       |SELECT a_old AS shard, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN a_new <> a_old THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved,
+       |  floor((1.0 - sum(CASE WHEN a_new <> a_old THEN 1 ELSE 0 END)
+       |    / count(*)::DOUBLE) * 1e4 + 0.5) / 1e4 AS stay_frac
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- interval-union coverage (sweep-line islands) ---------------------------------
+  //
+  // Total covered time from OVERLAPPING intervals — dedup for time
+  // ranges (crawl-window accounting, GPU-occupancy rollups, session
+  // coverage): the classic sweep expressed relationally. Intervals
+  // derive deterministically from events (duration keyed by event_id);
+  // an island opens where a start exceeds the running max of all
+  // earlier ends (strictly — touching intervals merge); islands sum
+  // (max end − min start). Integer epoch seconds throughout
+  // (Spark `unix_timestamp` floors — DuckDB mirrors with
+  // floor(epoch())::BIGINT, NOT epoch()::BIGINT, which half-even
+  // ROUNDS). Per-user windows — the sweep never crosses the partition
+  // key, so the plan scales with users, not events.
+
+  private def qIntervalCover(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("st"))
+      .withColumn("en", col("st") + (pmod(col("event_id"), lit(7)) + 1L) * 60L)
+    val wPrev = Window.partitionBy("user_id").orderBy("st", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("user_id").orderBy("st", "event_id")
+    val islands = iv
+      .withColumn("prev_max", max("en").over(wPrev))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("st") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("brk").over(wRun))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_ev"), min("st").as("i_st"), max("en").as("i_en"))
+    islands.groupBy("user_id")
+      .agg(sum("n_ev").as("n_events"), count(lit(1)).as("n_islands"),
+        sum(col("i_en") - col("i_st")).as("covered_sec"),
+        (max("i_en") - min("i_st")).as("span_sec"))
+      .select(col("user_id"), col("n_events"), col("n_islands"),
+        col("covered_sec"), col("span_sec"),
+        Rounding.r(col("covered_sec") / col("span_sec").cast("double"), 4)
+          .as("duty"))
+      .orderBy("user_id")
+  }
+
+  private val qIntervalCoverSql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 60 AS en
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, st, en,
+      |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+      |    event_id
+      |  FROM iv),
+      |b AS (
+      |  SELECT user_id, st, en,
+      |    CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS brk,
+      |    event_id
+      |  FROM p),
+      |i AS (
+      |  SELECT user_id, st, en,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM b),
+      |g AS (
+      |  SELECT user_id, island, count(*) AS n_ev,
+      |    min(st) AS i_st, max(en) AS i_en
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |  count(*) AS n_islands,
+      |  CAST(sum(i_en - i_st) AS BIGINT) AS covered_sec,
+      |  max(i_en) - min(i_st) AS span_sec,
+      |  floor((CAST(sum(i_en - i_st) AS BIGINT) /
+      |    (max(i_en) - min(i_st))::DOUBLE) * 1e4 + 0.5) / 1e4 AS duty
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -983,7 +1160,10 @@ object ScaleQueries {
     "q_ks_test" -> (qKsTest _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
-    "q_incr_dedup" -> (qIncrDedup _))
+    "q_incr_dedup" -> (qIncrDedup _),
+    "q_reservoir_sample" -> (qReservoirSample _),
+    "q_rendezvous" -> (qRendezvous _),
+    "q_interval_cover" -> (qIntervalCover _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -999,5 +1179,8 @@ object ScaleQueries {
     "q_ks_test" -> qKsTestSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,
-    "q_incr_dedup" -> qIncrDedupSql)
+    "q_incr_dedup" -> qIncrDedupSql,
+    "q_reservoir_sample" -> qReservoirSampleSql,
+    "q_rendezvous" -> qRendezvousSql,
+    "q_interval_cover" -> qIntervalCoverSql)
 }

@@ -359,4 +359,97 @@ class ScaleQueriesSpec extends AnyFunSuite {
       assert(statuses === Set("dup_history", "dup_delta", "new"))
     } finally out.unpersist()
   }
+
+  // --- weighted reservoir -----------------------------------------------------
+
+  test("reservoir sample matches an in-memory Efraimidis-Spirakis recompute") {
+    import java.security.MessageDigest
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def u32(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (_, id, w) =>
+        (src, id, math.log((u32(id) + 1).toDouble / 4294967296.0) / w.toDouble)
+      }.sortBy { case (_, id, key) => (-key, id) }
+        .take(5).zipWithIndex
+        .map { case ((s, id, _), i) => (s, i + 1L, id) }
+    }.toSet
+    val got = run("q_reservoir_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, "A-ES reservoir disagrees with in-memory recompute")
+  }
+
+  // --- rendezvous hashing ------------------------------------------------------
+
+  test("HRW growth moves only to the new shard, roughly 1/9 of keys") {
+    val out = run("q_rendezvous").persist()
+    try {
+      val n = out.agg(sum("n_docs")).head.getLong(0)
+      val moved = out.agg(sum("n_moved")).head.getLong(0)
+      // expected move fraction is 1/(S+1) = 1/9 ≈ 0.111
+      val frac = moved.toDouble / n
+      assert(frac > 0.04 && frac < 0.25, s"moved fraction $frac far from 1/9")
+      // the minimal-movement invariant: rebuild per-doc assignments and
+      // confirm every moved key's NEW home is the added shard (8)
+      import java.security.MessageDigest
+      def h14(id: Long, s: Int): Long = {
+        val hex = MessageDigest.getInstance("MD5")
+          .digest(s"${id}_$s".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 14)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ids = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").collect().map(_.getLong(0))
+      var movedCheck = 0L
+      ids.foreach { id =>
+        val aOld = (0 until 8).maxBy(s => h14(id, s) * 16 + s)
+        val aNew = (0 until 9).maxBy(s => h14(id, s) * 16 + s)
+        if (aNew != aOld) {
+          movedCheck += 1
+          assert(aNew === 8, s"doc $id moved between OLD shards $aOld -> $aNew")
+        }
+      }
+      assert(movedCheck === moved, "aggregate n_moved disagrees with per-doc truth")
+    } finally out.unpersist()
+  }
+
+  // --- interval coverage -------------------------------------------------------
+
+  test("interval-union coverage matches an in-memory sweep merge") {
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).map { case (uid, rows) =>
+      val iv = rows.map { case (_, eid, st) => (st, st + (eid % 7 + 1) * 60) }
+        .sortBy(identity)
+      var covered = 0L; var islands = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      iv.foreach { case (s0, e0) =>
+        if (curE == Long.MinValue || s0 > curE) {
+          if (curE != Long.MinValue) covered += curE - curS
+          islands += 1; curS = s0; curE = e0
+        } else curE = math.max(curE, e0)
+      }
+      covered += curE - curS
+      uid -> (rows.length.toLong, islands, covered)
+    }
+    val got = run("q_interval_cover").collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nEv, nIsl, cov) = expected(r.getLong(0))
+      assert(r.getLong(1) === nEv)
+      assert(r.getLong(2) === nIsl,
+        s"user ${r.getLong(0)}: islands ${r.getLong(2)} != sweep $nIsl")
+      assert(r.getLong(3) === cov,
+        s"user ${r.getLong(0)}: coverage ${r.getLong(3)} != sweep $cov")
+      assert(r.getLong(3) <= r.getLong(4), "covered cannot exceed span")
+    }
+  }
 }
