@@ -536,14 +536,27 @@ object ScaleQueries {
   // richness — with no weighting: a doc survives iff NO other doc of the
   // same language is >= on both axes and > on one (classic dominance).
   // The naive skyline is an O(N²) self-join; this is the linear
-  // sort-based form expressed relationally: within each language, a doc
-  // is dominated iff some STRICTLY longer doc has vocab >= its own
-  // (one RANGE window over x) or an equal-length doc has STRICTLY more
-  // vocab (one (lang, x)-grain max). Both windows are partitioned by
-  // lang — never a global sort — and at 100 TB the standard
-  // skyline-merge refinement applies unchanged: per-partition skyline
-  // first (mapPartitions), then this same query over the tiny candidate
-  // union.
+  // sort-based form expressed relationally AND two-level for scale: a
+  // LOCAL skyline per (lang, hash-bucket) prunes first — its windows
+  // sort only a bucket, so no task ever owns a whole hot language —
+  // then the same dominance test runs over the tiny survivor union,
+  // partitioned by lang. The two-level form is exact: a globally
+  // undominated point is undominated in its bucket, so the local pass
+  // can only discard dominated points (skyline(∪ localskylines) =
+  // skyline(all), the standard divide-and-conquer identity). A doc is
+  // dominated iff some STRICTLY longer doc has vocab >= its own (one
+  // RANGE window over x) or an equal-length doc has STRICTLY more
+  // vocab (one x-grain max).
+
+  private def skylineSurvivors(d: DataFrame, part: Seq[String]): DataFrame = {
+    val wHigher = Window.partitionBy(part.map(col): _*).orderBy("x")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wSameX = Window.partitionBy((part.map(col) :+ col("x")): _*)
+    d.withColumn("m1", max("y").over(wHigher))
+      .withColumn("m2", max("y").over(wSameX))
+      .filter(col("y") > coalesce(col("m1"), lit(-1L)) && col("y") === col("m2"))
+      .drop("m1", "m2")
+  }
 
   private def qSkyline(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -551,12 +564,9 @@ object ScaleQueries {
       .select(col("lang"), col("doc_id"), col("n_chars").as("x"),
         size(array_distinct(call_function("graft_ws_tokens", col("text"))))
           .cast("long").as("y"))
-    val wHigher = Window.partitionBy("lang").orderBy("x")
-      .rangeBetween(1L, Window.unboundedFollowing)
-    val wSameX = Window.partitionBy("lang", "x")
-    d.withColumn("m1", max("y").over(wHigher))
-      .withColumn("m2", max("y").over(wSameX))
-      .filter(col("y") > coalesce(col("m1"), lit(-1L)) && col("y") === col("m2"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(8)))
+    val local = skylineSurvivors(d, Seq("lang", "bucket"))
+    skylineSurvivors(local, Seq("lang"))
       .select(col("lang"), col("doc_id"), col("x").as("len_chars"),
         col("y").as("n_vocab"))
       .orderBy("lang", "doc_id")
@@ -978,10 +988,13 @@ object ScaleQueries {
   // the monotone twin of u^{1/w}). This is the without-replacement
   // complement of q_weighted_sample's Bernoulli sampler: top-k by key
   // is MERGEABLE (each partition keeps its local top-k, merge keeps the
-  // top-k of the union), so at 100 TB it runs as one scan + a tiny
-  // per-group heap merge, never a sort of the corpus. u ∈ (0, 1]
-  // (hash+1 over 2³²) keeps ln finite; both engines evaluate the same
-  // IEEE ln/÷ on the same doubles.
+  // top-k of the union) — and the plan says so: a LOCAL top-k per
+  // (source, hash-bucket) prunes first, so no window ever sorts a whole
+  // hot source, then the final top-k ranks only the ≤ 8k survivors per
+  // source. Exact by the mergeability of top-k: the global top-k of a
+  // group is contained in the union of its buckets' local top-ks.
+  // u ∈ (0, 1] (hash+1 over 2³²) keeps ln finite; both engines evaluate
+  // the same IEEE ln/÷ on the same doubles.
 
   private val ResK = 5
 
@@ -992,7 +1005,13 @@ object ScaleQueries {
           .cast("long"))
       .withColumn("u", (col("h") + 1L) / lit(4294967296.0))
       .withColumn("key", log(col("u")) / col("n_chars").cast("double"))
-    keyed
+      .withColumn("bucket", pmod(col("doc_id"), lit(8)))
+    val local = keyed
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy("source", "bucket")
+          .orderBy(col("key").desc, col("doc_id"))))
+      .filter(col("lrk") <= ResK)
+    local
       .withColumn("rank", row_number().over(
         Window.partitionBy("source").orderBy(col("key").desc, col("doc_id"))))
       .filter(col("rank") <= ResK)
@@ -1146,6 +1165,113 @@ object ScaleQueries {
       |    (max(i_en) - min(i_st))::DOUBLE) * 1e4 + 0.5) / 1e4 AS duty
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- chi-square independence test -----------------------------------------------
+  //
+  // Is language independent of source? The χ² statistic over the
+  // (lang, source) contingency table — the categorical drift detector
+  // next to q_ks_test's continuous one. Empty cells are handled in
+  // CLOSED FORM: Σ_all (o−e)²/e = n + Σ_observed ((o−e)²/e − e), so the
+  // plan touches only observed cells (one tiny grain agg + two
+  // broadcast margins) and never materializes the R×C lattice — at
+  // 100 TB with high-cardinality categoricals the observed grain is the
+  // only thing that exists. Per-cell terms fix-point to integer
+  // micro-units before the sum (order-immune); e = r·c/n is the same
+  // exact double in both engines.
+
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = d.groupBy("lang").agg(count(lit(1)).as("r"))
+    val cols = d.groupBy("source").agg(count(lit(1)).as("c"))
+    val tot = d.agg(count(lit(1)).as("n"),
+      countDistinct("lang").as("nr"), countDistinct("source").as("nc"))
+    cells.join(broadcast(rows), "lang").join(broadcast(cols), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("r").cast("double") * col("c").cast("double") / col("n").cast("double"))
+      .withColumn("t", floor(
+        ((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e") - col("e")) * 1e6 + 0.5).cast("long"))
+      .groupBy("n", "nr", "nc")
+      .agg(sum("t").as("tsum"))
+      .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        Rounding.r(col("tsum") / lit(1e6) + col("n"), 4).as("chi2"),
+        Rounding.r(sqrt(
+          (col("tsum") / lit(1e6) + col("n")) /
+            (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")), 4)
+          .as("cramers_v"))
+  }
+
+  private val qChiSquareSql =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |rr AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+      |cc AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      |tt AS (SELECT count(*) AS n, CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS nc
+      |       FROM documents),
+      |tm AS (
+      |  SELECT tt.n, tt.nr, tt.nc,
+      |    CAST(floor(((cells.o::DOUBLE - rr.r::DOUBLE * cc.c::DOUBLE / tt.n::DOUBLE)
+      |      * (cells.o::DOUBLE - rr.r::DOUBLE * cc.c::DOUBLE / tt.n::DOUBLE)
+      |      / (rr.r::DOUBLE * cc.c::DOUBLE / tt.n::DOUBLE)
+      |      - rr.r::DOUBLE * cc.c::DOUBLE / tt.n::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS t
+      |  FROM cells JOIN rr USING (lang) JOIN cc USING (source) CROSS JOIN tt)
+      |SELECT n, (nr - 1) * (nc - 1) AS dof,
+      |  floor((CAST(sum(t) AS BIGINT) / 1e6 + n) * 1e4 + 0.5) / 1e4 AS chi2,
+      |  floor(sqrt((CAST(sum(t) AS BIGINT) / 1e6 + n) /
+      |    (n * least(nr - 1, nc - 1))::DOUBLE) * 1e4 + 0.5) / 1e4 AS cramers_v
+      |FROM tm GROUP BY n, nr, nc""".stripMargin
+
+  // --- Mann–Whitney U (rank-sum test) ------------------------------------------------
+  //
+  // Are src1 documents longer than src2's, distribution-free? The
+  // Wilcoxon rank-sum statistic, EXACT: tie-averaged ranks are
+  // half-integers, so everything runs at 2× scale — for a value with t
+  // ties starting after cb earlier rows, 2·avgrank = 2·cb + t + 1, an
+  // integer — and 2U₁ = 2R₁ − n₁(n₁+1) stays a BIGINT until the final
+  // AUC report (U/(n₁n₂) IS the probability a random src1 doc outranks
+  // a random src2 doc — the common-language effect size). Like
+  // q_ks_test, counts collapse to the value grain FIRST; the single
+  // ordered window runs over the tiny distinct-value table.
+
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("source").isin("src1", "src2"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === "src1", 1L).otherwise(0L)).as("a_c"),
+        sum(when(col("source") === "src2", 1L).otherwise(0L)).as("b_c"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cb", coalesce(sum(col("a_c") + col("b_c")).over(wCum), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cb") + col("a_c") + col("b_c") + 1L)
+      .agg(sum("a_c").as("n1"), sum("b_c").as("n2"),
+        sum(col("a_c") * col("rank2")).as("r1_2"))
+      .select(col("n1"), col("n2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1)).as("u2"),
+        Rounding.r((col("r1_2") - col("n1") * (col("n1") + 1)).cast("double") /
+          (lit(2.0) * col("n1") * col("n2")), 4).as("auc"))
+  }
+
+  private val qMannWhitneySql =
+    """WITH g AS (
+      |  SELECT n_chars AS v,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS a_c,
+      |    CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS b_c
+      |  FROM documents WHERE source IN ('src1', 'src2') GROUP BY 1),
+      |r AS (
+      |  SELECT v, a_c, b_c,
+      |    coalesce(sum(a_c + b_c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM g)
+      |SELECT CAST(sum(a_c) AS BIGINT) AS n1, CAST(sum(b_c) AS BIGINT) AS n2,
+      |  CAST(sum(a_c * (2 * cb + a_c + b_c + 1)) AS BIGINT)
+      |    - CAST(sum(a_c) AS BIGINT) * (CAST(sum(a_c) AS BIGINT) + 1) AS u2,
+      |  floor(((CAST(sum(a_c * (2 * cb + a_c + b_c + 1)) AS BIGINT)
+      |    - CAST(sum(a_c) AS BIGINT) * (CAST(sum(a_c) AS BIGINT) + 1))
+      |    / (2.0 * sum(a_c) * sum(b_c))) * 1e4 + 0.5) / 1e4 AS auc
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -1163,7 +1289,9 @@ object ScaleQueries {
     "q_incr_dedup" -> (qIncrDedup _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_rendezvous" -> (qRendezvous _),
-    "q_interval_cover" -> (qIntervalCover _))
+    "q_interval_cover" -> (qIntervalCover _),
+    "q_chi_square" -> (qChiSquare _),
+    "q_mann_whitney" -> (qMannWhitney _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -1182,5 +1310,7 @@ object ScaleQueries {
     "q_incr_dedup" -> qIncrDedupSql,
     "q_reservoir_sample" -> qReservoirSampleSql,
     "q_rendezvous" -> qRendezvousSql,
-    "q_interval_cover" -> qIntervalCoverSql)
+    "q_interval_cover" -> qIntervalCoverSql,
+    "q_chi_square" -> qChiSquareSql,
+    "q_mann_whitney" -> qMannWhitneySql)
 }

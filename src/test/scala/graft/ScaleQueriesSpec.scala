@@ -452,4 +452,53 @@ class ScaleQueriesSpec extends AnyFunSuite {
       assert(r.getLong(3) <= r.getLong(4), "covered cannot exceed span")
     }
   }
+
+  // --- chi-square ---------------------------------------------------------------
+
+  test("chi-square matches an in-memory contingency recompute") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val rr = rows.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val cc = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toDouble)
+    // same closed form as the query: sum over observed + n
+    val tsum = cells.map { case ((l, s0), o) =>
+      val e = rr(l) * cc(s0) / n
+      math.floor(((o - e) * (o - e) / e - e) * 1e6 + 0.5).toLong
+    }.sum
+    val chi2 = math.floor((tsum / 1e6 + n) * 1e4 + 0.5) / 1e4
+    val out = run("q_chi_square").head
+    assert(out.getLong(1) === (rr.size - 1).toLong * (cc.size - 1))
+    assert(out.getDouble(2) === chi2,
+      s"chi2 ${out.getDouble(2)} != recompute $chi2")
+    assert(out.getDouble(3) >= 0.0 && out.getDouble(3) <= 1.0,
+      "Cramér's V out of [0, 1]")
+  }
+
+  // --- Mann-Whitney -----------------------------------------------------------
+
+  test("Mann-Whitney U matches an in-memory tie-averaged rank recompute") {
+    val vals = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source").isin("src1", "src2"))
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sorted = vals.map(_._2).sorted
+    // 2x tie-averaged rank per value
+    val rank2 = sorted.distinct.map { v =>
+      val below = sorted.count(_ < v)
+      val ties = sorted.count(_ == v)
+      v -> (2L * below + ties + 1)
+    }.toMap
+    val n1 = vals.count(_._1 == "src1").toLong
+    val n2 = vals.count(_._1 == "src2").toLong
+    val r1x2 = vals.filter(_._1 == "src1").map(v => rank2(v._2)).sum
+    val u2 = r1x2 - n1 * (n1 + 1)
+    val out = run("q_mann_whitney").head
+    assert(out.getLong(0) === n1 && out.getLong(1) === n2)
+    assert(out.getLong(2) === u2, s"2U ${out.getLong(2)} != recompute $u2")
+    assert(out.getDouble(3) >= 0.0 && out.getDouble(3) <= 1.0,
+      "rank-sum AUC out of [0, 1]")
+  }
 }
