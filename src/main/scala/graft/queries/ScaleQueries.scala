@@ -1272,6 +1272,125 @@ object ScaleQueries {
       |    / (2.0 * sum(a_c) * sum(b_c))) * 1e4 + 0.5) / 1e4 AS auc
       |FROM r""".stripMargin
 
+  // --- corpus concentration (Gini / top-decile share / HHI) ------------------------
+  //
+  // How concentrated is the corpus across sources? The three standard
+  // concentration measures over per-source byte totals, exact: Gini via
+  // the sorted-rank identity G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n (Σ i·xᵢ is
+  // a BIGINT over the asc-sorted grain), the top-decile byte share, and
+  // the Herfindahl–Hirschman index with per-source fixed-point terms.
+  // The windows rank the SOURCE GRAIN (one row per source) — the corpus
+  // collapses in one partial agg first, so this is a report over a tiny
+  // table at any scale. The curation signal: a Gini near 1 means a
+  // handful of domains dominate the training mix.
+
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents").groupBy("source")
+      .agg(sum("n_chars").as("x"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("i",
+        row_number().over(Window.orderBy(col("x"), col("source"))).cast("long"))
+      .withColumn("rd",
+        row_number().over(Window.orderBy(col("x").desc, col("source"))).cast("long"))
+      .withColumn("nw", count(lit(1)).over(wAll))
+      .withColumn("tw", sum("x").over(wAll))
+      .withColumn("hfp",
+        floor((col("x").cast("double") / col("tw").cast("double")) *
+          (col("x").cast("double") / col("tw").cast("double")) * 1e8 + 0.5)
+          .cast("long"))
+      .agg(max("nw").as("n"), max("tw").as("total"),
+        sum(col("i") * col("x")).as("sxi"),
+        sum(when(col("rd") <= greatest(lit(1L),
+          ceil(col("nw") / 10.0).cast("long")), col("x")).otherwise(0L))
+          .as("top_x"),
+        sum("hfp").as("hhi_fp"))
+      .select(col("n").as("n_sources"), col("total").as("total_chars"),
+        Rounding.r(lit(2.0) * col("sxi") / (col("n") * col("total")).cast("double")
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 4).as("gini"),
+        Rounding.r(col("top_x") / col("total").cast("double"), 4)
+          .as("top_decile_share"),
+        Rounding.r(col("hhi_fp") / lit(1e8), 4).as("hhi"))
+  }
+
+  private val qGiniSql =
+    """WITH g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+      |           FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT x,
+      |    CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i,
+      |    CAST(row_number() OVER (ORDER BY x DESC, source) AS BIGINT) AS rd,
+      |    count(*) OVER () AS nw,
+      |    sum(x) OVER () AS tw
+      |  FROM g),
+      |h AS (
+      |  SELECT *,
+      |    CAST(floor((x::DOUBLE / tw::DOUBLE) * (x::DOUBLE / tw::DOUBLE) * 1e8
+      |      + 0.5) AS BIGINT) AS hfp
+      |  FROM r)
+      |SELECT CAST(max(nw) AS BIGINT) AS n_sources,
+      |  CAST(max(tw) AS BIGINT) AS total_chars,
+      |  floor((2.0 * CAST(sum(i * x) AS BIGINT) / (max(nw) * max(tw))::DOUBLE
+      |    - (max(nw) + 1)::DOUBLE / max(nw)::DOUBLE) * 1e4 + 0.5) / 1e4 AS gini,
+      |  floor((CAST(sum(CASE WHEN rd <= greatest(1,
+      |      CAST(ceil(nw / 10.0) AS BIGINT)) THEN x ELSE 0 END) AS BIGINT)
+      |    / max(tw)::DOUBLE) * 1e4 + 0.5) / 1e4 AS top_decile_share,
+      |  floor((CAST(sum(hfp) AS BIGINT) / 1e8) * 1e4 + 0.5) / 1e4 AS hhi
+      |FROM h""".stripMargin
+
+  // --- CUSUM changepoint scan -------------------------------------------------------
+  //
+  // Where did the daily event volume shift? The cumulative-sum
+  // changepoint statistic, integer-exact by cross-multiplication:
+  // deviation of day d is c_d·n − T (c_d − T/n scaled by n, no
+  // division), the running sum of deviations is a BIGINT, and the
+  // changepoint is the day of max |CUSUM| (ties → earliest day). The
+  // corpus collapses to the day grain first; the scan is one window
+  // over the tiny day table. This is the monitoring op behind
+  // ingest-volume regression alarms.
+
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tt", sum("c").over(wAll))
+      .withColumn("cusum", sum(col("c") * col("n") - col("tt")).over(wCum))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("cusum")).desc, col("d"))))
+      .filter(col("rk") === 1)
+      .select(col("n").as("n_days"), col("tt").as("total_events"),
+        col("d").as("peak_day"), abs(col("cusum")).as("max_abs_cusum"),
+        Rounding.r(abs(col("cusum")) / (col("n") * col("tt")).cast("double"), 4)
+          .as("shift_score"))
+  }
+
+  private val qCusumSql =
+    """WITH daily AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT d, c, count(*) OVER () AS n, sum(c) OVER () AS tt
+      |  FROM daily),
+      |cs AS (
+      |  SELECT d, n, tt,
+      |    sum(c * n - tt) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM w),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY abs(cusum) DESC, d) AS rk
+      |  FROM cs)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(tt AS BIGINT) AS total_events,
+      |  d AS peak_day, CAST(abs(cusum) AS BIGINT) AS max_abs_cusum,
+      |  floor((abs(cusum) / (n * tt)::DOUBLE) * 1e4 + 0.5) / 1e4 AS shift_score
+      |FROM rk WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -1291,7 +1410,9 @@ object ScaleQueries {
     "q_rendezvous" -> (qRendezvous _),
     "q_interval_cover" -> (qIntervalCover _),
     "q_chi_square" -> (qChiSquare _),
-    "q_mann_whitney" -> (qMannWhitney _))
+    "q_mann_whitney" -> (qMannWhitney _),
+    "q_gini" -> (qGini _),
+    "q_cusum" -> (qCusum _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -1312,5 +1433,7 @@ object ScaleQueries {
     "q_rendezvous" -> qRendezvousSql,
     "q_interval_cover" -> qIntervalCoverSql,
     "q_chi_square" -> qChiSquareSql,
-    "q_mann_whitney" -> qMannWhitneySql)
+    "q_mann_whitney" -> qMannWhitneySql,
+    "q_gini" -> qGiniSql,
+    "q_cusum" -> qCusumSql)
 }

@@ -501,4 +501,49 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(out.getDouble(3) >= 0.0 && out.getDouble(3) <= 1.0,
       "rank-sum AUC out of [0, 1]")
   }
+
+  // --- Gini / concentration -----------------------------------------------------
+
+  test("concentration report matches an in-memory recompute") {
+    val xs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").agg(sum("n_chars").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = xs.length.toLong
+    val total = xs.map(_._2).sum
+    val asc = xs.sortBy(t => (t._2, t._1))
+    val sxi = asc.zipWithIndex.map { case ((_, x), i) => (i + 1L) * x }.sum
+    val gini = math.floor((2.0 * sxi / (n * total).toDouble -
+      (n + 1).toDouble / n.toDouble) * 1e4 + 0.5) / 1e4
+    val k = math.max(1L, math.ceil(n / 10.0).toLong)
+    val topShare = math.floor(
+      (xs.sortBy(t => (-t._2, t._1)).take(k.toInt).map(_._2).sum /
+        total.toDouble) * 1e4 + 0.5) / 1e4
+    val out = run("q_gini").head
+    assert(out.getLong(0) === n && out.getLong(1) === total)
+    assert(out.getDouble(2) === gini, s"gini ${out.getDouble(2)} != $gini")
+    assert(out.getDouble(3) === topShare)
+    // HHI bounds: 1/n (uniform) .. 1 (monopoly)
+    assert(out.getDouble(4) >= 1.0 / n - 1e-4 && out.getDouble(4) <= 1.0)
+  }
+
+  // --- CUSUM ----------------------------------------------------------------------
+
+  test("CUSUM peak matches an in-memory scan") {
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var cusum = 0L; var best = -1L; var bestDay = ""
+    daily.foreach { case (d, c) =>
+      cusum += c * n - total
+      if (math.abs(cusum) > best) { best = math.abs(cusum); bestDay = d }
+    }
+    val out = run("q_cusum").head
+    assert(out.getLong(0) === n && out.getLong(1) === total)
+    assert(out.getString(2) === bestDay,
+      s"peak day ${out.getString(2)} != scan $bestDay")
+    assert(out.getLong(3) === best)
+  }
 }
