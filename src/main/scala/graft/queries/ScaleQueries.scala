@@ -644,23 +644,21 @@ object ScaleQueries {
   // integers, never floats. Per-doc grain with map-side partial aggs —
   // narrow at any corpus size.
 
-  private def qEntropyFilter(s: SparkSession, dir: String): DataFrame =
+  private def qEntropyFilter(s: SparkSession, dir: String): DataFrame = {
+    // one narrow codegen'd projection (graft_char_entropy) — the
+    // relational explode form multiplied the corpus by its character
+    // count before two shuffles; EntropyExprParitySpec pins the
+    // expression bit-equal to that form, so the DuckDB oracle (which
+    // still runs the explode) is unchanged
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(lower(text))), i -> substring(lower(text), i, 1))"))
-        .as("ch"))
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(collect_list("c").as("cs"), sum("c").as("n"),
-        count(lit(1)).as("n_alphabet"))
-      .withColumn("hfp", expr(
-        """aggregate(cs, 0L, (acc, c) -> acc +
-          |  CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-          |    log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))""".stripMargin))
-      .select(col("doc_id"), col("n").as("n_chars_used"), col("n_alphabet"),
-        Rounding.r(col("hfp") / lit(1e6), 4).as("entropy"),
-        (col("hfp") >= 2000000L).cast("int").as("pass"))
+      .select(col("doc_id"), expr("graft_char_entropy(lower(text))").as("st"))
+      .select(col("doc_id"), col("st")(0).as("n_chars_used"),
+        col("st")(1).as("n_alphabet"),
+        Rounding.r(col("st")(2) / lit(1e6), 4).as("entropy"),
+        (col("st")(2) >= 2000000L).cast("int").as("pass"))
       .orderBy("doc_id")
+  }
 
   private val qEntropyFilterSql =
     """WITH ch AS (
@@ -866,9 +864,11 @@ object ScaleQueries {
   // job). Batches are consecutive runs of the hash order; the report
   // proves the shuffle MIXES (every batch sees many languages/sources)
   // and that epochs differ (the hash is keyed by epoch). The per-epoch
-  // row_number here is the oracle-exact stand-in for the cluster form —
-  // repartitionByRange(hash) + sortWithinPartitions + monotonic ids per
-  // range — same order, no global window.
+  // row_number here is the oracle-exact stand-in for the cluster form;
+  // the REAL scale path is [[graft.pipeline.EpochShuffle.positions]] —
+  // repartitionByRange(hash) + sortWithinPartitions + zipWithIndex
+  // offsets — which EpochShuffleSpec proves position-identical to this
+  // window while planning no Window at all.
 
   private val EpochN = 4
   private val BatchSize = 64
@@ -943,7 +943,10 @@ object ScaleQueries {
     val delta = keyed.filter(col("doc_id") >= IncrSplit)
       .withColumn("d_min",
         min("doc_id").over(Window.partitionBy("k")))
-    delta.join(broadcast(hist), Seq("k"), "left")
+    // no broadcast hint: the history fingerprint store GROWS with the
+    // corpus — let the planner (AQE) pick broadcast while it fits and
+    // fall back to a shuffled hash join when it doesn't
+    delta.join(hist, Seq("k"), "left")
       .select(col("doc_id"),
         when(col("h_min").isNotNull, lit("dup_history"))
           .when(col("doc_id") === col("d_min"), lit("new"))
