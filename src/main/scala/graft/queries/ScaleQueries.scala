@@ -1394,6 +1394,112 @@ object ScaleQueries {
       |  floor((abs(cusum) / (n * tt)::DOUBLE) * 1e4 + 0.5) / 1e4 AS shift_score
       |FROM rk WHERE rk = 1""".stripMargin
 
+  // --- pairwise source vocabulary overlap -------------------------------------------
+  //
+  // The corpus-mix redundancy matrix: token-vocabulary Jaccard between
+  // every pair of sources — which feeds "source B adds nothing over
+  // source A" pruning decisions. The join is inverted-index shaped and
+  // BOUNDED BY DESIGN: rows collapse to the (source, token) grain
+  // first, so a token contributes at most S² pairs where S is the
+  // SOURCE count (a dimension, not the corpus) — the blow-up that
+  // n-gram pair joins need df-caps for cannot happen at the source
+  // grain. One distinct, one self-join on token, two broadcast size
+  // lookups.
+
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val vocab = t(s, dir, "documents")
+      .select(col("source"),
+        explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+    vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("nv").as("nva"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("nv").as("nvb"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("nva") + col("nvb") - col("inter")).as("uni"),
+        Rounding.r(col("inter") /
+          (col("nva") + col("nvb") - col("inter")).cast("double"), 4).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val qSourceOverlapSql =
+    """WITH v AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS tok
+      |  FROM documents),
+      |sz AS (SELECT source, count(*) AS nv FROM v GROUP BY 1),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT pr.src_a, pr.src_b, pr.inter,
+      |  sa.nv + sb.nv - pr.inter AS uni,
+      |  floor((pr.inter / (sa.nv + sb.nv - pr.inter)::DOUBLE) * 1e4 + 0.5) / 1e4
+      |    AS jaccard
+      |FROM pr
+      |JOIN sz sa ON sa.source = pr.src_a
+      |JOIN sz sb ON sb.source = pr.src_b
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- recency-decay weighted stats ---------------------------------------------------
+  //
+  // Freshness weighting: every aggregation a monitoring surface runs
+  // "with recent data counting more" — per-user mean event value under
+  // an exponential 7-day half-life... strictly, w = e^(−Δdays/7) with Δ
+  // measured back from the corpus' latest event (a broadcast 1-row
+  // max — deterministic, unlike now()). Per-row weights fix-point to
+  // integer micro-units BEFORE the sums, so both engines' BIGINT
+  // accumulators are order-immune and the only float step is the final
+  // ratio. exp() agrees across engines on these operands the same way
+  // log2/ln do in the entropy/LM queries (sweep-guarded).
+
+  private def qDecayWeighted(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("es"))
+    val latest = ev.agg(max("es").as("mx"))
+    ev.crossJoin(broadcast(latest))
+      .withColumn("w", exp((col("es") - col("mx")).cast("double") /
+        lit(86400.0) / lit(7.0)))
+      .withColumn("w_fp", floor(col("w") * 1e6 + 0.5).cast("long"))
+      .withColumn("wv_fp", floor(col("w") * col("value") * 1e6 + 0.5).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("w_fp").as("sw"),
+        sum("wv_fp").as("swv"))
+      .select(col("user_id"), col("n_events"),
+        Rounding.r(col("sw") / lit(1e6), 4).as("eff_n"),
+        Rounding.r(col("swv").cast("double") / col("sw").cast("double"), 4)
+          .as("decayed_mean"))
+      .orderBy("user_id")
+  }
+
+  private val qDecayWeightedSql =
+    """WITH ev AS (
+      |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events),
+      |mx AS (SELECT max(es) AS mx FROM ev),
+      |w AS (
+      |  SELECT user_id, value,
+      |    exp((es - mx)::DOUBLE / 86400.0 / 7.0) AS w
+      |  FROM ev CROSS JOIN mx),
+      |f AS (
+      |  SELECT user_id,
+      |    CAST(floor(w * 1e6 + 0.5) AS BIGINT) AS w_fp,
+      |    CAST(floor(w * value * 1e6 + 0.5) AS BIGINT) AS wv_fp
+      |  FROM w)
+      |SELECT user_id, count(*) AS n_events,
+      |  floor((CAST(sum(w_fp) AS BIGINT) / 1e6) * 1e4 + 0.5) / 1e4 AS eff_n,
+      |  floor((CAST(sum(wv_fp) AS BIGINT)::DOUBLE /
+      |    CAST(sum(w_fp) AS BIGINT)::DOUBLE) * 1e4 + 0.5) / 1e4 AS decayed_mean
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -1415,7 +1521,9 @@ object ScaleQueries {
     "q_chi_square" -> (qChiSquare _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_gini" -> (qGini _),
-    "q_cusum" -> (qCusum _))
+    "q_cusum" -> (qCusum _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_decay_weighted" -> (qDecayWeighted _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -1438,5 +1546,7 @@ object ScaleQueries {
     "q_chi_square" -> qChiSquareSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_gini" -> qGiniSql,
-    "q_cusum" -> qCusumSql)
+    "q_cusum" -> qCusumSql,
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_decay_weighted" -> qDecayWeightedSql)
 }

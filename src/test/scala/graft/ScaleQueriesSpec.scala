@@ -546,4 +546,45 @@ class ScaleQueriesSpec extends AnyFunSuite {
       s"peak day ${out.getString(2)} != scan $bestDay")
     assert(out.getLong(3) === best)
   }
+
+  // --- source overlap ---------------------------------------------------------------
+
+  test("source-overlap matrix: full pair coverage, bounds, one pair recomputed") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = run("q_source_overlap").persist()
+    try {
+      val nSrc = spark.read.parquet(s"$dir/documents.parquet")
+        .select("source").distinct().count()
+      assert(out.count() === nSrc * (nSrc - 1) / 2, "missing source pairs")
+      assert(out.filter(col("inter") > col("uni") ||
+        col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
+      // recompute one pair in memory
+      def vocab(src: String): Set[String] = spark.read
+        .parquet(s"$dir/documents.parquet")
+        .filter(col("source") === src)
+        .select(explode(call_function("graft_ws_tokens", col("text"))).as("t"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val (va, vb) = (vocab("src1"), vocab("src2"))
+      val r = out.filter(col("src_a") === "src1" && col("src_b") === "src2").head
+      assert(r.getLong(2) === va.intersect(vb).size.toLong)
+      assert(r.getLong(3) === va.union(vb).size.toLong)
+    } finally out.unpersist()
+  }
+
+  // --- decay weighting -----------------------------------------------------------------
+
+  test("decay-weighted mean stays in the per-user value envelope, eff_n <= n") {
+    val out = run("q_decay_weighted").persist()
+    try {
+      assert(out.filter(col("eff_n") > col("n_events").cast("double") + 1e-6)
+        .count() === 0, "effective n exceeded event count (w must be <= 1)")
+      val env = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      val escaped = out.join(env, "user_id")
+        .filter(col("decayed_mean") < col("lo") - 1e-3 ||
+          col("decayed_mean") > col("hi") + 1e-3).count()
+      assert(escaped === 0, "a weighted mean escaped [min, max] of its values")
+    } finally out.unpersist()
+  }
 }
