@@ -1500,6 +1500,87 @@ object ScaleQueries {
       |    CAST(sum(w_fp) AS BIGINT)::DOUBLE) * 1e4 + 0.5) / 1e4 AS decayed_mean
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- differentially private count release -------------------------------------------
+  //
+  // The Laplace mechanism over per-language counts — the release shape
+  // for sharing corpus statistics without exposing individual
+  // membership: noisy = n + Lap(Δ/ε) with sensitivity Δ = 1 (one
+  // document moves one count by one). Noise draws are DETERMINISTIC
+  // here — inverse-CDF through a per-group hash,
+  // X = −b·sgn(u−½)·ln(1−2|u−½|) — so the oracle checks the mechanism's
+  // arithmetic end-to-end (a production release would use a fresh seed
+  // and drop n_true; this query demonstrates the mechanics). One grain
+  // agg + a narrow projection; scales with group count, not corpus.
+
+  private val DpEps = 1.0
+
+  private def qDpNoise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        (conv(substring(md5(col("lang")), 1, 8), 16, 10).cast("long") + 0.5) /
+          lit(4294967296.0))
+      .withColumn("noise",
+        lit(-1.0 / DpEps) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .select(col("lang"), col("n_true"),
+        Rounding.r(col("n_true") + col("noise"), 4).as("n_noisy"),
+        lit(DpEps).as("eps"))
+      .orderBy("lang")
+
+  private val qDpNoiseSql =
+    s"""WITH g AS (SELECT lang, count(*) AS n_true FROM documents GROUP BY 1),
+       |u AS (
+       |  SELECT lang, n_true,
+       |    (('0x' || substr(md5(lang), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS u
+       |  FROM g)
+       |SELECT lang, n_true,
+       |  floor((n_true + (-1.0 / $DpEps) * sign(u - 0.5) *
+       |    ln(1.0 - 2.0 * abs(u - 0.5))) * 1e4 + 0.5) / 1e4 AS n_noisy,
+       |  $DpEps AS eps
+       |FROM u ORDER BY 1""".stripMargin
+
+  // --- k-anonymity audit ------------------------------------------------------------
+  //
+  // Before any per-group release: how many rows sit in quasi-identifier
+  // groups smaller than k? QI = (lang, source, length centile bucket);
+  // a row in a group of < k is re-identifiable by those attributes
+  // alone. Two partial aggs (corpus → QI grain → per-lang report); the
+  // audit every DP/aggregation release (q_dp_noise) should gate on.
+
+  private val KAnon = 5
+
+  private def qKanon(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("gsz"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("gsz") < KAnon, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("gsz") < KAnon, col("gsz")).otherwise(0L)).as("n_exposed"),
+        sum("gsz").as("n_rows"),
+        min("gsz").as("min_group"))
+      .select(col("lang"), col("n_groups"), col("n_small_groups"),
+        col("n_exposed"), col("min_group"),
+        Rounding.r(col("n_exposed") / col("n_rows").cast("double"), 4)
+          .as("exposed_frac"))
+      .orderBy("lang")
+
+  private val qKanonSql =
+    s"""WITH qi AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS gsz
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT lang, count(*) AS n_groups,
+       |  CAST(sum(CASE WHEN gsz < $KAnon THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_small_groups,
+       |  CAST(sum(CASE WHEN gsz < $KAnon THEN gsz ELSE 0 END) AS BIGINT)
+       |    AS n_exposed,
+       |  CAST(min(gsz) AS BIGINT) AS min_group,
+       |  floor((CAST(sum(CASE WHEN gsz < $KAnon THEN gsz ELSE 0 END) AS BIGINT)
+       |    / CAST(sum(gsz) AS BIGINT)::DOUBLE) * 1e4 + 0.5) / 1e4 AS exposed_frac
+       |FROM qi GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -1523,7 +1604,9 @@ object ScaleQueries {
     "q_gini" -> (qGini _),
     "q_cusum" -> (qCusum _),
     "q_source_overlap" -> (qSourceOverlap _),
-    "q_decay_weighted" -> (qDecayWeighted _))
+    "q_decay_weighted" -> (qDecayWeighted _),
+    "q_dp_noise" -> (qDpNoise _),
+    "q_kanon" -> (qKanon _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -1548,5 +1631,7 @@ object ScaleQueries {
     "q_gini" -> qGiniSql,
     "q_cusum" -> qCusumSql,
     "q_source_overlap" -> qSourceOverlapSql,
-    "q_decay_weighted" -> qDecayWeightedSql)
+    "q_decay_weighted" -> qDecayWeightedSql,
+    "q_dp_noise" -> qDpNoiseSql,
+    "q_kanon" -> qKanonSql)
 }

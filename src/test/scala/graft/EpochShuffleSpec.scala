@@ -38,6 +38,24 @@ class EpochShuffleSpec extends AnyFunSuite {
     }
   }
 
+  test("positions are invariant to the partition count") {
+    // the offset math must make parallelism invisible: 1, 3, and 17
+    // range partitions all yield the identical global order
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val base = EpochShuffle.positions(docs, "doc_id", 7L, numPartitions = 8)
+    try {
+      Seq(1, 3, 17).foreach { np =>
+        val other = EpochShuffle.positions(docs, "doc_id", 7L, np)
+        try {
+          val mism = base.select(col("doc_id"), col("pos"))
+            .join(other.select(col("doc_id"), col("pos").as("p2")), "doc_id")
+            .filter(col("pos") =!= col("p2")).count()
+          assert(mism === 0, s"numPartitions=$np changed the global order")
+        } finally other.unpersist()
+      }
+    } finally base.unpersist()
+  }
+
   test("the scale path plans range partitioning and no Window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
     val fast = EpochShuffle.positions(docs, "doc_id", 0L, numPartitions = 8)

@@ -587,4 +587,39 @@ class ScaleQueriesSpec extends AnyFunSuite {
       assert(escaped === 0, "a weighted mean escaped [min, max] of its values")
     } finally out.unpersist()
   }
+
+  // --- DP noise -------------------------------------------------------------------
+
+  test("Laplace release perturbs every count within plausible eps=1 bounds") {
+    val out = run("q_dp_noise").persist()
+    try {
+      val rows = out.collect()
+      rows.foreach { r =>
+        val diff = math.abs(r.getDouble(2) - r.getLong(1))
+        assert(diff > 0.0, s"${r.getString(0)}: noise was exactly zero")
+        // Laplace(b=1): P(|X| > 15) = e^-15 — any larger value means the
+        // inverse-CDF arithmetic broke
+        assert(diff < 15.0, s"${r.getString(0)}: implausible noise $diff")
+      }
+    } finally out.unpersist()
+  }
+
+  // --- k-anonymity ------------------------------------------------------------------
+
+  test("k-anonymity audit agrees with a direct QI group recount") {
+    val out = run("q_kanon").persist()
+    try {
+      assert(out.filter(col("n_small_groups") > col("n_groups") ||
+        col("min_group") < 1 ||
+        col("exposed_frac") < 0 || col("exposed_frac") > 1).count() === 0)
+      val truth = spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"), col("source"), expr("n_chars div 100"))
+        .agg(count(lit(1)).as("gsz"))
+        .groupBy("lang")
+        .agg(sum(when(col("gsz") < 5, col("gsz")).otherwise(0L)).as("t_exposed"))
+      val mism = out.join(truth, "lang")
+        .filter(col("n_exposed") =!= col("t_exposed")).count()
+      assert(mism === 0, "exposed-row count disagrees with direct recount")
+    } finally out.unpersist()
+  }
 }
