@@ -1581,6 +1581,71 @@ object ScaleQueries {
        |    / CAST(sum(gsz) AS BIGINT)::DOUBLE) * 1e4 + 0.5) / 1e4 AS exposed_frac
        |FROM qi GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- robust outliers: median absolute deviation --------------------------------------
+  //
+  // The mean/σ z-score (q_anomaly_zscore) is itself dragged by the
+  // outliers it hunts; the robust form uses the MEDIAN and the median
+  // absolute deviation. Exact and tie-stable cross-engine: the LOWER
+  // median (rank ⌈n/2⌉ under an integer rank pick) rather than an
+  // interpolated percentile, so every statistic stays an integer.
+  // Outlier rule: |x − med| > 3·MAD, compared as integers. At 100 TB
+  // the exact rank-pick swaps for approx_percentile and nothing else
+  // changes; at the oracle scale the per-lang sorts make it exact.
+
+  private def medByRank(d: DataFrame, valCol: String, outCol: String): DataFrame = {
+    val cnt = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    d.withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col(valCol), col("doc_id"))))
+      .join(broadcast(cnt), "lang")
+      .filter(col("rk") === expr("(cnt + 1) div 2"))
+      .select(col("lang"), col(valCol).as(outCol))
+  }
+
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      col("n_chars").as("v"))
+    val med = medByRank(d, "v", "med")
+    val dev = d.join(broadcast(med), "lang")
+      .withColumn("adev", abs(col("v") - col("med")))
+    val mad = medByRank(dev.withColumn("v2", col("adev")), "v2", "mad")
+    dev.join(broadcast(mad), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("adev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("lang"), col("n"), col("med"), col("mad"), col("n_outliers"),
+        Rounding.r(col("n_outliers") / col("n").cast("double"), 4)
+          .as("outlier_frac"))
+      .orderBy("lang")
+  }
+
+  private val qMadOutliersSql =
+    """WITH d AS (SELECT lang, doc_id, n_chars AS v FROM documents),
+      |c1 AS (SELECT lang, count(*) AS cnt FROM d GROUP BY 1),
+      |m1 AS (
+      |  SELECT r.lang, r.v AS med FROM (
+      |    SELECT lang, v,
+      |      row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rk
+      |    FROM d) r
+      |  JOIN c1 USING (lang) WHERE r.rk = (c1.cnt + 1) // 2),
+      |dv AS (
+      |  SELECT d.lang, d.doc_id, d.v, m1.med, abs(d.v - m1.med) AS adev
+      |  FROM d JOIN m1 USING (lang)),
+      |m2 AS (
+      |  SELECT r.lang, r.adev AS mad FROM (
+      |    SELECT lang, adev,
+      |      row_number() OVER (PARTITION BY lang ORDER BY adev, doc_id) AS rk
+      |    FROM dv) r
+      |  JOIN c1 USING (lang) WHERE r.rk = (c1.cnt + 1) // 2)
+      |SELECT dv.lang, count(*) AS n,
+      |  CAST(max(dv.med) AS BIGINT) AS med, CAST(max(m2.mad) AS BIGINT) AS mad,
+      |  CAST(sum(CASE WHEN dv.adev > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  floor((CAST(sum(CASE WHEN dv.adev > 3 * m2.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) / count(*)::DOUBLE) * 1e4 + 0.5) / 1e4 AS outlier_frac
+      |FROM dv JOIN m2 USING (lang)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -1606,7 +1671,8 @@ object ScaleQueries {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_decay_weighted" -> (qDecayWeighted _),
     "q_dp_noise" -> (qDpNoise _),
-    "q_kanon" -> (qKanon _))
+    "q_kanon" -> (qKanon _),
+    "q_mad_outliers" -> (qMadOutliers _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -1633,5 +1699,6 @@ object ScaleQueries {
     "q_source_overlap" -> qSourceOverlapSql,
     "q_decay_weighted" -> qDecayWeightedSql,
     "q_dp_noise" -> qDpNoiseSql,
-    "q_kanon" -> qKanonSql)
+    "q_kanon" -> qKanonSql,
+    "q_mad_outliers" -> qMadOutliersSql)
 }

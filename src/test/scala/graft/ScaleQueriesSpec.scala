@@ -622,4 +622,28 @@ class ScaleQueriesSpec extends AnyFunSuite {
       assert(mism === 0, "exposed-row count disagrees with direct recount")
     } finally out.unpersist()
   }
+
+  // --- MAD outliers ---------------------------------------------------------------
+
+  test("MAD outlier audit matches an in-memory lower-median recompute") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.size + 1) / 2) - 1)
+    val expected = rows.groupBy(_._1).map { case (lang, vs0) =>
+      val vs = vs0.map(_._2).toSeq
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      val outs = vs.count(v => math.abs(v - med) > 3 * mad).toLong
+      lang -> (vs.size.toLong, med, mad, outs)
+    }
+    val got = run("q_mad_outliers").collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, med, mad, outs) = expected(r.getString(0))
+      assert(r.getLong(1) === n && r.getLong(2) === med &&
+        r.getLong(3) === mad && r.getLong(4) === outs,
+        s"${r.getString(0)}: (n, med, mad, outliers) disagree with recompute")
+    }
+  }
 }
