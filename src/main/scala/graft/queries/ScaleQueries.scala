@@ -80,27 +80,24 @@ object ScaleQueries {
   private val WinW = 4 // winnowing window (hashes)
 
   private def qWinnowing(s: SparkSession, dir: String): DataFrame = {
+    // fingerprinting rides the fused graft_winnow expression — the
+    // relational form (k-gram explode → window min → distinct) is
+    // spec-pinned set-equal per document (WinnowExprParitySpec) and the
+    // DuckDB oracle still runs it; this side computes each document's
+    // distinct fingerprint keys in ONE codegen'd pass, so the corpus
+    // never explodes to the k-gram grain and the window + distinct
+    // shuffles disappear
+    graft.functions.GraftFunctions.register(s)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"),
         concat(substring(lower(col("text")), 1, 384),
           when(pmod(col("doc_id"), lit(7)) === 0, lit(" " + WinnowFooter))
             .otherwise(lit(""))).as("s"))
       .filter(length(col("s")) >= WinK + WinW - 1)
-    val kg = docs
-      .withColumn("g", expr(s"transform(sequence(1, length(s) - ${WinK - 1}), i -> substring(s, i, $WinK))"))
-      .select(col("doc_id"), size(col("g")).as("ng"),
-        posexplode(col("g")).as(Seq("p0", "kgs")))
-      .select(col("doc_id"), col("ng"), (col("p0") + 1).as("pos"),
-        conv(substring(md5(col("kgs")), 1, 10), 16, 10).cast("long").as("h"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, WinW - 1)
-    val fps = kg
-      .withColumn("wkey",
-        min(col("h") * lit(2097152L) + (lit(1048575L) - col("pos"))).over(w))
-      .filter(col("pos") <= col("ng") - (WinW - 1))
+    val fps = docs
+      .select(col("doc_id"), explode(expr("graft_winnow(s)")).as("wkey"))
       .select(col("doc_id"), expr("wkey div 2097152").as("h"),
         (lit(1048575L) - col("wkey") % lit(2097152L)).as("fpos"))
-      .distinct()
       .persist()
     val byH = fps.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
     fps.join(byH, "h")
