@@ -466,13 +466,11 @@ object ScaleQueries {
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(first("ea").as("ea"), first("eb").as("eb"))
-      // fixed-point integer L2: per-element quantization is
-      // order-independent and the BIGINT sum is exact, so both engines
-      // rank candidates identically (ties break on neighbor id)
-      .withColumn("dist", expr(
-        """aggregate(zip_with(ea, eb, (p, q) ->
-          |  CAST(floor(p * 1048576.0) AS BIGINT) - CAST(floor(q * 1048576.0) AS BIGINT)),
-          |  0L, (acc, v) -> acc + v * v)""".stripMargin))
+      // fixed-point integer L2 (codegen'd graft_l2q — bit-identical to
+      // the aggregate/zip_with lambda chain it replaced): per-element
+      // quantization is order-independent and the BIGINT sum is exact,
+      // so both engines rank candidates identically (ties on id)
+      .withColumn("dist", expr("graft_l2q(ea, eb)"))
       .select("id_a", "id_b", "dist")
     val w = Window.partitionBy("id_a").orderBy(col("dist"), col("id_b"))
     // persisted: the directed edge table feeds its own reversal join,

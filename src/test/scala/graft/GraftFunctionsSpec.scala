@@ -257,6 +257,25 @@ class GraftFunctionsSpec extends AnyFunSuite {
        |          CAST((d * (j * r + k + 2) + (j * r + k) * (j * r + k)) % 11 - 5 AS DOUBLE)) > 0D,
        |      shiftleft(1L, k), 0L)))""".stripMargin
 
+  test("graft_l2q is bit-identical to the quantize/zip_with composition") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 200).map { _ =>
+      (Array.fill(64)(rng.nextDouble() * 2 - 1), Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    val hof =
+      """aggregate(zip_with(a, b, (p, q) ->
+        |  CAST(floor(p * 1048576.0) AS BIGINT) - CAST(floor(q * 1048576.0) AS BIGINT)),
+        |  0L, (acc, v) -> acc + v * v)""".stripMargin
+    val rows = vecs.toDF("a", "b")
+      .selectExpr(s"$hof AS slow", "graft_l2q(a, b) AS fast")
+      .as[(Long, Long)].collect()
+    rows.foreach { case (s0, f0) => assert(s0 === f0, s"$s0 vs $f0") }
+    val nulled = Seq((null.asInstanceOf[Array[Double]], Array(1.0))).toDF("a", "b")
+      .selectExpr("graft_l2q(a, b) AS d").collect()
+    assert(nulled(0).isNullAt(0))
+  }
+
   test("graft_best_cell matches the HOF argmax and ties break to the lowest cell") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
