@@ -1641,6 +1641,220 @@ object ScaleQueries {
       |FROM dv JOIN m2 USING (lang)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- external clustering evaluation (pair-counting: Rand / ARI / purity) ----
+  //
+  // Every clustering the curation stack produces (k-means cells, LSH
+  // buckets, dedup components) eventually needs scoring against SOME
+  // ground truth — here the embeddings' `label` column. The pair-counting
+  // family (precision/recall/F1 over same-cluster pairs, Rand index,
+  // adjusted Rand, purity) never materializes pairs: every statistic is a
+  // closed form over the (cluster, label) CONTINGENCY CELLS — n_ct choose
+  // 2 sums — so the corpus is touched once (the signature pass) and the
+  // evaluation math runs on a table bounded by |clusters|·|labels|
+  // regardless of corpus size. The predicted clustering under test is the
+  // band-0 LSH bucket assignment (the same buckets the near-dup family
+  // blocks on — measuring how label-homogeneous those blocks are is
+  // exactly the audit a blocking scheme owes you). Ratios divide exact
+  // BIGINTs through identical IEEE double ops on both engines; at corpora
+  // where pair counts exceed 2^53 the products move to DECIMAL(38,0) and
+  // nothing else changes.
+
+  private def qClusterEval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val pred = TrainingDataQueries.bandSigs(s, dir)
+      .filter(col("band") === 0)
+      .select(col("vec_id"), col("sig").as("cluster"))
+    val truth = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    // the whole evaluation reduces to these cells — tiny at any scale
+    val cells = pred.join(truth, "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n_ct"))
+      .persist()
+    val byC = cells.groupBy("cluster")
+      .agg(sum("n_ct").as("n_c"), max("n_ct").as("mx"))
+      .agg(sum(expr("(n_c * (n_c - 1)) div 2")).as("pp"),
+        sum("mx").as("pur_num"), sum("n_c").as("n"),
+        count(lit(1)).as("n_clusters"))
+    val byT = cells.groupBy("label").agg(sum("n_ct").as("n_t"))
+      .agg(sum(expr("(n_t * (n_t - 1)) div 2")).as("pt"),
+        count(lit(1)).as("n_labels"))
+    val tpA = cells.agg(sum(expr("(n_ct * (n_ct - 1)) div 2")).as("tp"))
+    val out = byC.crossJoin(broadcast(byT)).crossJoin(broadcast(tpA))
+      .withColumn("c_all", expr("(n * (n - 1)) div 2"))
+      .withColumn("fp", col("pp") - col("tp"))
+      .withColumn("fn", col("pt") - col("tp"))
+      .withColumn("tn", col("c_all") - col("pp") - col("pt") + col("tp"))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("tp"), col("fp"), col("fn"),
+        Rounding.r(col("tp").cast("double") / col("pp").cast("double"), 4)
+          .as("precision"),
+        Rounding.r(col("tp").cast("double") / col("pt").cast("double"), 4)
+          .as("recall"),
+        Rounding.r(lit(2.0) * col("tp").cast("double") /
+          (col("pp") + col("pt")).cast("double"), 4).as("f1"),
+        Rounding.r((col("tp") + col("tn")).cast("double") /
+          col("c_all").cast("double"), 4).as("rand_index"),
+        Rounding.r(
+          (col("c_all").cast("double") * col("tp").cast("double") -
+            col("pp").cast("double") * col("pt").cast("double")) /
+          (col("c_all").cast("double") *
+            (col("pp").cast("double") + col("pt").cast("double")) / lit(2.0) -
+            col("pp").cast("double") * col("pt").cast("double")), 4).as("ari"),
+        Rounding.r(col("pur_num").cast("double") / col("n").cast("double"), 4)
+          .as("purity"))
+    out
+  }
+
+  private val qClusterEvalSql =
+    s"""WITH ${TrainingDataQueries.BandSigsCte},
+       |pr AS (SELECT vec_id, sig AS cluster FROM sg WHERE band = 0),
+       |cells AS (
+       |  SELECT pr.cluster, e.label, count(*) AS n_ct
+       |  FROM pr JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |pc AS (SELECT cluster, sum(n_ct) AS n_c, max(n_ct) AS mx
+       |       FROM cells GROUP BY 1),
+       |a1 AS (SELECT CAST(sum((n_c * (n_c - 1)) // 2) AS BIGINT) AS pp,
+       |         CAST(sum(mx) AS BIGINT) AS pur_num,
+       |         CAST(sum(n_c) AS BIGINT) AS n,
+       |         count(*) AS n_clusters FROM pc),
+       |pl AS (SELECT label, sum(n_ct) AS n_t FROM cells GROUP BY 1),
+       |a2 AS (SELECT CAST(sum((n_t * (n_t - 1)) // 2) AS BIGINT) AS pt,
+       |         count(*) AS n_labels FROM pl),
+       |a3 AS (SELECT CAST(sum((n_ct * (n_ct - 1)) // 2) AS BIGINT) AS tp
+       |       FROM cells),
+       |x AS (
+       |  SELECT *, (n * (n - 1)) // 2 AS c_all,
+       |    pp - tp AS fp, pt - tp AS fn,
+       |    (n * (n - 1)) // 2 - pp - pt + tp AS tn
+       |  FROM a1, a2, a3)
+       |SELECT n, n_clusters, n_labels, tp, fp, fn,
+       |  floor((tp::DOUBLE / pp::DOUBLE) * 1e4 + 0.5) / 1e4 AS precision,
+       |  floor((tp::DOUBLE / pt::DOUBLE) * 1e4 + 0.5) / 1e4 AS recall,
+       |  floor((2.0 * tp::DOUBLE / (pp + pt)::DOUBLE) * 1e4 + 0.5) / 1e4 AS f1,
+       |  floor(((tp + tn)::DOUBLE / c_all::DOUBLE) * 1e4 + 0.5) / 1e4
+       |    AS rand_index,
+       |  floor(((c_all::DOUBLE * tp::DOUBLE - pp::DOUBLE * pt::DOUBLE) /
+       |    (c_all::DOUBLE * (pp::DOUBLE + pt::DOUBLE) / 2.0 -
+       |     pp::DOUBLE * pt::DOUBLE)) * 1e4 + 0.5) / 1e4 AS ari,
+       |  floor((pur_num::DOUBLE / n::DOUBLE) * 1e4 + 0.5) / 1e4 AS purity
+       |FROM x""".stripMargin
+
+  // --- leakage-safe grouped split (group-held-out train/val/test) -----------
+  //
+  // q_train_split assigns splits per DOCUMENT; for data with a grouping
+  // key (a user's events, a conversation's turns) that LEAKS — near-
+  // identical rows of one group land on both sides of the train/test
+  // fence. The grouped split hashes the GROUP key, so membership is a
+  // pure per-row function (no join, no shuffle beyond the report aggs)
+  // and leakage is impossible BY CONSTRUCTION. The query also AUDITS
+  // that claim from the data: max splits-per-user, recounted from the
+  // assignment itself, must come back 1. Two grain-collapsing aggs
+  // (events → (user, split) → split), each partial map-side.
+
+  private def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+    val userGrain = ev.groupBy("user_id", "split")
+      .agg(count(lit(1)).as("n_ev"))
+    // the audit: a user appearing under two splits would make this 2
+    val straddle = userGrain.groupBy("user_id")
+      .agg(count(lit(1)).as("n_splits"))
+      .agg(max("n_splits").as("max_splits_per_user"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    userGrain.groupBy("split")
+      .agg(count(lit(1)).as("n_users"), sum("n_ev").as("n_events"))
+      .crossJoin(broadcast(straddle)).crossJoin(broadcast(total))
+      .select(col("split"), col("n_users"), col("n_events"),
+        Rounding.r(col("n_events").cast("double") /
+          col("n_total").cast("double"), 4).as("event_frac"),
+        col("max_splits_per_user"))
+      .orderBy("split")
+  }
+
+  private val qGroupSplitSql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |      AS bucket
+      |  FROM events),
+      |sp AS (
+      |  SELECT user_id,
+      |    CASE WHEN bucket < 90 THEN 'train'
+      |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM ev),
+      |ug AS (SELECT user_id, split, count(*) AS n_ev FROM sp GROUP BY 1, 2),
+      |st AS (SELECT CAST(max(n_splits) AS BIGINT) AS max_splits_per_user FROM (
+      |  SELECT user_id, count(*) AS n_splits FROM ug GROUP BY 1)),
+      |tt AS (SELECT count(*) AS n_total FROM sp)
+      |SELECT ug.split, count(*) AS n_users,
+      |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |  floor((CAST(sum(n_ev) AS BIGINT)::DOUBLE /
+      |    any_value(tt.n_total)::DOUBLE) * 1e4 + 0.5) / 1e4 AS event_frac,
+      |  any_value(st.max_splits_per_user) AS max_splits_per_user
+      |FROM ug, st, tt
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- differentially private heavy-hitter release ---------------------------
+  //
+  // The vocabulary-release twin of q_dp_noise: publishing which tokens
+  // are frequent (and how frequent) without certifying any individual
+  // document's membership. The (ε, δ) stability-histogram discipline:
+  // per-token document frequency + Laplace(1/ε) noise, released ONLY
+  // where the noisy count clears τ = 1 + 2·ln(1/2δ)/ε — the threshold
+  // that makes tokens contributed by few documents (the identifying
+  // ones) vanish. Noise is deterministic here (inverse CDF through the
+  // token's own hash) so the oracle checks the mechanism end-to-end;
+  // production swaps the seed and drops n_true. Plan: one distinct
+  // (doc, token) collapse + one token-grain agg + a narrow filter —
+  // the release size is governed by τ, not the corpus.
+
+  private val DpTopkEps = 1.0 // δ = 1e-6 → τ = 1 + 2·ln(500000)/ε
+
+  private def qDpTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tau = lit(1.0) + lit(2.0) * log(lit(500000.0)) / lit(DpTopkEps)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") + 0.5) /
+          lit(4294967296.0))
+      .withColumn("noise",
+        lit(-1.0 / DpTopkEps) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .withColumn("n_noisy", Rounding.r(col("n_true") + col("noise"), 4))
+      .filter(col("n_noisy") > tau)
+      .select(col("tok"), col("n_true"), col("n_noisy"))
+      .orderBy("tok")
+  }
+
+  private val qDpTopkSql =
+    s"""WITH tk AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |        t -> t <> '')) AS tok
+       |    FROM documents)),
+       |g AS (SELECT tok, count(*) AS n_true FROM tk GROUP BY 1),
+       |u AS (
+       |  SELECT tok, n_true,
+       |    (('0x' || substr(md5(tok), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS u
+       |  FROM g),
+       |r AS (
+       |  SELECT tok, n_true,
+       |    floor((n_true + (-1.0 / $DpTopkEps) * sign(u - 0.5) *
+       |      ln(1.0 - 2.0 * abs(u - 0.5))) * 1e4 + 0.5) / 1e4 AS n_noisy
+       |  FROM u)
+       |SELECT tok, n_true, n_noisy FROM r
+       |WHERE n_noisy > 1.0 + 2.0 * ln(500000.0) / $DpTopkEps
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -1667,7 +1881,10 @@ object ScaleQueries {
     "q_decay_weighted" -> (qDecayWeighted _),
     "q_dp_noise" -> (qDpNoise _),
     "q_kanon" -> (qKanon _),
-    "q_mad_outliers" -> (qMadOutliers _))
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_cluster_eval" -> (qClusterEval _),
+    "q_group_split" -> (qGroupSplit _),
+    "q_dp_topk" -> (qDpTopk _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -1695,5 +1912,8 @@ object ScaleQueries {
     "q_decay_weighted" -> qDecayWeightedSql,
     "q_dp_noise" -> qDpNoiseSql,
     "q_kanon" -> qKanonSql,
-    "q_mad_outliers" -> qMadOutliersSql)
+    "q_mad_outliers" -> qMadOutliersSql,
+    "q_cluster_eval" -> qClusterEvalSql,
+    "q_group_split" -> qGroupSplitSql,
+    "q_dp_topk" -> qDpTopkSql)
 }

@@ -646,4 +646,102 @@ class ScaleQueriesSpec extends AnyFunSuite {
         s"${r.getString(0)}: (n, med, mad, outliers) disagree with recompute")
     }
   }
+
+  // --- clustering evaluation -------------------------------------------------------
+
+  test("cluster eval pair counts match a brute-force O(n^2) recompute") {
+    // the query computes TP/FP/FN/Rand from contingency-cell closed forms;
+    // the ground truth here is literal pair enumeration over all C(n,2)
+    // (vec_id, vec_id) pairs — feasible at sf0.001, impossible at scale,
+    // which is exactly why the closed form exists
+    val assign = graft.queries.TrainingDataQueries.bandSigs(spark, dir)
+      .filter(col("band") === 0)
+      .select(col("vec_id"), col("sig").as("cluster"))
+      .join(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label")), "vec_id")
+      .collect().map(r => (r.get(1), r.getInt(2)))
+    var tp = 0L; var fp = 0L; var fn = 0L; var tn = 0L
+    for (i <- assign.indices; j <- (i + 1) until assign.length) {
+      val sameC = assign(i)._1 == assign(j)._1
+      val sameT = assign(i)._2 == assign(j)._2
+      if (sameC && sameT) tp += 1
+      else if (sameC) fp += 1
+      else if (sameT) fn += 1
+      else tn += 1
+    }
+    val r = run("q_cluster_eval").collect().head
+    assert(r.getAs[Long]("n") === assign.length.toLong)
+    assert(r.getAs[Long]("tp") === tp, "TP disagrees with pair enumeration")
+    assert(r.getAs[Long]("fp") === fp, "FP disagrees with pair enumeration")
+    assert(r.getAs[Long]("fn") === fn, "FN disagrees with pair enumeration")
+    val rand = (tp + tn).toDouble / (tp + tn + fp + fn).toDouble
+    assert(math.abs(r.getAs[Double]("rand_index") - rand) < 1e-3)
+    // purity: fraction of vectors whose cluster's majority label is theirs
+    val purity = assign.groupBy(_._1).values
+      .map(vs => vs.groupBy(_._2).values.map(_.size).max).sum.toDouble /
+      assign.length
+    assert(math.abs(r.getAs[Double]("purity") - purity) < 1e-3)
+  }
+
+  // --- grouped split ---------------------------------------------------------------
+
+  test("grouped split: no user straddles splits; per-split counts match a recompute") {
+    import java.security.MessageDigest
+    def split(uid: Long): String = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+    val expected = users.groupBy(split).map { case (s, us) =>
+      s -> (us.distinct.length.toLong, us.length.toLong)
+    }
+    val got = run("q_group_split").collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (nu, ne) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_users") === nu &&
+        r.getAs[Long]("n_events") === ne,
+        s"${r.getString(0)}: counts disagree with an independent md5 recompute")
+      assert(r.getAs[Long]("max_splits_per_user") === 1L,
+        "a group landed in two splits — leakage")
+    }
+  }
+
+  // --- DP heavy-hitter release -----------------------------------------------------
+
+  test("DP top-k release equals an in-memory mechanism recompute") {
+    val eps = 1.0
+    val tau = 1.0 + 2.0 * math.log(500000.0) / eps
+    import java.security.MessageDigest
+    def md5hex8(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    val df = docs.flatMap { r =>
+      r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).distinct.map(t => (t, r.getLong(0)))
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val expected = df.flatMap { case (tok, n) =>
+      val u = (md5hex8(tok) + 0.5) / 4294967296.0
+      val noise = -(1.0 / eps) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val noisy = math.floor((n + noise) * 1e4 + 0.5) / 1e4
+      if (noisy > tau) Some(tok -> (n, noisy)) else None
+    }
+    val got = run("q_dp_topk").collect()
+    assert(got.length === expected.size,
+      "released-token set differs from the mechanism recompute")
+    got.foreach { r =>
+      val (n, noisy) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_true") === n)
+      assert(math.abs(r.getAs[Double]("n_noisy") - noisy) < 1e-9)
+    }
+    // the stability guarantee: nothing below the threshold leaks
+    assert(got.forall(_.getAs[Double]("n_noisy") > tau))
+  }
 }
