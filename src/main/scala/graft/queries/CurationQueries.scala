@@ -617,7 +617,7 @@ object CurationQueries {
   /** (doc_id, y, score) for the whole corpus — shared by the probe's
     * top-k query and its AUC evaluation.
     */
-  private def probeScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def probeScores(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(simpleTokens(col("text"))).as("tok"))
       .persist() // feeds features AND labels — one tokenize pass
@@ -1298,6 +1298,85 @@ object CurationQueries {
        |    AS pos_rate_micros
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- split-conformal gating threshold (finite-sample FPR guarantee) -------
+  //
+  // The probe quartet's deployment step: turning a score column into a
+  // GATE with a guarantee. Split conformal (Vovk): hash-split the scored
+  // corpus 50/50 into calibration/test, take the k-th LARGEST
+  // calibration-NEGATIVE score with k = ⌊α(n+1)⌋ as the threshold — then
+  // by exchangeability a fresh negative exceeds it with probability
+  // ≤ k/(n+1) ≤ α, a distribution-free false-positive bound no
+  // cross-validated threshold gives. Everything is integer rank-picks on
+  // the probe's BIGINT scores (no floats until the reported rates). At
+  // 100 TB the calibration side is a bounded deterministic sample (the
+  // AucEvalSize discipline) and the threshold broadcasts to gate the
+  // corpus in one narrow pass; the rank window here is bounded by the
+  // calibration negatives.
+
+  private val ConfAlphaPct = 10 // α = 0.10
+
+  private def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val scored = probeScores(s, dir)
+      .withColumn("grp",
+        when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(100L)) < 50, "cal").otherwise("test"))
+      .persist()
+    val calNeg = scored.filter(col("grp") === "cal" && col("y") === 0)
+    val nNeg = calNeg.agg(count(lit(1)).as("n_cal_neg"))
+    val thr = calNeg
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(nNeg))
+      .filter(col("rk") === expr(s"($ConfAlphaPct * (n_cal_neg + 1)) div 100"))
+      .select(col("score").as("thresh"), col("n_cal_neg"))
+    scored.filter(col("grp") === "test")
+      .crossJoin(broadcast(thr))
+      .agg(
+        first("n_cal_neg").as("n_cal_neg"), first("thresh").as("thresh"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_test_neg"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_test_pos"),
+        sum(when(col("y") === 0 && col("score") > col("thresh"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("score") > col("thresh"), 1L)
+          .otherwise(0L)).as("tp"))
+      .select(lit(ConfAlphaPct.toLong).as("alpha_pct"),
+        col("n_cal_neg"), col("thresh"), col("n_test_neg"), col("n_test_pos"),
+        col("fp"), col("tp"),
+        expr("(1000000 * fp) div n_test_neg").as("fpr_micros"),
+        expr("(1000000 * tp) div n_test_pos").as("tpr_micros"))
+  }
+
+  private val qConformalSql =
+    s"""WITH $ProbeCtes,
+       |sp AS (
+       |  SELECT doc_id, y, score,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 100 < 50 THEN 'cal' ELSE 'test' END AS grp
+       |  FROM scores),
+       |cn AS (SELECT doc_id, score FROM sp WHERE grp = 'cal' AND y = 0),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal_neg FROM cn),
+       |th AS (
+       |  SELECT r.score AS thresh, nn.n_cal_neg FROM (
+       |    SELECT score,
+       |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |    FROM cn) r, nn
+       |  WHERE r.rk = ($ConfAlphaPct * (nn.n_cal_neg + 1)) // 100),
+       |ag AS (
+       |  SELECT any_value(th.n_cal_neg) AS n_cal_neg,
+       |    any_value(th.thresh) AS thresh,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_neg,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_pos,
+       |    CAST(sum(CASE WHEN y = 0 AND score > th.thresh THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN y = 1 AND score > th.thresh THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp
+       |  FROM sp, th WHERE grp = 'test')
+       |SELECT CAST($ConfAlphaPct AS BIGINT) AS alpha_pct, n_cal_neg, thresh,
+       |  n_test_neg, n_test_pos, fp, tp,
+       |  (1000000 * fp) // n_test_neg AS fpr_micros,
+       |  (1000000 * tp) // n_test_pos AS tpr_micros
+       |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_encode" -> (qBpeEncode _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
@@ -1318,7 +1397,8 @@ object CurationQueries {
     "q_norm_dedup" -> (qNormDedup _),
     "q_source_divergence" -> (qSourceDivergence _),
     "q_vocab_coverage" -> (qVocabCoverage _),
-    "q_probe_calibration" -> (qProbeCalibration _))
+    "q_probe_calibration" -> (qProbeCalibration _),
+    "q_conformal" -> (qConformal _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_encode" -> qBpeEncodeSql,
@@ -1340,5 +1420,6 @@ object CurationQueries {
     "q_norm_dedup" -> qNormDedupSql,
     "q_source_divergence" -> qSourceDivergenceSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
-    "q_probe_calibration" -> qProbeCalibrationSql)
+    "q_probe_calibration" -> qProbeCalibrationSql,
+    "q_conformal" -> qConformalSql)
 }

@@ -1855,6 +1855,97 @@ object ScaleQueries {
        |WHERE n_noisy > 1.0 + 2.0 * ln(500000.0) / $DpTopkEps
        |ORDER BY 1""".stripMargin
 
+  // --- semi-supervised label propagation over the LSH candidate graph --------
+  //
+  // The cheap-label amplifier: a third of the vectors carry a curated
+  // label (the seeds); everything else inherits by MAJORITY VOTE from
+  // its labeled graph neighbors, two rounds deep. The graph is the
+  // band-agreement candidate edge set the near-dup family already
+  // computes — sub-quadratic by construction (pairs exist only inside
+  // LSH buckets), so a propagation round is one keyed join + one
+  // (node, label) partial-agg + a per-node argmax window bounded by the
+  // node's own neighborhood. Ties break (count desc, label asc) — a
+  // fixed convention both engines execute identically. Round 2 votes
+  // from seeds ∪ round-1 winners; already-labeled nodes never revote
+  // (anti-join), so rounds only grow the labeled set — the fixpoint
+  // discipline of every iterative-DataFrame job here (q_pagerank,
+  // q_dedup_clusters).
+
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // the signature pass feeds both sides of the edge join — persist it
+    val sigs = TrainingDataQueries.bandSigs(s, dir)
+      .select("vec_id", "band", "sig").persist()
+    val ed = sigs
+      .join(sigs.select(col("vec_id").as("v"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("v"))
+      .select(col("vec_id").as("u"), col("v")).distinct()
+      .persist() // both propagation rounds read the edge set
+    val seeds = t(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(3)) === 0)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    def propagate(labeled: DataFrame): DataFrame =
+      ed.join(labeled.select(col("vec_id").as("v"), col("label")), "v")
+        .join(labeled.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+        .groupBy("u", "label").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("u").orderBy(col("c").desc, col("label").asc)))
+        .filter(col("rk") === 1)
+        .select(col("u").as("vec_id"), col("label"))
+    val r1 = propagate(seeds).persist()
+    val r2 = propagate(seeds.unionByName(r1))
+    seeds.withColumn("stage", lit("seed"))
+      .unionByName(r1.withColumn("stage", lit("r1")))
+      .unionByName(r2.withColumn("stage", lit("r2")))
+      .groupBy("label").agg(
+        sum(when(col("stage") === "seed", 1L).otherwise(0L)).as("n_seeds"),
+        sum(when(col("stage") === "r1", 1L).otherwise(0L)).as("n_round1"),
+        sum(when(col("stage") === "r2", 1L).otherwise(0L)).as("n_round2"))
+      .orderBy("label")
+  }
+
+  private val qLabelPropSql =
+    s"""WITH ${TrainingDataQueries.BandSigsCte},
+       |ed AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |seeds AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label
+       |  FROM embeddings WHERE vec_id % 3 = 0),
+       |v1 AS (
+       |  SELECT ed.u, s.label, count(*) AS c
+       |  FROM ed JOIN seeds s ON ed.v = s.vec_id
+       |  WHERE ed.u NOT IN (SELECT vec_id FROM seeds) GROUP BY 1, 2),
+       |r1 AS (
+       |  SELECT u AS vec_id, label FROM (
+       |    SELECT u, label,
+       |      row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rk
+       |    FROM v1) WHERE rk = 1),
+       |l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+       |v2 AS (
+       |  SELECT ed.u, l.label, count(*) AS c
+       |  FROM ed JOIN l1 l ON ed.v = l.vec_id
+       |  WHERE ed.u NOT IN (SELECT vec_id FROM l1) GROUP BY 1, 2),
+       |r2 AS (
+       |  SELECT u AS vec_id, label FROM (
+       |    SELECT u, label,
+       |      row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rk
+       |    FROM v2) WHERE rk = 1),
+       |a3 AS (
+       |  SELECT label, 'seed' AS stage FROM seeds
+       |  UNION ALL SELECT label, 'r1' FROM r1
+       |  UNION ALL SELECT label, 'r2' FROM r2)
+       |SELECT label,
+       |  CAST(sum(CASE WHEN stage = 'seed' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_seeds,
+       |  CAST(sum(CASE WHEN stage = 'r1' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_round1,
+       |  CAST(sum(CASE WHEN stage = 'r2' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_round2
+       |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -1884,7 +1975,8 @@ object ScaleQueries {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_cluster_eval" -> (qClusterEval _),
     "q_group_split" -> (qGroupSplit _),
-    "q_dp_topk" -> (qDpTopk _))
+    "q_dp_topk" -> (qDpTopk _),
+    "q_label_prop" -> (qLabelProp _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -1915,5 +2007,6 @@ object ScaleQueries {
     "q_mad_outliers" -> qMadOutliersSql,
     "q_cluster_eval" -> qClusterEvalSql,
     "q_group_split" -> qGroupSplitSql,
-    "q_dp_topk" -> qDpTopkSql)
+    "q_dp_topk" -> qDpTopkSql,
+    "q_label_prop" -> qLabelPropSql)
 }

@@ -744,4 +744,80 @@ class ScaleQueriesSpec extends AnyFunSuite {
     // the stability guarantee: nothing below the threshold leaks
     assert(got.forall(_.getAs[Double]("n_noisy") > tau))
   }
+
+  // --- label propagation -------------------------------------------------------
+
+  test("label propagation matches a two-round in-memory majority-vote recompute") {
+    val sigs = graft.queries.TrainingDataQueries.bandSigs(spark, dir)
+      .select("vec_id", "band", "sig").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.get(2))))
+    // candidate edges = band-signature agreement, symmetric, deduped
+    val byBucket = sigs.groupBy(_._2).values
+    val ed = byBucket.flatMap { vs =>
+      val ids = vs.map(_._1).distinct.toList
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    }.toSet
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val seeds = labels.filter { case (id, _) => id % 3 == 0 }
+    def propagate(labeled: Map[Long, Long]): Map[Long, Long] =
+      ed.filter { case (u, v) => !labeled.contains(u) && labeled.contains(v) }
+        .groupBy(_._1).map { case (u, es) =>
+          val votes = es.toSeq.map(e => labeled(e._2))
+            .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          u -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+    val r1 = propagate(seeds)
+    val r2 = propagate(seeds ++ r1)
+    def counts(m: Map[Long, Long]): Map[Long, Long] =
+      m.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val (cs, c1, c2) = (counts(seeds), counts(r1), counts(r2))
+    val got = run("q_label_prop").collect()
+    got.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(1) === cs.getOrElse(l, 0L), s"label $l seeds")
+      assert(r.getLong(2) === c1.getOrElse(l, 0L), s"label $l round1")
+      assert(r.getLong(3) === c2.getOrElse(l, 0L), s"label $l round2")
+    }
+    // rounds only grow the labeled set: no vec revotes
+    assert(r1.keySet.intersect(seeds.keySet).isEmpty)
+    assert(r2.keySet.intersect((seeds ++ r1).keySet).isEmpty)
+    assert(r1.nonEmpty, "round 1 propagated nothing — graph too sparse for the test")
+  }
+
+  // --- conformal gating --------------------------------------------------------
+
+  test("conformal threshold and rates match an exact in-memory recompute") {
+    import java.security.MessageDigest
+    def md5hex8(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    val scored = graft.queries.CurationQueries.probeScores(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (cal, test) = scored.partition { case (id, _, _) =>
+      md5hex8(id.toString) % 100 < 50 }
+    val calNeg = cal.filter(_._2 == 0L)
+    val k = (10 * (calNeg.length + 1)) / 100
+    assert(k >= 1, "calibration negatives too few for the alpha")
+    // k-th largest score, ties by doc_id (same convention as the query)
+    val thresh = calNeg.sortBy { case (id, _, sc) => (-sc, id) }.apply(k - 1)._3
+    val testNeg = test.count(_._2 == 0L)
+    val testPos = test.count(_._2 == 1L)
+    val fp = test.count { case (_, y, sc) => y == 0L && sc > thresh }
+    val tp = test.count { case (_, y, sc) => y == 1L && sc > thresh }
+    val r = run("q_conformal").collect().head
+    assert(r.getAs[Long]("n_cal_neg") === calNeg.length.toLong)
+    assert(r.getAs[Long]("thresh") === thresh)
+    assert(r.getAs[Long]("fp") === fp.toLong &&
+      r.getAs[Long]("tp") === tp.toLong)
+    assert(r.getAs[Long]("fpr_micros") === 1000000L * fp / testNeg)
+    assert(r.getAs[Long]("tpr_micros") === 1000000L * tp / testPos)
+    // the finite-sample promise this threshold exists for: the realized
+    // test FPR sits at/below alpha plus binomial noise (4 sigma)
+    val alpha = 0.10
+    val slack = 4.0 * math.sqrt(alpha * (1 - alpha) / testNeg)
+    assert(fp.toDouble / testNeg <= alpha + slack,
+      s"test FPR ${fp.toDouble / testNeg} blows the conformal bound")
+  }
 }
