@@ -3215,19 +3215,35 @@ object TrainingDataQueries {
   private val SpecWScale = 1048576L // 2^20
 
   private def qEmbedSpectrum(s: SparkSession, dir: String): DataFrame = {
-    val vecs = t(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "e")))
-      .select(col("vec_id"), col("j").cast("long").as("j"),
-        floor(col("e").cast("double") * lit(1000.0) + lit(0.5))
-          .cast("long").as("q"))
-    val mu = vecs.groupBy("j").agg(expr("sum(q) div count(1)").as("mu"))
-    val cvecs = vecs.join(broadcast(mu), "j")
-      .select(col("vec_id"), col("j"), (col("q") - col("mu")).as("c"))
-      .persist() // both sides of the Gram pair join
-    val g = cvecs
-      .join(cvecs.select(col("vec_id"), col("j").as("k"), col("c").as("c2")),
-        "vec_id")
-      .groupBy("j", "k").agg(sum(col("c") * col("c2")).as("g"))
+    graft.functions.GraftFunctions.register(s)
+    // fixed-point the vectors ROW-WISE (no explode): q_j = ⌊1000·e_j + ½⌋
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+        .as("qv"))
+    val mu = emb.select(posexplode(col("qv")).as(Seq("j", "q")))
+      .select(col("j").cast("long").as("j"), col("q"))
+      .groupBy("j").agg(expr("sum(q) div count(1)").as("mu"))
+    // the d truncated means as ONE broadcast array row
+    val muArr = mu.agg(expr(
+      "transform(array_sort(collect_list(struct(j, mu))), s -> s.mu)")
+      .as("mu_arr"))
+    // Gram = Σ c·cᵀ via the graft_gram TypedImperativeAggregate: each
+    // vector's outer product folds into a d²-long buffer in a tight JVM
+    // loop — no N·d² explode-join expansion (the relational CᵀC shape
+    // this replaces cost ~20M joined rows at sf0.1), shuffle state d²
+    // longs per map partition at ANY corpus size. Long sums of the same
+    // integers are order-immune, so g is bit-identical to the join form
+    // and the DuckDB oracle is unchanged.
+    val garr = emb.crossJoin(broadcast(muArr))
+      .select(expr("zip_with(qv, mu_arr, (q, m) -> q - m)").as("cv"))
+      .agg(call_function("graft_gram", col("cv")).as("garr"))
+      .select(col("garr"),
+        floor(sqrt(size(col("garr")).cast("double"))).cast("long").as("d"))
+    val g = garr
+      .select(col("d"), posexplode(col("garr")).as(Seq("idx", "g")))
+      .select(expr("CAST(idx AS BIGINT) div d").as("j"),
+        pmod(col("idx").cast("long"), col("d")).as("k"), col("g"))
       .persist() // read by every iteration + the diagonal/trace
     val trace = g.filter(col("j") === col("k")).agg(sum("g").as("t"))
     var w = mu.select(col("j"), lit(SpecWScale).as("w"))

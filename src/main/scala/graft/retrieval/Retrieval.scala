@@ -180,6 +180,7 @@ object Retrieval {
         .withColumn("v", lit(0))
         .withColumn(idCol, lit(null))
         .withColumn("score", lit(0.0))
+        .withColumn("tf_sum", lit(0L))
     val qDf = spark.createDataFrame(qRows).toDF("v", "term", "qn")
     post
       .join(broadcast(qDf), "term")
@@ -189,7 +190,11 @@ object Retrieval {
         col("qn") * col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("v"), col(idCol))
-      .agg(sum(col("contrib")).as("score"))
+      // tf_sum rides along for free: the joined rows are one per
+      // (v, query-term, doc), so Σtf is exactly the rerank stage's
+      // distinct-term tf-overlap — callers that need it (the funnel's
+      // "cross-encoder" standin) avoid a second full postings pass
+      .agg(sum(col("contrib")).as("score"), sum(col("tf")).as("tf_sum"))
   }
 
   /** Hard cap on rows entering [[withRank]]'s unpartitioned window. Every

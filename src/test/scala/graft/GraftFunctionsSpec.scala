@@ -157,6 +157,34 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got7 == got)
   }
 
+  test("graft_gram is bit-identical to the relational CtC join form, merge-order-proof") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+        .as("qv"))
+    val agg = emb.agg(expr("graft_gram(qv)").as("g"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.contains("partial_graft_gram"), plan.take(2000))
+    val got = agg.collect().head.getSeq[Long](0)
+    val d = math.sqrt(got.length).toInt
+    // the N·d² explode-join form this aggregate replaces
+    val vecs = emb.select(col("vec_id"), posexplode(col("qv")).as(Seq("j", "q")))
+    val want = vecs
+      .join(vecs.select(col("vec_id"), col("j").as("k"), col("q").as("q2")),
+        "vec_id")
+      .groupBy("j", "k").agg(sum(col("q") * col("q2")).as("g"))
+      .collect().map(r => (r.getInt(0) * d + r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == want, "graft_gram disagrees with the join-form Gram")
+    // merge-order proof: partial buffers merging in a different order
+    // must produce the identical Long array (addition is exact)
+    val got11 = emb.repartition(11).agg(expr("graft_gram(qv)"))
+      .collect().head.getSeq[Long](0)
+    assert(got11 == got)
+  }
+
   test("graft_topk plans as partial ObjectHashAggregate and matches the window form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs.createOrReplaceTempView("tk_docs")
