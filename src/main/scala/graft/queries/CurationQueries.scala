@@ -181,6 +181,112 @@ object CurationQueries {
        |FROM tot t LEFT JOIN dup u ON t.doc_id = u.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // --- exact-substring near-dup audit (ExactSubstr, diagonal-run form) ------
+  //
+  // Document- and paragraph-level dedup both miss VERBATIM SPANS copied
+  // between otherwise-distinct documents — the signal ExactSubstr dedup
+  // (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  // Better") removes with a corpus suffix array. The distributed form
+  // here gets the same answer without one: positioned k-char grams
+  // (stride 1 — linear in characters, the same volume class as
+  // tokenization), a document-frequency cap that bounds the inverted-
+  // index self-join at Σdf² (RefinedWeb's df discipline), and the
+  // classic DIAGONAL-RUN identity — grams of a shared substring of
+  // length L land on one (doc_a, doc_b, pos_a − pos_b) diagonal as
+  // L − k + 1 CONSECUTIVE positions, so islands-of-consecutive-pa per
+  // diagonal recover every maximal common substring ≥ k exactly. The
+  // per-diagonal window is bounded by actually-shared content, never
+  // by document size. The audit window is the trailing `CsWin` chars
+  // (a knob — production runs the full text; the plan is identical);
+  // planted passages ride the enrichment discipline: every even doc
+  // gets a group-keyed aperiodic tail (md5 hex, so every gram inside
+  // it is group-unique and survives the df cap) shared by the ~8 even
+  // docs of its doc_id div 16 group.
+
+  private val CsK = 20 // gram width = minimum detectable common substring
+  private val CsMin = 40 // report maximal runs >= this many chars
+  private val CsWin = 240 // per-doc audit window (suffix)
+  private val CsDfCap = 64 // drop grams occurring more often corpus-wide
+
+  private def qCommonSubstring(s: SparkSession, dir: String): DataFrame = {
+    val gid = expr("CAST(doc_id div 16 AS STRING)")
+    val docs = t(s, dir, "documents")
+      .withColumn("text2",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" sp"), gid, lit("-"),
+            md5(concat(lit("pass"), gid)), md5(concat(lit("sage"), gid))))
+          .otherwise(col("text")))
+      .withColumn("w",
+        when(length(col("text2")) > CsWin,
+          expr(s"substring(text2, length(text2) - ${CsWin - 1}, $CsWin)"))
+          .otherwise(col("text2")))
+      .filter(length(col("w")) >= CsK)
+    val grams = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(w) - ${CsK - 1}), i -> substring(w, i, $CsK))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+    val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val keep = grams.join(
+      dfc.filter(col("df").between(2, CsDfCap)).select("g"), "g")
+    val pairs = keep.as("a")
+      .join(keep.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    pairs.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg((count(lit(1)) + lit(CsK - 1).cast("long")).as("run_len"))
+      .filter(col("run_len") >= CsMin)
+      .groupBy("doc_a", "doc_b")
+      .agg(max("run_len").as("max_run"), count(lit(1)).as("n_runs"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val qCommonSubstringSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN text || ' sp' ||
+       |      CAST(doc_id // 16 AS VARCHAR) || '-' ||
+       |      md5('pass' || CAST(doc_id // 16 AS VARCHAR)) ||
+       |      md5('sage' || CAST(doc_id // 16 AS VARCHAR))
+       |    ELSE text END AS text2
+       |  FROM documents),
+       |wd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text2) > $CsWin
+       |      THEN substr(text2, length(text2) - ${CsWin - 1}, $CsWin)
+       |      ELSE text2 END AS w
+       |  FROM d),
+       |g AS (
+       |  SELECT doc_id, u.p AS pos, u.s AS g FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, length(w) - ${CsK - 1}),
+       |        i -> {'p': i, 's': substr(w, i, $CsK)})) AS u
+       |    FROM wd WHERE length(w) >= $CsK) z),
+       |dfc AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+       |k AS (
+       |  SELECT g.doc_id, g.pos, g.g
+       |  FROM g JOIN dfc USING (g) WHERE dfc.df BETWEEN 2 AND $CsDfCap),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag,
+       |    pa - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+       |  FROM p),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, isl,
+       |    CAST(count(*) + ${CsK - 1} AS BIGINT) AS run_len
+       |  FROM r GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS max_run,
+       |  count(*) AS n_runs
+       |FROM runs WHERE run_len >= $CsMin
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- corpus n-gram diversity audit ----------------------------------------
   //
   // Distinct-trigram ratio per source: the corpus-level self-repetition
@@ -1387,6 +1493,7 @@ object CurationQueries {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_paragraph_dedup" -> (qParagraphDedup _),
+    "q_common_substring" -> (qCommonSubstring _),
     "q_ngram_diversity" -> (qNgramDiversity _),
     "q_collocations" -> (qCollocations _),
     "q_semdedup" -> (qSemDedup _),
@@ -1410,6 +1517,7 @@ object CurationQueries {
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_gopher_rules" -> qGopherRulesSql,
     "q_paragraph_dedup" -> qParagraphDedupSql,
+    "q_common_substring" -> qCommonSubstringSql,
     "q_ngram_diversity" -> qNgramDiversitySql,
     "q_collocations" -> qCollocationsSql,
     "q_semdedup" -> qSemDedupSql,

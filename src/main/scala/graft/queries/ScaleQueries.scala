@@ -247,6 +247,102 @@ object ScaleQueries {
        |FROM a2d a JOIN l1 l ON a.cid = l.cid
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- Gonzalez farthest-point k-center coreset selection --------------------
+  //
+  // Diversity-maximizing coreset selection (Gonzalez 1985, the 2-approx
+  // for k-center — the farthest-point traversal data-selection recipes
+  // build on): seed with the lowest-md5 vector, then k−1 rounds of "add
+  // the point farthest from the chosen set". Each round is one BROADCAST
+  // of the ≤k-row center table, one narrow min-distance projection over
+  // the corpus, and two one-row aggregates (global max distance, then
+  // min vec_id at that max — an exact deterministic argmax with no
+  // window and no sort). Total cost = k corpus passes, each map-side;
+  // the corpus never shuffles. Distances are fixed-point-integer L2
+  // (the q_kmeans discipline) so the selected set, the assignment, and
+  // every reported number are bit-identical in DuckDB's unrolled-CTE
+  // twin. At 100 TB: k passes over a cached/columnar corpus with a
+  // broadcast per pass — the same shape Spark MLlib's KMeans|| init
+  // uses, minus its sampling nondeterminism.
+
+  private val KcK = 4
+
+  private def kcMinDist(fp: DataFrame, cents: DataFrame): DataFrame =
+    fp.crossJoin(broadcast(cents))
+      .withColumn("d",
+        expr("aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy("vec_id").agg(min("d").as("mind"))
+
+  private def qKcenter(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+      .persist()
+    var centers = fp
+      .withColumn("m", md5(col("vec_id").cast("string")))
+      .orderBy("m", "vec_id").limit(1)
+      .select(lit(0L).as("cid"), col("vec_id").as("cvec"), col("x").as("c"))
+      .localCheckpoint(true)
+    (1 until KcK).foreach { r =>
+      val md = kcMinDist(fp, centers)
+      val far = md.agg(max("mind").as("mx"))
+      val nxt = md.join(broadcast(far), md("mind") === far("mx"))
+        .agg(min("vec_id").as("nvec"))
+      val newc = fp.join(broadcast(nxt), fp("vec_id") === nxt("nvec"))
+        .select(lit(r.toLong).as("cid"), col("vec_id").as("cvec"), col("x").as("c"))
+      centers = centers.unionByName(newc).localCheckpoint(true)
+    }
+    // final assignment: nearest center, ties to the earliest-selected cid
+    val assigned = fp.crossJoin(broadcast(centers))
+      .withColumn("d",
+        expr("aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy("vec_id")
+      .agg(min(col("d") * lit(16L) + col("cid")).as("key"))
+      .select(col("vec_id"), expr("key div 16").as("dist"),
+        (col("key") % 16).cast("long").as("cid"))
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), max("dist").as("radius"))
+      .join(broadcast(centers.select(col("cid"), col("cvec"))), "cid")
+      .select(col("cid").as("cluster"), col("cvec").as("center_vec"),
+        col("n_vecs"), col("radius"))
+      .orderBy("cluster")
+  }
+
+  private val qKcenterSql = {
+    val dist =
+      """CAST(list_sum(list_transform(generate_series(1, len(f.x)),
+        |      i -> (f.x[i] - c.c[i]) * (f.x[i] - c.c[i]))) AS BIGINT)""".stripMargin
+    def round(i: Int): String =
+      s"""d$i AS (
+         |  SELECT f.vec_id, min($dist) AS mind
+         |  FROM fp f CROSS JOIN cs${i - 1} c GROUP BY 1),
+         |n$i AS (
+         |  SELECT min(vec_id) AS nvec FROM d$i
+         |  WHERE mind = (SELECT max(mind) FROM d$i)),
+         |c$i AS (
+         |  SELECT CAST($i AS BIGINT) AS cid, vec_id AS cvec, x AS c
+         |  FROM fp WHERE vec_id = (SELECT nvec FROM n$i)),
+         |cs$i AS (SELECT * FROM cs${i - 1} UNION ALL SELECT * FROM c$i)""".stripMargin
+    s"""WITH fp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |cs0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS cid, vec_id AS cvec, x AS c FROM fp
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |${(1 until KcK).map(round).mkString(",\n")},
+       |a AS (
+       |  SELECT f.vec_id, min($dist * 16 + c.cid) AS key
+       |  FROM fp f CROSS JOIN cs${KcK - 1} c GROUP BY 1),
+       |ad AS (SELECT vec_id, key // 16 AS dist, key % 16 AS cid FROM a),
+       |st AS (
+       |  SELECT cid, count(*) AS n_vecs, CAST(max(dist) AS BIGINT) AS radius
+       |  FROM ad GROUP BY 1)
+       |SELECT s.cid AS cluster, CAST(c.cvec AS BIGINT) AS center_vec,
+       |  s.n_vecs, s.radius
+       |FROM st s JOIN cs${KcK - 1} c ON s.cid = c.cid
+       |ORDER BY 1""".stripMargin
+  }
+
   // --- URL canonicalization + per-domain dedup rollup ------------------------
   //
   // The web-crawl hygiene op every corpus build runs before content
@@ -1950,6 +2046,7 @@ object ScaleQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
     "q_kmeans" -> (qKmeans _),
+    "q_kcenter" -> (qKcenter _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_shard_plan" -> (qShardPlan _),
@@ -1982,6 +2079,7 @@ object ScaleQueries {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_winnowing" -> qWinnowingSql,
     "q_kmeans" -> qKmeansSql,
+    "q_kcenter" -> qKcenterSql,
     "q_url_canonical" -> qUrlCanonicalSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_shard_plan" -> qShardPlanSql,

@@ -660,6 +660,57 @@ object TrainingDataQueries {
        |FROM rk r JOIN sz s ON s.label = r.label
        |WHERE r.rk = 1 ORDER BY cluster""".stripMargin
 
+  // --- SoftDeDup: cluster-size reweighting instead of dropping --------------
+  //
+  // The soft alternative to q_cluster_rep's keep-one policy (SoftDeDup,
+  // He et al. 2024): every member of an n-doc near-dup cluster keeps a
+  // sampling weight of 1/n instead of n−1 copies being dropped — total
+  // evidence per cluster stays 1, unique documents stay at weight 1, and
+  // the "effective corpus size" Σw per source is the number the data-mix
+  // planner consumes. Weights are integer micros via FLOOR DIVISION
+  // (1e6 div n — both engines' integer `div` agree exactly), so the
+  // per-source sums are BIGINT-exact. Plan: the CC label table (small —
+  // multi-doc-cluster membership only) aggregates to cluster sizes, joins
+  // back on the label key, then LEFT-joins the corpus on doc_id; at
+  // 100 TB the corpus-side cost is one key-partitioned join + one
+  // source-grain agg, and AQE broadcasts the weight table while it fits.
+
+  private def qSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(minhashCandidates(bigramShingles(s, dir)))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n"))
+    val wts = labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("n"))
+    t(s, dir, "documents").select("doc_id", "source")
+      .join(wts, Seq("doc_id"), "left")
+      .withColumn("n", coalesce(col("n"), lit(1L)))
+      .withColumn("w_fp", expr("CAST(1000000 AS BIGINT) div n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum("w_fp").as("eff_docs_fp"))
+      .orderBy("source")
+  }
+
+  private def qSoftDedupSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+       |  UNION
+       |  SELECT sym.src, reach.lab FROM sym JOIN reach ON sym.dst = reach.node),
+       |labels AS (SELECT node, min(lab) AS label FROM reach GROUP BY 1),
+       |sz AS (SELECT label, count(*) AS n FROM labels GROUP BY 1),
+       |w AS (SELECT l.node AS doc_id, s.n FROM labels l JOIN sz s USING (label)),
+       |j AS (
+       |  SELECT d.source, coalesce(w.n, 1) AS n
+       |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |  CAST(sum(1000000 // n) AS BIGINT) AS eff_docs_fp
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- triangle counting over the near-dup candidate graph ------------------
   //
   // The graph-analytics step past connected components: per-document
@@ -4054,6 +4105,7 @@ object TrainingDataQueries {
     "q_lsh_recall" -> (qLshRecall _),
     "q_cluster_rep" -> (qClusterRep _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_soft_dedup" -> (qSoftDedup _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank" -> (qPagerank _),
     "q_kmv_algebra" -> (qKmvAlgebra _),
@@ -4115,6 +4167,7 @@ object TrainingDataQueries {
     "q_lsh_recall" -> qLshRecallSql,
     "q_cluster_rep" -> qClusterRepSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_soft_dedup" -> qSoftDedupSql,
     "q_triangles" -> qTrianglesSql,
     "q_pagerank" -> qPagerankSql,
     "q_kmv_algebra" -> qKmvAlgebraSql,
