@@ -124,6 +124,114 @@ object RetrievalQueries {
       |SELECT doc_id, floor((sum(contrib)) * 1e6 + 0.5) / 1e6 AS rrf
       |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id""".stripMargin
 
+  // --- RM3 pseudo-relevance feedback (query expansion) ----------------------
+  //
+  // The classic two-pass IR expansion (Lavrenko & Croft 2001's relevance
+  // models, the RM3 interpolation Anserini/Pyserini ship as the default
+  // BM25+RM3 baseline): score the original query, take the top-`Rm3FbDocs`
+  // feedback documents, mine the `Rm3ExpTerms` heaviest non-query terms
+  // from them (by summed tf — an integer, so both engines pick the same
+  // terms), then rescore the corpus with the union of original terms
+  // (weight qn) and expansion terms (weight `Rm3ExpWeight`). Everything
+  // reuses ONE postings materialization (persisted): base scoring, term
+  // mining, and final scoring are three consumers of the same (doc, dl,
+  // term, tf) table — at 100 TB that is one tokenize+shuffle, not three.
+  // Per-(doc, term) BM25 contributions fixed-point at 1e6 before summing
+  // (`Rounding.fpSum`) so doc ordering — and hence the feedback set and
+  // the final list — is bit-identical across engines and partitionings.
+  // The expansion table is data-dependent but tiny (≤ 8 rows): explicitly
+  // broadcast, so the second pass stays one map-side join.
+
+  private val Rm3FbDocs = 10
+  private val Rm3ExpTerms = 8
+  private val Rm3ExpWeight = 0.5
+  private val Rm3TopK = 20
+
+  /** Per-(doc, term) BM25 contribution with weight column `w`. */
+  private def bm25Contrib(w: Column): Column =
+    w * col("idf") * (col("tf") * lit(Retrieval.DefaultK1 + 1)) /
+      (col("tf") + lit(Retrieval.DefaultK1) *
+        (lit(1 - Retrieval.DefaultB) +
+          lit(Retrieval.DefaultB) * col("dl") / col("avgdl")))
+
+  private def qRm3Feedback(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val post = Retrieval.postings(docs, "doc_id", "text").persist()
+    val stats = Retrieval.corpusStats(docs, "doc_id", "text")
+    val idf = Retrieval.idfTable(post, stats)
+
+    val qTerms = Tokenizer.tokenize(KeywordQuery)
+      .groupBy(identity).map { case (t0, os) => (t0, os.size) }.toSeq
+    val qDf = s.createDataFrame(qTerms).toDF("term", "qn")
+
+    val base = post.join(broadcast(qDf), "term")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(Rounding.fpSum(bm25Contrib(col("qn")), 1e6).as("score"))
+    val fb = base.orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Rm3FbDocs).select("doc_id")
+
+    val expTerms = post.join(broadcast(fb), "doc_id")
+      .filter(!col("term").isin(qTerms.map(_._1): _*))
+      .groupBy("term").agg(sum(col("tf")).as("wtf"))
+      .orderBy(col("wtf").desc, col("term").asc)
+      .limit(Rm3ExpTerms)
+
+    val weighted = qDf.select(col("term"), col("qn").cast("double").as("w"))
+      .unionByName(expTerms.select(col("term"), lit(Rm3ExpWeight).as("w")))
+
+    post.join(broadcast(weighted), "term")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(Rounding.fpSum(bm25Contrib(col("w")), 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Rm3TopK)
+  }
+
+  private def qRm3FeedbackSql: String = {
+    val qTerms = Tokenizer.tokenize(KeywordQuery)
+      .groupBy(identity).map { case (t0, os) => (t0, os.size) }
+    val qValues = qTerms.map { case (t0, n) => s"('$t0', $n)" }.mkString(", ")
+    val qIn = qTerms.keys.toSeq.sorted.map(t0 => s"'$t0'").mkString(", ")
+    def contrib(w: String) =
+      s"""$w * idf.idf * (tf.tf * (1.5 + 1)) /
+         |      (tf.tf + 1.5 * (1 - 0.75 + 0.75 * tf.dl / (SELECT avgdl FROM stats)))""".stripMargin
+    s"""WITH $tokensCte,
+       |stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM kept),
+       |posting AS (
+       |  SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM kept),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM posting GROUP BY 1, 2, 3),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df,
+       |    ln((SELECT n_docs FROM stats) - count(*) + 0.5) - ln(count(*) + 0.5) AS idf_raw
+       |  FROM tf GROUP BY 1),
+       |idf AS (
+       |  SELECT term, CASE WHEN idf_raw < 0
+       |    THEN 0.25 * (SELECT avg(idf_raw) FROM dfreq) ELSE idf_raw END AS idf
+       |  FROM dfreq),
+       |q(term, qn) AS (VALUES $qValues),
+       |base AS (
+       |  SELECT tf.doc_id, ${Rounding.fpSumSql(contrib("q.qn"), "1e6")} AS score
+       |  FROM tf JOIN q ON tf.term = q.term JOIN idf ON tf.term = idf.term
+       |  GROUP BY 1),
+       |fb AS (SELECT doc_id FROM base ORDER BY score DESC, doc_id LIMIT $Rm3FbDocs),
+       |expn AS (
+       |  SELECT tf.term, CAST(sum(tf.tf) AS BIGINT) AS wtf
+       |  FROM tf JOIN fb USING (doc_id)
+       |  WHERE tf.term NOT IN ($qIn)
+       |  GROUP BY 1 ORDER BY wtf DESC, term LIMIT $Rm3ExpTerms),
+       |wt AS (
+       |  SELECT term, qn::DOUBLE AS w FROM q
+       |  UNION ALL SELECT term, $Rm3ExpWeight AS w FROM expn)
+       |SELECT tf.doc_id, ${Rounding.fpSumSql(contrib("wt.w"), "1e6")} AS score
+       |FROM tf JOIN wt ON tf.term = wt.term JOIN idf ON tf.term = idf.term
+       |GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT $Rm3TopK""".stripMargin
+  }
+
   // --- full retrieval funnel (query lifecycle §3.2 of SURVEY.md) ------------
   //
   // variations (fixed expansions, the reference mocks the LLM in tests) →
@@ -293,11 +401,13 @@ object RetrievalQueries {
     "q_token_tf" -> (qTokenTf _),
     "q_bm25_docs" -> (qBm25Docs _),
     "q_rrf_docs" -> (qRrfDocs _),
+    "q_rm3_feedback" -> (qRm3Feedback _),
     "q_hybrid_funnel" -> (qHybridFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q_token_tf" -> qTokenTfSql,
     "q_bm25_docs" -> bm25OracleSql,
     "q_rrf_docs" -> qRrfDocsSql,
+    "q_rm3_feedback" -> qRm3FeedbackSql,
     "q_hybrid_funnel" -> qHybridFunnelSql)
 }

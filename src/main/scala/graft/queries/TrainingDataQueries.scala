@@ -1792,6 +1792,154 @@ object TrainingDataQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- MMR diversity rerank (Maximal Marginal Relevance) ---------------------
+  //
+  // Carbonell & Goldstein 1998: greedily build a result list trading
+  // query relevance against redundancy with the already-selected set —
+  // each round picks argmax over remaining candidates of
+  //   λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+  // λ = 0.7 is carried as the INTEGER pair (7, 3): embeddings fix-point
+  // to 2^20-scaled BIGINTs, so rel and sim are exact integer dot
+  // products (≤ 2^46 at d = 64 — no overflow, no float ties) and the
+  // greedy argmax — hence the whole selected list — is bit-identical in
+  // both engines. Plan shape at 100 TB: relevance is ONE broadcast-query
+  // narrow pass + top-C (TakeOrdered — the corpus never shuffles); the
+  // K-round greedy loop then runs entirely on the C-row candidate table
+  // (broadcast per round, one-row struct-min argmax — the qKcenter
+  // discipline), so corpus cost is a single scan regardless of K.
+
+  private val MmrC = 24 // candidate pool: relevance top-C
+  private val MmrK = 8 // final diversified list size
+  private val MmrLNum = 7L // λ·10
+  private val MmrLDen = 3L // (1−λ)·10
+
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+    val qv = fp.filter(col("vec_id") === 0L).select(col("x").as("qx"))
+    val cand = fp.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("rel",
+        expr("aggregate(zip_with(x, qx, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .drop("qx")
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrC)
+      .localCheckpoint(true)
+    var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("x"), col("rel"),
+        lit(0L).as("maxsim"), lit(1L).as("sel_rank"))
+      .localCheckpoint(true)
+    (2 to MmrK).foreach { r =>
+      val maxsim = cand
+        .join(broadcast(sel.select("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(sel.select(col("x").as("sx"))))
+        .withColumn("sim",
+          expr("aggregate(zip_with(x, sx, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+        .groupBy("vec_id").agg(max("sim").as("maxsim"))
+      // exact argmax of 7·rel − 3·maxsim as a one-row struct-min (ties →
+      // lowest vec_id) — no window, no sort of anything but 1 row
+      val scored = cand.join(broadcast(maxsim), "vec_id")
+      val best = scored.agg(min(struct(
+          (lit(MmrLDen) * col("maxsim") - lit(MmrLNum) * col("rel")).as("neg"),
+          col("vec_id").as("vid"))).as("b"))
+        .select(col("b.vid").as("bvid"))
+      val pick = scored.join(broadcast(best), col("vec_id") === col("bvid"))
+        .select(col("vec_id"), col("x"), col("rel"), col("maxsim"),
+          lit(r.toLong).as("sel_rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("sel_rank"), col("vec_id"), col("rel"), col("maxsim"))
+      .orderBy("sel_rank")
+  }
+
+  private val qMmrRerankSql = {
+    val dotCS = "CAST(list_sum(list_transform(generate_series(1, len(c.x)), i -> c.x[i] * s.x[i])) AS BIGINT)"
+    // MATERIALIZED is load-bearing: the selN chain re-evaluates
+    // exponentially otherwise (each round references selN−1 three times)
+    def round(r: Int) =
+      s"""m$r AS MATERIALIZED (
+         |  SELECT c.vec_id, max($dotCS) AS maxsim
+         |  FROM cand c CROSS JOIN sel${r - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT c.vec_id, c.x, c.rel, m.maxsim, CAST($r AS BIGINT) AS sel_rank
+         |  FROM m$r m JOIN cand c USING (vec_id)
+         |  ORDER BY $MmrLNum * c.rel - $MmrLDen * m.maxsim DESC, c.vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    s"""WITH fp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |q AS (SELECT x AS qx FROM fp WHERE vec_id = 0),
+       |rel AS (
+       |  SELECT vec_id, x,
+       |    CAST(list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * qx[i])) AS BIGINT) AS rel
+       |  FROM fp, q WHERE vec_id <> 0),
+       |cand AS MATERIALIZED (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $MmrC),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, x, rel, CAST(0 AS BIGINT) AS maxsim, CAST(1 AS BIGINT) AS sel_rank
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |${(2 to MmrK).map(round).mkString(",\n")}
+       |SELECT sel_rank, vec_id, rel, maxsim FROM sel$MmrK ORDER BY sel_rank""".stripMargin
+  }
+
+  // --- SQ8 scalar quantization audit ------------------------------------------
+  //
+  // The other half of the vector-compression menu next to PQ: per-
+  // dimension min/max-trained 8-bit scalar quantization (Faiss
+  // ScalarQuantizer QT_8bit semantics — code = ⌊(v − mn)·255/(mx − mn)⌋
+  // clamped to [0, 255], reconstruction mn + code·(mx − mn)/255). The
+  // audit reports, per dimension, the trained range, how many vectors
+  // sit on the clamp edges, and the total squared reconstruction error
+  // (fixed-pointed at 1e12 per row so the sum is an order-immune
+  // BIGINT). Plan: one posexplode (narrow — d rows per vector), a
+  // d-row min/max agg, broadcast of that stats table back onto the
+  // exploded stream, one d-row final agg. Two small shuffles keyed on
+  // dim at any corpus size; the train and encode passes share one scan.
+
+  private def qSq8Quant(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("pos").as("dim"), col("col").cast("double").as("v"))
+    val st = ev.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    ev.join(broadcast(st), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))).cast("long")))))
+      .withColumn("recon",
+        col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0))
+      .groupBy("dim")
+      .agg(Rounding.r(min("v"), 6).as("mn"), Rounding.r(max("v"), 6).as("mx"),
+        sum(when(col("code") === 0L || col("code") === 255L, 1L)
+          .otherwise(0L)).as("n_edge"),
+        sum(floor((col("v") - col("recon")) * (col("v") - col("recon")) * lit(1e12) + lit(0.5))
+          .cast("long")).as("sq_err_fp"))
+      .orderBy("dim")
+  }
+
+  private val qSq8QuantSql =
+    s"""WITH ev AS (
+       |  SELECT u.d AS dim, u.v::DOUBLE AS v FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(embedding)),
+       |      i -> {'d': i - 1, 'v': embedding[i]})) AS u
+       |    FROM embeddings) z),
+       |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
+       |qt AS (
+       |  SELECT e.dim, e.v, s.mn, s.mx,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |      ELSE least(255, greatest(0,
+       |        CAST(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT))) END AS code
+       |  FROM ev e JOIN st s USING (dim)),
+       |re AS (
+       |  SELECT dim, code, v, mn + code * (mx - mn) / 255.0 AS recon
+       |  FROM qt)
+       |SELECT dim,
+       |  floor((min(v)) * 1e6 + 0.5) / 1e6 AS mn,
+       |  floor((max(v)) * 1e6 + 0.5) / 1e6 AS mx,
+       |  CAST(sum(CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge,
+       |  CAST(sum(CAST(floor((v - recon) * (v - recon) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sq_err_fp
+       |FROM re GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- ANN: IVF-PQ composed (the IVFADC oracle) ------------------------------
   //
   // The composed q_ann_ivf × q_ann_pq math of [[graft.retrieval
@@ -3547,6 +3695,51 @@ object TrainingDataQueries {
        |  CAST(sum(CASE WHEN frac < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- α-temperature source mixing --------------------------------------------
+  //
+  // The multilingual sampling-temperature recipe (mBERT / XLM-R: sample
+  // language ℓ ∝ n_ℓ^α, α = 0.5): raw per-language shares are flattened
+  // by exponentiating counts with α, upweighting tail languages without
+  // the uniform-mix extreme. α = 0.5 makes the weight an INTEGER —
+  // isqrt(n), computed exactly as ⌊√n⌋ via a float sqrt plus a ±1
+  // integer correction (both engines' floor(sqrt(n::DOUBLE)) can be off
+  // by one at perfect-square boundaries; the correction makes the result
+  // exact arithmetic, not float-trust). Shares are ppm via integer floor
+  // division, so every reported number is BIGINT-exact. Plan: one
+  // language-grain agg + a broadcast 1-row totals join — the document
+  // table is touched once, narrow, at any scale.
+
+  private def qAlphaMix(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+    val isq = floor(sqrt(col("n").cast("double"))).cast("long")
+    val w = when((isq + lit(1L)) * (isq + lit(1L)) <= col("n"), isq + lit(1L))
+      .when(isq * isq > col("n"), isq - lit(1L))
+      .otherwise(isq)
+    val withW = c.withColumn("w", w)
+    val tot = withW.agg(sum("n").as("tn"), sum("w").as("tw"))
+    withW.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n").as("n_docs"), col("w").as("w_sqrt"),
+        expr("n * 1000000 div tn").as("share_raw_ppm"),
+        expr("w * 1000000 div tw").as("share_temp_ppm"))
+      .orderBy("lang")
+  }
+
+  private val qAlphaMixSql =
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+       |s AS (
+       |  SELECT lang, n,
+       |    CASE WHEN (CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) + 1) * (CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) + 1) <= n
+       |      THEN CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) + 1
+       |      WHEN CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) * CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) > n
+       |      THEN CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) - 1
+       |      ELSE CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) END AS w
+       |  FROM c),
+       |tot AS (SELECT sum(n) AS tn, sum(w) AS tw FROM s)
+       |SELECT lang, n AS n_docs, w AS w_sqrt,
+       |  CAST(n * 1000000 // (SELECT tn FROM tot) AS BIGINT) AS share_raw_ppm,
+       |  CAST(w * 1000000 // (SELECT tw FROM tot) AS BIGINT) AS share_temp_ppm
+       |FROM s ORDER BY lang""".stripMargin
+
   /** The end-to-end curation funnel a training-data user actually runs,
     * as ONE declarative plan: exact dedup (first-wins per content hash) ∧
     * language gate (stopword ratio) ∧ quality gate (the q_quality_score
@@ -4088,6 +4281,7 @@ object TrainingDataQueries {
     "q_training_select" -> (qTrainingSelect _),
     "q_train_split" -> (qTrainSplit _),
     "q_corpus_mix" -> (qCorpusMix _),
+    "q_alpha_mix" -> (qAlphaMix _),
     "q_kmv_sketch" -> (qKmvSketch _),
     "q_hll_sketch" -> (qHllSketch _),
     "q_hll_agg" -> (qHllAgg _),
@@ -4120,6 +4314,8 @@ object TrainingDataQueries {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_pq_recall" -> (qPqRecall _),
+    "q_mmr_rerank" -> (qMmrRerank _),
+    "q_sq8_quant" -> (qSq8Quant _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_cluster_mix" -> (qClusterMix _),
@@ -4150,6 +4346,7 @@ object TrainingDataQueries {
     "q_training_select" -> qTrainingSelectSql,
     "q_train_split" -> qTrainSplitSql,
     "q_corpus_mix" -> qCorpusMixSql,
+    "q_alpha_mix" -> qAlphaMixSql,
     "q_kmv_sketch" -> qKmvSketchSql,
     "q_hll_sketch" -> qHllSketchSql,
     "q_hll_agg" -> qHllAggSql,
@@ -4182,6 +4379,8 @@ object TrainingDataQueries {
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_pq_recall" -> qPqRecallSql,
+    "q_mmr_rerank" -> qMmrRerankSql,
+    "q_sq8_quant" -> qSq8QuantSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_cluster_mix" -> qClusterMixSql,

@@ -89,16 +89,7 @@ object Retrieval {
     val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
     // document frequency + epsilon-floored Okapi idf over the vocabulary
-    val dfTable = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_raw",
-        log(col("n_docs") - col("df") + lit(0.5)) - log(col("df") + lit(0.5)))
-    val idfStats = dfTable.agg(avg(col("idf_raw")).as("avg_idf"))
-    val idf = dfTable.crossJoin(broadcast(idfStats))
-      .withColumn("idf",
-        when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf"))
-          .otherwise(col("idf_raw")))
-      .select(col("term"), col("idf"))
+    val idf = idfTable(post, stats)
 
     // query terms with multiplicity (each occurrence contributes,
     // rank_bm25 get_scores semantics)
@@ -147,6 +138,24 @@ object Retrieval {
     bm25ScoresFromIndex(postings(docs, idCol, textCol),
       corpusStats(docs, idCol, textCol), idCol, queries, k1, b)
 
+  /** Epsilon-floored Okapi idf table (term, idf) from a postings table +
+    * 1-row stats frame — the vocabulary-level half of the BM25 index,
+    * exposed so consumers beyond plain scoring (e.g. pseudo-relevance
+    * feedback's second pass) reuse ONE postings materialization.
+    */
+  def idfTable(post: DataFrame, stats: DataFrame): DataFrame = {
+    val dfTable = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_raw",
+        log(col("n_docs") - col("df") + lit(0.5)) - log(col("df") + lit(0.5)))
+    val idfStats = dfTable.agg(avg(col("idf_raw")).as("avg_idf"))
+    dfTable.crossJoin(broadcast(idfStats))
+      .withColumn("idf",
+        when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf"))
+          .otherwise(col("idf_raw")))
+      .select(col("term"), col("idf"))
+  }
+
   /** The multi-query scoring tail over a PRECOMPUTED (and typically
     * persisted) postings table + 1-row stats frame — lets a caller share
     * one postings materialization between BM25 scoring and other
@@ -160,16 +169,7 @@ object Retrieval {
       queries: Seq[(Int, String)],
       k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
-    val dfTable = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_raw",
-        log(col("n_docs") - col("df") + lit(0.5)) - log(col("df") + lit(0.5)))
-    val idfStats = dfTable.agg(avg(col("idf_raw")).as("avg_idf"))
-    val idf = dfTable.crossJoin(broadcast(idfStats))
-      .withColumn("idf",
-        when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf"))
-          .otherwise(col("idf_raw")))
-      .select(col("term"), col("idf"))
+    val idf = idfTable(post, stats)
     val qRows = queries.flatMap { case (v, q) =>
       Tokenizer.tokenize(q).groupBy(identity)
         .map { case (t, os) => (v, t, os.size) }
