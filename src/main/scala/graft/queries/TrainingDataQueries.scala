@@ -1940,6 +1940,220 @@ object TrainingDataQueries {
        |  CAST(sum(CAST(floor((v - recon) * (v - recon) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sq_err_fp
        |FROM re GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- nDCG ranking-quality eval ---------------------------------------------
+  //
+  // Järvelin & Kekäläinen 2002's graded-relevance metric — the standard
+  // report card for an approximate retriever, completing the eval family
+  // next to the recall audits (q_ann_recall/q_lsh_recall/q_pq_recall
+  // measure SET overlap; nDCG measures ORDER). Ground truth: the exact
+  // integer-dot top-K (2^20 fixed-point embeddings — exact BIGINT
+  // arithmetic), graded gains 2^(K−r+1)−1. System under test: the SQ8
+  // code-space ranking (integer code dot product — the cheap first pass
+  // a serving tier runs corpus-wide before exact rescoring). The log2
+  // discount table is generated ONCE on the driver and embedded as
+  // identical literals in BOTH engines, so the metric needs no
+  // cross-engine transcendentals: every DCG is an exact BIGINT sum of
+  // gain × disc_fp products, and nDCG@k is one deterministic long/long
+  // division at the end. Plan shape: two corpus passes (exact dot =
+  // broadcast-query narrow pass + TakeOrdered top-K; code ranking =
+  // posexplode + d-row broadcast stats join + per-vec agg + TakeOrdered),
+  // then all ranking math on ≤ K rows.
+
+  private val NdcgK = 10
+  private val NdcgCuts = Seq(1, 5, 10)
+  /** floor(1e9 / log2(r+1)) for rank r = 1..K — driver-side literals. */
+  private val NdcgDiscFp: Seq[Long] = (1 to NdcgK).map(r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  private def ndcgGain(r: Int): Long = (1L << (NdcgK - r + 1)) - 1
+  private val NdcgIdcgFp: Map[Int, Long] = NdcgCuts.map(k =>
+    k -> (1 to k).map(r => ndcgGain(r) * NdcgDiscFp(r - 1)).sum).toMap
+
+  private def qNdcgEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+    val qv = fp.filter(col("vec_id") === 0L).select(col("x").as("qx"))
+    val truth = fp.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("rel",
+        expr("aggregate(zip_with(x, qx, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(NdcgK)
+      .withColumn("tr",
+        row_number().over(Window.orderBy(col("rel").desc, col("vec_id"))))
+      .select(col("vec_id"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${NdcgK + 1} - tr) - 1").as("gain"))
+    val ev = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+    val st = ev.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val codes = ev.join(broadcast(st), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))).cast("long"))))
+          .as("code"))
+    val qc = codes.filter(col("vec_id") === 0L)
+      .select(col("dim"), col("code").as("qcode"))
+    val approx = codes.filter(col("vec_id") =!= 0L)
+      .join(broadcast(qc), "dim")
+      .groupBy("vec_id").agg(sum(col("code") * col("qcode")).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id")).limit(NdcgK)
+      .withColumn("ar",
+        row_number().over(Window.orderBy(col("ascore").desc, col("vec_id"))))
+    val disc = s.createDataFrame(
+      NdcgDiscFp.zipWithIndex.map { case (d, i) => (i + 1, d) }).toDF("ar", "disc_fp")
+    val cuts = s.createDataFrame(
+      NdcgCuts.map(k => (k, NdcgIdcgFp(k)))).toDF("k", "idcg_fp")
+    approx.join(truth, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("gain"))
+      .join(broadcast(disc), "ar")
+      .crossJoin(broadcast(cuts))
+      .filter(col("ar") <= col("k"))
+      .groupBy("k", "idcg_fp")
+      .agg(sum(col("gain") * col("disc_fp")).as("dcg_fp"))
+      .select(col("k").cast("long").as("k"), col("dcg_fp"), col("idcg_fp"),
+        Rounding.r(col("dcg_fp").cast("double") / col("idcg_fp").cast("double"), 6)
+          .as("ndcg"))
+      .orderBy("k")
+  }
+
+  private val qNdcgEvalSql = {
+    val discValues = NdcgDiscFp.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d}::BIGINT)" }.mkString(", ")
+    val cutValues = NdcgCuts
+      .map(k => s"($k, ${NdcgIdcgFp(k)}::BIGINT)").mkString(", ")
+    s"""WITH fp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |q AS (SELECT x AS qx FROM fp WHERE vec_id = 0),
+       |rel AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * qx[i])) AS BIGINT) AS rel
+       |  FROM fp, q WHERE vec_id <> 0),
+       |truth AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY rel DESC, vec_id) AS tr
+       |  FROM (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $NdcgK)),
+       |gains AS (
+       |  SELECT vec_id, (1::BIGINT << (${NdcgK + 1} - tr)) - 1 AS gain FROM truth),
+       |ev AS (
+       |  SELECT vec_id, u.d AS dim, u.v::DOUBLE AS v FROM (
+       |    SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
+       |      i -> {'d': i - 1, 'v': embedding[i]})) AS u
+       |    FROM embeddings) z),
+       |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id, e.dim,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |      ELSE least(255, greatest(0,
+       |        CAST(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT))) END AS code
+       |  FROM ev e JOIN st s USING (dim)),
+       |qc AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
+       |approx AS (
+       |  SELECT c.vec_id, CAST(sum(c.code * q.qcode) AS BIGINT) AS ascore
+       |  FROM codes c JOIN qc q USING (dim) WHERE c.vec_id <> 0 GROUP BY 1),
+       |ranked AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY ascore DESC, vec_id) AS ar
+       |  FROM (SELECT * FROM approx ORDER BY ascore DESC, vec_id LIMIT $NdcgK)),
+       |disc(ar, disc_fp) AS (VALUES $discValues),
+       |cuts(k, idcg_fp) AS (VALUES $cutValues),
+       |j AS (
+       |  SELECT r.ar, coalesce(g.gain, 0) AS gain, d.disc_fp
+       |  FROM ranked r LEFT JOIN gains g USING (vec_id) JOIN disc d USING (ar))
+       |SELECT CAST(k AS BIGINT) AS k,
+       |  CAST(sum(gain * disc_fp) AS BIGINT) AS dcg_fp,
+       |  CAST(idcg_fp AS BIGINT) AS idcg_fp,
+       |  ${Rounding.rSql("CAST(sum(gain * disc_fp) AS BIGINT)::DOUBLE / idcg_fp::DOUBLE", 6)} AS ndcg
+       |FROM j CROSS JOIN cuts WHERE ar <= k
+       |GROUP BY k, idcg_fp ORDER BY k""".stripMargin
+  }
+
+  // --- Johnson–Lindenstrauss sign-projection distortion audit -----------------
+  //
+  // Achlioptas 2003: a ±1 sign matrix is a JL projection —
+  // E‖P(a−b)‖²/m = ‖a−b‖², concentration ~ √(2/m). Signs derive from
+  // md5(dim, p) (the md5Sid discipline), so the d×m matrix is identical
+  // in both engines with no stored state, and projecting the 2^20
+  // fixed-point DIFFERENCE vector (projection is linear) is exact BIGINT
+  // arithmetic end-to-end. The audit runs on a deterministic pair slice
+  // (vec_id ≡ 0 mod 8 paired with its +1 neighbour — the q_ann_recall
+  // probe-sample discipline), so its cost vanishes relative to the
+  // corpus at any scale, while the per-vector d×m expansion it measures
+  // is the exact narrow shape a serving tier would run corpus-wide to
+  // shrink 64-dim vectors to 16 before bucketing.
+
+  private val JlM = 16
+
+  private def qJlProject(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+    val a = fp.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id").as("pair"), col("x").as("xa"))
+    val b = fp.filter(col("vec_id") % 8 === 1)
+      .select((col("vec_id") - 1).as("pair"), col("x").as("xb"))
+    val diffs = a.join(b, "pair")
+      .select(col("pair"), expr("zip_with(xa, xb, (p, q) -> p - q)").as("d"))
+      .withColumn("d2_orig",
+        expr("aggregate(transform(d, v -> v * v), 0L, (acc, v) -> acc + v)"))
+      .filter(col("d2_orig") > 0)
+    val ed = diffs.select(col("pair"), col("d2_orig"), posexplode(col("d")))
+      .select(col("pair"), col("d2_orig"), col("pos").as("dim"), col("col").as("dv"))
+    val pj = s.range(JlM).select(col("id").cast("int").as("p"))
+    val rat = ed.crossJoin(broadcast(pj))
+      .withColumn("sgn",
+        (conv(substring(md5(concat_ws("_", col("dim"), col("p"))), 1, 1), 16, 10)
+          .cast("long") % 2) * 2 - 1)
+      .groupBy("pair", "d2_orig", "p")
+      .agg(sum(col("dv") * col("sgn")).as("yd"))
+      .groupBy("pair", "d2_orig")
+      .agg(sum(col("yd") * col("yd")).as("d2_proj"))
+      .withColumn("ratio_fp",
+        floor(col("d2_proj").cast("double") /
+          (lit(JlM.toDouble) * col("d2_orig").cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+    rat.agg(count(lit(1)).as("n_pairs"),
+        min("ratio_fp").as("min_ratio_fp"), max("ratio_fp").as("max_ratio_fp"),
+        sum("ratio_fp").as("sr"))
+      .select(col("n_pairs"), col("min_ratio_fp"), col("max_ratio_fp"),
+        Rounding.r(col("sr").cast("double") / col("n_pairs") / lit(1e6), 4)
+          .as("mean_ratio"))
+  }
+
+  private val qJlProjectSql =
+    s"""WITH fp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |pa AS (SELECT vec_id AS pair, x AS xa FROM fp WHERE vec_id % 8 = 0),
+       |pb AS (SELECT vec_id - 1 AS pair, x AS xb FROM fp WHERE vec_id % 8 = 1),
+       |d0 AS (
+       |  SELECT pair,
+       |    list_transform(generate_series(1, len(xa)), i -> xa[i] - xb[i]) AS d
+       |  FROM pa JOIN pb USING (pair)),
+       |d2 AS (
+       |  SELECT pair, d,
+       |    CAST(list_sum(list_transform(d, v -> v * v)) AS BIGINT) AS d2_orig
+       |  FROM d0),
+       |ed AS (
+       |  SELECT pair, d2_orig, u.dim AS dim, u.dv AS dv FROM (
+       |    SELECT pair, d2_orig, unnest(list_transform(generate_series(1, len(d)),
+       |      i -> {'dim': i - 1, 'dv': d[i]})) AS u
+       |    FROM d2 WHERE d2_orig > 0) z),
+       |pj AS (SELECT unnest(generate_series(0, ${JlM - 1})) AS p),
+       |proj AS (
+       |  SELECT pair, d2_orig, p,
+       |    CAST(sum(dv * ((('0x' || substr(md5(dim::VARCHAR || '_' || p::VARCHAR), 1, 1))::BIGINT % 2) * 2 - 1)) AS BIGINT) AS yd
+       |  FROM ed CROSS JOIN pj GROUP BY 1, 2, 3),
+       |pr AS (
+       |  SELECT pair, d2_orig, CAST(sum(yd * yd) AS BIGINT) AS d2_proj
+       |  FROM proj GROUP BY 1, 2),
+       |rat AS (
+       |  SELECT CAST(floor(d2_proj::DOUBLE / (${JlM}.0 * d2_orig::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ratio_fp
+       |  FROM pr)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  min(ratio_fp) AS min_ratio_fp, max(ratio_fp) AS max_ratio_fp,
+       |  ${Rounding.rSql("CAST(sum(ratio_fp) AS BIGINT)::DOUBLE / count(*) / 1e6", 4)} AS mean_ratio
+       |FROM rat""".stripMargin
+
   // --- ANN: IVF-PQ composed (the IVFADC oracle) ------------------------------
   //
   // The composed q_ann_ivf × q_ann_pq math of [[graft.retrieval
@@ -2392,6 +2606,75 @@ object TrainingDataQueries {
       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
       |  count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Zipf-exponent fit of the token-frequency head -------------------------
+  //
+  // The corpus-health scalar every curation dashboard carries: fit
+  // ln f_r ≈ intercept − slope·ln r over the top-R frequency head and
+  // report the exponent (natural text ≈ 1; boilerplate- or spam-heavy
+  // corpora drift away). The OLS moments are fixed-pointed per term at
+  // 1e6 (`Rounding.fpSum` discipline — order-immune integer sums; the
+  // integer cross moments stay far below 2^63) so slope and intercept
+  // are bit-identical across engines and partitionings. Plan: one
+  // tokenize + term-count shuffle (the q_token_tf shape), a TakeOrdered
+  // top-R head, and all regression math on R rows.
+
+  private val ZipfR = 100
+
+  private def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = sparkToks(s, dir)
+      .select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val head = tf.orderBy(col("f").desc, col("tok")).limit(ZipfR)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+      .withColumn("lx", floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("ly", floor(log(col("f").cast("double")) * 1e6 + 0.5).cast("long"))
+    val m = head.agg(
+      count(lit(1)).as("n"),
+      sum("lx").as("sx"), sum("ly").as("sy"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("lx") * col("lx")).as("sxx"),
+      max("f").as("top_freq"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("n"), col("top_freq"),
+      Rounding.r(num / den, 4).as("slope"),
+      Rounding.r(
+        (col("sy").cast("double") / lit(1e6) -
+          num / den * (col("sx").cast("double") / lit(1e6))) /
+          col("n").cast("double"), 4).as("intercept"))
+  }
+
+  private val qZipfFitSql = {
+    val num = "(n * sxy - sx * sy)::DOUBLE"
+    val den = "(n * sxx - sx * sx)::DOUBLE"
+    s"""WITH $TokensCte,
+       |tf AS (
+       |  SELECT u.t AS tok, count(*) AS f
+       |  FROM (SELECT unnest(ts) AS t FROM toks) u GROUP BY 1),
+       |head AS (
+       |  SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS r
+       |  FROM (SELECT * FROM tf ORDER BY f DESC, tok LIMIT $ZipfR)),
+       |lm AS (
+       |  SELECT f,
+       |    CAST(floor(ln(r::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lx,
+       |    CAST(floor(ln(f::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ly
+       |  FROM head),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+       |    CAST(sum(lx * ly) AS BIGINT) AS sxy,
+       |    CAST(sum(lx * lx) AS BIGINT) AS sxx,
+       |    CAST(max(f) AS BIGINT) AS top_freq
+       |  FROM lm)
+       |SELECT n, top_freq,
+       |  ${Rounding.rSql(s"$num / $den", 4)} AS slope,
+       |  ${Rounding.rSql(
+          s"(sy::DOUBLE / 1e6 - $num / $den * (sx::DOUBLE / 1e6)) / n::DOUBLE", 4)} AS intercept
+       |FROM agg""".stripMargin
+  }
 
   // --- document fingerprint (rolling 4-gram hash, min-sampled) --------------
 
@@ -4316,6 +4599,9 @@ object TrainingDataQueries {
     "q_pq_recall" -> (qPqRecall _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_sq8_quant" -> (qSq8Quant _),
+    "q_ndcg_eval" -> (qNdcgEval _),
+    "q_jl_project" -> (qJlProject _),
+    "q_zipf_fit" -> (qZipfFit _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_cluster_mix" -> (qClusterMix _),
@@ -4381,6 +4667,9 @@ object TrainingDataQueries {
     "q_pq_recall" -> qPqRecallSql,
     "q_mmr_rerank" -> qMmrRerankSql,
     "q_sq8_quant" -> qSq8QuantSql,
+    "q_ndcg_eval" -> qNdcgEvalSql,
+    "q_jl_project" -> qJlProjectSql,
+    "q_zipf_fit" -> qZipfFitSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_cluster_mix" -> qClusterMixSql,
