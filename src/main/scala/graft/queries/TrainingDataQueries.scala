@@ -865,6 +865,87 @@ object TrainingDataQueries {
        |FROM r3 ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --- TextRank keyword extraction --------------------------------------------
+  //
+  // Mihalcea & Tarau 2004: run PageRank over the word co-occurrence
+  // graph and read the top-ranked words off as corpus keywords —
+  // composed entirely from battery-verified pieces: the stopword/length
+  // content filter (the classic syntactic filter analog), adjacency over
+  // the FILTERED token sequence (window 2), md5Sid node ids (no global
+  // dictionary window), and the integer-exact [[pageRank]] iteration.
+  // Scale shape: the distinct-adjacent-pair edge list is inverted-index
+  // sized (bounded by distinct bigrams, stopword hubs already removed);
+  // each PageRank round is one key shuffle with map-side partial sums.
+
+  private def qTextrankKeywords(s: SparkSession, dir: String): DataFrame = {
+    val kept = sparkToks(s, dir).select(col("doc_id"),
+      filter(col("ts"), x =>
+        length(x) >= 2 && !array_contains(stopArray, x)).as("ts"))
+    val pos = kept.select(col("doc_id"), posexplode(col("ts")).as(Seq("p", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val adj = pos.withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .select(least(col("tok"), col("nxt")).as("ta"),
+        greatest(col("tok"), col("nxt")).as("tb"))
+      .distinct()
+      .persist()
+    val edges = adj.select(md5Sid(col("ta"), 10).as("doc_a"),
+      md5Sid(col("tb"), 10).as("doc_b"))
+    val vocab = adj.select(col("ta").as("tok"))
+      .unionByName(adj.select(col("tb").as("tok")))
+      .select(md5Sid(col("tok"), 10).as("sid"), col("tok"))
+      .groupBy("sid").agg(min("tok").as("tok"))
+    pageRank(edges).join(vocab, col("doc_id") === col("sid"))
+      .select(col("tok"), col("rank"))
+      .orderBy(desc("rank"), col("tok")).limit(15)
+  }
+
+  private def qTextrankKeywordsSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT d.src AS node, d.deg,
+         |    150000000 + (85 * sum(p.r // p.deg)) // 100 AS r
+         |  FROM sym JOIN $prev p ON sym.src = p.node
+         |  JOIN deg d ON sym.dst = d.src
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH $TokensCte,
+       |kt AS (
+       |  SELECT doc_id,
+       |    list_filter(ts, x -> len(x) >= 2 AND NOT list_contains($stopListSql, x)) AS ts
+       |  FROM toks),
+       |pos AS (
+       |  SELECT doc_id, u.p AS p, u.tk AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+       |      i -> {'p': i, 'tk': ts[i]})) AS u
+       |    FROM kt) z),
+       |nx AS (
+       |  SELECT doc_id, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+       |  FROM pos),
+       |adj AS (
+       |  SELECT DISTINCT least(tok, nxt) AS ta, greatest(tok, nxt) AS tb
+       |  FROM nx WHERE nxt IS NOT NULL AND tok <> nxt),
+       |edges AS (
+       |  SELECT ${md5SidSql("ta", 10)} AS doc_a, ${md5SidSql("tb", 10)} AS doc_b
+       |  FROM adj),
+       |vocab AS (
+       |  SELECT sid, min(tok) AS tok FROM (
+       |    SELECT ${md5SidSql("ta", 10)} AS sid, ta AS tok FROM adj
+       |    UNION ALL SELECT ${md5SidSql("tb", 10)}, tb FROM adj) v
+       |  GROUP BY 1),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |r0 AS (SELECT src AS node, deg, 1000000000 AS r FROM deg),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT v.tok, CAST(r.r AS BIGINT) AS rank
+       |FROM r3 r JOIN vocab v ON r.node = v.sid
+       |ORDER BY rank DESC, tok LIMIT 15""".stripMargin
+  }
+
   // --- SimHash (31-bit, token tf-weighted) ----------------------------------
 
   /** Per-doc 31-bit SimHash signatures — shared by `q_simhash` and the
@@ -2154,6 +2235,115 @@ object TrainingDataQueries {
        |  ${Rounding.rSql("CAST(sum(ratio_fp) AS BIGINT)::DOUBLE / count(*) / 1e6", 4)} AS mean_ratio
        |FROM rat""".stripMargin
 
+  // --- rank-biased overlap (RBO) between exact and SQ8 rankings ---------------
+  //
+  // Webber, Moffat & Zobel 2010's top-weighted list-similarity metric —
+  // the OTHER ranking report card next to q_ndcg_eval (nDCG needs graded
+  // relevance; RBO compares two rankings directly): prefix RBO@K with
+  // persistence p = 0.9, RBO = (1−p)/p · Σ_{d≤K} p^d · |A_d ∩ B_d| / d.
+  // Rewritten per-item: an item at ranks (ra, rb) in the two lists
+  // contributes W(max(ra, rb)) where W(m) = Σ_{d=m..K} w_d — so the
+  // whole metric is ONE inner join of the two top-K lists against a
+  // driver-generated cumulative-weight literal table (×1e12 fixed
+  // point), summed as exact BIGINTs. No cross-engine pow() at query
+  // time. Lists: the exact integer-dot ranking vs the SQ8 code-space
+  // ranking (the cheap serving-tier first pass q_ndcg_eval grades).
+
+  private val RboK = 10
+  private val RboP = 0.9
+  /** w_d = (1−p)/p · p^d / d, ×1e12 — driver-side literals. */
+  private val RboWFp: Seq[Long] = (1 to RboK).map(d =>
+    math.floor((1 - RboP) / RboP * math.pow(RboP, d) / d * 1e12).toLong)
+  /** W(m) = Σ_{d=m..K} w_d. */
+  private val RboWcumFp: Seq[Long] = (1 to RboK).map(m => RboWFp.drop(m - 1).sum)
+
+  private def qRbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+    val qv = fp.filter(col("vec_id") === 0L).select(col("x").as("qx"))
+    val exact = fp.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("rel",
+        expr("aggregate(zip_with(x, qx, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(RboK)
+      .withColumn("ra",
+        row_number().over(Window.orderBy(col("rel").desc, col("vec_id"))))
+      .select("vec_id", "ra")
+    val ev = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+    val st = ev.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val codes = ev.join(broadcast(st), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))).cast("long"))))
+          .as("code"))
+    val qc = codes.filter(col("vec_id") === 0L)
+      .select(col("dim"), col("code").as("qcode"))
+    val approx = codes.filter(col("vec_id") =!= 0L)
+      .join(broadcast(qc), "dim")
+      .groupBy("vec_id").agg(sum(col("code") * col("qcode")).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id")).limit(RboK)
+      .withColumn("rb",
+        row_number().over(Window.orderBy(col("ascore").desc, col("vec_id"))))
+      .select("vec_id", "rb")
+    val wcum = s.createDataFrame(
+      RboWcumFp.zipWithIndex.map { case (w, i) => (i + 1, w) }).toDF("m", "wcum_fp")
+    exact.join(approx, "vec_id")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .join(broadcast(wcum), "m")
+      .agg(count(lit(1)).as("n_common"),
+        coalesce(sum("wcum_fp"), lit(0L)).as("rbo_fp"))
+      .select(col("n_common"), col("rbo_fp"),
+        Rounding.r(col("rbo_fp").cast("double") / lit(1e12), 6).as("rbo"))
+  }
+
+  private val qRboSql = {
+    val wcumValues = RboWcumFp.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH fp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |q AS (SELECT x AS qx FROM fp WHERE vec_id = 0),
+       |rel AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * qx[i])) AS BIGINT) AS rel
+       |  FROM fp, q WHERE vec_id <> 0),
+       |exact AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY rel DESC, vec_id) AS ra
+       |  FROM (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $RboK)),
+       |ev AS (
+       |  SELECT vec_id, u.d AS dim, u.v::DOUBLE AS v FROM (
+       |    SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
+       |      i -> {'d': i - 1, 'v': embedding[i]})) AS u
+       |    FROM embeddings) z),
+       |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id, e.dim,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |      ELSE least(255, greatest(0,
+       |        CAST(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT))) END AS code
+       |  FROM ev e JOIN st s USING (dim)),
+       |qc AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
+       |ap AS (
+       |  SELECT c.vec_id, CAST(sum(c.code * q.qcode) AS BIGINT) AS ascore
+       |  FROM codes c JOIN qc q USING (dim) WHERE c.vec_id <> 0 GROUP BY 1),
+       |approx AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY ascore DESC, vec_id) AS rb
+       |  FROM (SELECT * FROM ap ORDER BY ascore DESC, vec_id LIMIT $RboK)),
+       |wcum(m, wcum_fp) AS (VALUES $wcumValues),
+       |j AS (
+       |  SELECT w.wcum_fp
+       |  FROM exact e JOIN approx a USING (vec_id)
+       |  JOIN wcum w ON w.m = greatest(e.ra, a.rb))
+       |SELECT CAST(count(*) AS BIGINT) AS n_common,
+       |  coalesce(CAST(sum(wcum_fp) AS BIGINT), 0) AS rbo_fp,
+       |  ${Rounding.rSql("coalesce(CAST(sum(wcum_fp) AS BIGINT), 0)::DOUBLE / 1e12", 6)} AS rbo
+       |FROM j""".stripMargin
+  }
+
   // --- ANN: IVF-PQ composed (the IVFADC oracle) ------------------------------
   //
   // The composed q_ann_ivf × q_ann_pq math of [[graft.retrieval
@@ -2554,6 +2744,70 @@ object TrainingDataQueries {
        |    greatest(len(ts), 1)::DOUBLE) * 1e5 + 0.5) / 1e5 >= 0.12
        |    THEN 'en_like' ELSE 'other' END AS predicted
        |FROM toks ORDER BY doc_id""".stripMargin
+
+  // --- Cohen's kappa annotator agreement --------------------------------------
+  //
+  // The label-quality scalar of any annotation pipeline (Cohen 1960):
+  // chance-corrected agreement between two labelers — here the corpus's
+  // stored `lang` column (annotator B: en vs not) against the stopword-
+  // ratio language-ID heuristic (annotator A: q_lang_id's en_like rule),
+  // i.e. "how much better than chance does the cheap heuristic agree
+  // with the metadata". The whole statistic reduces to the four
+  // contingency cells — exact BIGINT counts from one narrow pass — and
+  // kappa = (N·(n11+n00) − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0)):
+  // ONE double division of two exact integers at the end (exact while
+  // N < ~3·10⁹; the audit runs on a probe sample beyond that). Plan:
+  // single scan, single 4-cell aggregate, no shuffle beyond the final
+  // 1-row agg.
+
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val lab = t(s, dir, "documents")
+      .select(col("lang"), simpleTokens(col("text")).as("ts"))
+      .withColumn("a",
+        when(Rounding.r(
+          size(filter(col("ts"), x => array_contains(stopArray, x))) /
+            greatest(size(col("ts")), lit(1)).cast("double"), 5) >= 0.12,
+          1L).otherwise(0L))
+      .withColumn("b", when(col("lang") === "en", 1L).otherwise(0L))
+    val c = lab.agg(
+      sum(col("a") * col("b")).as("n11"),
+      sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+      sum((lit(1L) - col("a")) * col("b")).as("n01"),
+      sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val chance = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    c.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      Rounding.r(
+        (n * (col("n11") + col("n00")) - chance).cast("double") /
+          (n * n - chance).cast("double"), 6).as("kappa"))
+  }
+
+  private val qKappaSql = {
+    val n = "(n11 + n10 + n01 + n00)"
+    val chance = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    s"""WITH lt AS (
+       |  SELECT lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |lab AS (
+       |  SELECT
+       |    CASE WHEN floor((len(list_filter(ts, x -> list_contains($stopListSql, x))) /
+       |        greatest(len(ts), 1)::DOUBLE) * 1e5 + 0.5) / 1e5 >= 0.12
+       |      THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+       |  FROM lt),
+       |c AS (
+       |  SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+       |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+       |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+       |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM lab)
+       |SELECT n11, n10, n01, n00,
+       |  ${Rounding.rSql(
+          s"($n * (n11 + n00) - $chance)::DOUBLE / ($n * $n - $chance)::DOUBLE", 6)} AS kappa
+       |FROM c""".stripMargin
+  }
 
   // --- quality score (diversity / stopword / length components) ------------
 
@@ -4602,6 +4856,9 @@ object TrainingDataQueries {
     "q_ndcg_eval" -> (qNdcgEval _),
     "q_jl_project" -> (qJlProject _),
     "q_zipf_fit" -> (qZipfFit _),
+    "q_rbo" -> (qRbo _),
+    "q_kappa" -> (qKappa _),
+    "q_textrank_keywords" -> (qTextrankKeywords _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_cluster_mix" -> (qClusterMix _),
@@ -4670,6 +4927,9 @@ object TrainingDataQueries {
     "q_ndcg_eval" -> qNdcgEvalSql,
     "q_jl_project" -> qJlProjectSql,
     "q_zipf_fit" -> qZipfFitSql,
+    "q_rbo" -> qRboSql,
+    "q_kappa" -> qKappaSql,
+    "q_textrank_keywords" -> qTextrankKeywordsSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_cluster_mix" -> qClusterMixSql,

@@ -140,4 +140,115 @@ class RankingAuditSpec extends AnyFunSuite {
     // and the fitted head frequency is positive
     assert(got._3 < 0.0, s"zipf slope ${got._3} is not negative")
   }
+
+  // --- q_rbo: in-memory rank-biased-overlap recompute -------------------------
+
+  test("rbo matches an in-memory exact-vs-SQ8 prefix-overlap recompute") {
+    val K = 10; val p = 0.9
+    val wFp = (1 to K).map(d =>
+      math.floor((1 - p) / p * math.pow(p, d) / d * 1e12).toLong)
+    val wcum = (1 to K).map(m => wFp.drop(m - 1).sum)
+    val qx = fp(0L)
+    val exact = fp.collect { case (id, x) if id != 0L => id -> dot(x, qx) }
+      .toSeq.sortBy { case (id, r) => (-r, id) }.take(K)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val d = raw.values.head.length
+    val mn = (0 until d).map(j => raw.values.map(_(j)).min)
+    val mx = (0 until d).map(j => raw.values.map(_(j)).max)
+    def code(id: Long, j: Int): Long =
+      if (mx(j) == mn(j)) 0L
+      else math.min(255L, math.max(0L,
+        math.floor((raw(id)(j) - mn(j)) * 255.0 / (mx(j) - mn(j))).toLong))
+    val qc = (0 until d).map(code(0L, _))
+    val approx = raw.keys.filter(_ != 0L).map { id =>
+      id -> (0 until d).map(j => code(id, j) * qc(j)).sum }.toSeq
+      .sortBy { case (id, a) => (-a, id) }.take(K)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val common = exact.keySet & approx.keySet
+    val rboFp = common.toSeq
+      .map(id => wcum(math.max(exact(id), approx(id)) - 1)).sum
+    val got = run("q_rbo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    assert(got === ((common.size.toLong, rboFp,
+      math.floor(rboFp.toDouble / 1e12 * 1e6 + 0.5) / 1e6)),
+      "q_rbo diverges from the recompute")
+    // prefix RBO is bounded by the full cumulative weight from rank 1
+    assert(got._2 <= wcum.head * K, "rbo_fp exceeds its structural bound")
+    assert(got._3 >= 0.0 && got._3 <= 1.0)
+  }
+
+  // --- q_kappa: in-memory contingency recompute -------------------------------
+
+  test("kappa matches an in-memory contingency-table recompute") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stop = graft.text.Tokenizer.StopWords
+    var (n11, n10, n01, n00) = (0L, 0L, 0L, 0L)
+    rows.foreach { case (lang, text) =>
+      val ts = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val ratio = math.floor(
+        ts.count(stop).toDouble / math.max(ts.length, 1) * 1e5 + 0.5) / 1e5
+      val a = ratio >= 0.12
+      val b = lang == "en"
+      if (a && b) n11 += 1 else if (a && !b) n10 += 1
+      else if (!a && b) n01 += 1 else n00 += 1
+    }
+    val n = n11 + n10 + n01 + n00
+    val chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val kappa = math.floor(
+      (n * (n11 + n00) - chance).toDouble / (n * n - chance).toDouble
+        * 1e6 + 0.5) / 1e6
+    val got = run("q_kappa").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .head
+    assert(got === ((n11, n10, n01, n00, kappa)),
+      "q_kappa diverges from the recompute")
+    // kappa is bounded: [-1, 1] (the sf0.001 corpus lands slightly
+    // BELOW chance — its synthetic non-en docs carry English stopwords,
+    // which is exactly the kind of fact this audit exists to surface)
+    assert(got._5 >= -1.0 && got._5 <= 1.0)
+  }
+
+  // --- q_textrank_keywords: in-memory integer-PageRank recompute --------------
+
+  test("textrank keywords match an in-memory co-occurrence PageRank") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sid(t: String): Long = java.lang.Long.parseLong(md5hex(t).take(10), 16)
+    val stop = graft.text.Tokenizer.StopWords
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val adj = docs.flatMap { text =>
+      val kept = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(t => t.nonEmpty && t.length >= 2 && !stop(t))
+      kept.sliding(2).collect {
+        case Array(a, b) if a != b =>
+          if (a < b) (a, b) else (b, a)
+      }
+    }.distinct
+    val vocab = adj.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .groupBy(sid).map { case (s0, ts) => s0 -> ts.min }
+    val sym = adj.flatMap { case (a, b) =>
+      Seq(sid(a) -> sid(b), sid(b) -> sid(a)) }
+    val deg = sym.groupBy(_._1).map { case (n0, es) => n0 -> es.length.toLong }
+    var r = deg.map { case (n0, _) => n0 -> 1000000000L }
+    for (_ <- 0 until 3) {
+      val cin = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum }
+      r = deg.map { case (n0, _) => n0 -> (150000000L + 85L * cin(n0) / 100L) }
+    }
+    val expect = r.toSeq.map { case (n0, rk) => (vocab(n0), rk) }
+      .sortBy { case (t, rk) => (-rk, t) }.take(15)
+    val got = run("q_textrank_keywords").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(got === expect,
+      "q_textrank_keywords diverges from the in-memory PageRank")
+    // keywords must be content words: no stopwords, no single chars
+    got.foreach { case (t, _) =>
+      assert(t.length >= 2 && !stop(t), s"non-content keyword [$t]")
+    }
+  }
 }
