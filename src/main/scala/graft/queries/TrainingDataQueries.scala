@@ -2930,6 +2930,188 @@ object TrainingDataQueries {
        |FROM agg""".stripMargin
   }
 
+  // --- term burstiness (Fano factor) ------------------------------------------
+  //
+  // Church & Gale's burstiness observation: content words are BURSTY —
+  // when they appear they appear several times — while function words
+  // spread uniformly; the variance-to-mean ratio of a term's
+  // per-document count separates the two, which makes it a topical-term
+  // detector no single-document statistic can replicate. Over ALL docs
+  // (absent docs count 0) the Fano factor reduces to
+  // VMR = (N·Σtf² − (Σtf)²) / (N·Σtf) — exact BIGINT numerator and
+  // denominator from one postings aggregate plus a broadcast 1-row doc
+  // count; ONE double division per term at the end. df ≥ 5 floors out
+  // hapax noise. Plan: the q_token_tf shuffle shape, a term-grain agg,
+  // TakeOrdered top-20.
+
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val tf = sparkToks(s, dir)
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nd = t(s, dir, "documents").agg(count(lit(1)).as("nn"))
+    tf.groupBy("tok").agg(count(lit(1)).as("df"),
+        sum("tf").as("sx"), sum(col("tf") * col("tf")).as("sx2"))
+      .filter(col("df") >= 5)
+      .crossJoin(broadcast(nd))
+      .select(col("tok"), col("df"), col("sx").as("total_tf"),
+        Rounding.r(
+          (col("nn") * col("sx2") - col("sx") * col("sx")).cast("double") /
+            (col("nn") * col("sx")).cast("double"), 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("tok")).limit(20)
+  }
+
+  private val qBurstinessSql =
+    s"""WITH $TokensCte,
+       |tf AS (
+       |  SELECT doc_id, t AS tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) u GROUP BY 1, 2),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+       |ag AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(tf) AS BIGINT) AS sx, CAST(sum(tf * tf) AS BIGINT) AS sx2
+       |  FROM tf GROUP BY 1)
+       |SELECT tok, df, sx AS total_tf,
+       |  ${Rounding.rSql(
+          "((SELECT nn FROM nd) * sx2 - sx * sx)::DOUBLE / ((SELECT nn FROM nd) * sx)::DOUBLE",
+          6)} AS vmr
+       |FROM ag WHERE df >= 5
+       |ORDER BY vmr DESC, tok LIMIT 20""".stripMargin
+
+  // --- Hill tail-index estimator ----------------------------------------------
+  //
+  // Hill 1975: α̂ = k / Σ_{i≤k}(ln x_(i) − ln x_(k+1)) over the k
+  // largest observations — the heavy-tail report card for the document-
+  // length distribution (a small α means a few mega-documents dominate
+  // storage and skew every per-partition budget; the number a 100 TB
+  // layout planner actually wants next to the quantiles). Value-
+  // deterministic: the top-(k+1) VALUE multiset is the same under any
+  // tie order, and the log spacings fix-point at 1e9 so the sum is an
+  // exact BIGINT; α is
+  // one final division, NULL when the top values are all equal (zero
+  // spacing). Plan: TakeOrdered top-51 on a narrow projection, then
+  // 1-row math.
+
+  private val HillK = 50
+
+  private def qHillTail(s: SparkSession, dir: String): DataFrame = {
+    val top = t(s, dir, "documents").select(col("n_chars"))
+      .filter(col("n_chars") > 0)
+      .orderBy(col("n_chars").desc).limit(HillK + 1)
+      .withColumn("l",
+        floor(log(col("n_chars").cast("double")) * 1e9 + 0.5).cast("long"))
+    val ag = top.agg(sum("l").as("sl"), min("l").as("lk1"),
+      min("n_chars").as("xk1"), count(lit(1)).as("n1"))
+    val spacing = col("sl") - col("n1") * col("lk1")
+    ag.select(lit(HillK.toLong).as("k"), col("xk1"),
+      when(spacing > 0,
+        Rounding.r(lit(HillK.toDouble) * lit(1e9) / spacing.cast("double"), 4))
+        .otherwise(lit(null).cast("double")).as("alpha"))
+  }
+
+  private val qHillTailSql =
+    s"""WITH tp AS (
+       |  SELECT n_chars,
+       |    CAST(floor(ln(n_chars::DOUBLE) * 1e9 + 0.5) AS BIGINT) AS l
+       |  FROM documents WHERE n_chars > 0
+       |  ORDER BY n_chars DESC LIMIT ${HillK + 1}),
+       |ag AS (
+       |  SELECT CAST(sum(l) AS BIGINT) AS sl, min(l) AS lk1,
+       |    CAST(min(n_chars) AS BIGINT) AS xk1, CAST(count(*) AS BIGINT) AS n1
+       |  FROM tp)
+       |SELECT CAST($HillK AS BIGINT) AS k, xk1,
+       |  ${Rounding.rSql(
+          s"$HillK.0 * 1e9 / NULLIF(sl - n1 * lk1, 0)::DOUBLE", 4)} AS alpha
+       |FROM ag""".stripMargin
+
+  // --- Heaps'-law fit of vocabulary growth ------------------------------------
+  //
+  // Heaps 1978: V(N) ≈ K·N^β — how fast the vocabulary grows with the
+  // corpus, the number that sizes every downstream dictionary, minhash
+  // universe, and tokenizer vocab as the corpus scales 100×. Ten prefix
+  // points by doc-id range (boundary_i = i·(max_id+1)/10 — id-range
+  // prefixes need NO global ordering window: each term contributes its
+  // min doc_id, each doc its token count, both bucketed by integer
+  // division and cumulated over a 10-row grid join), then the same
+  // fixed-point OLS as q_zipf_fit on (ln N_i, ln V_i). β is the Heaps
+  // exponent (~0.5 for natural text), intercept = ln K.
+
+  private def qHeapsFit(s: SparkSession, dir: String): DataFrame = {
+    val toks = sparkToks(s, dir)
+    val mx = t(s, dir, "documents").agg(max("doc_id").as("m"))
+    val tokBkt = toks.crossJoin(broadcast(mx))
+      .select(expr("((doc_id * 10) div (m + 1)) + 1").as("bkt"),
+        size(col("ts")).cast("long").as("ntok"))
+      .groupBy("bkt").agg(sum("ntok").as("toks"))
+    val termBkt = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("fo"))
+      .crossJoin(broadcast(mx))
+      .select(expr("((fo * 10) div (m + 1)) + 1").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("nv"))
+    val grid = s.range(1, 11).select(col("id").as("i"))
+    val nCum = grid.crossJoin(broadcast(tokBkt))
+      .filter(col("bkt") <= col("i"))
+      .groupBy("i").agg(sum("toks").as("nn"))
+    val vCum = grid.crossJoin(broadcast(termBkt))
+      .filter(col("bkt") <= col("i"))
+      .groupBy("i").agg(sum("nv").as("vv"))
+    val pts = nCum.join(vCum, "i")
+      .filter(col("nn") > 0 && col("vv") > 0)
+      .withColumn("lx", floor(log(col("nn").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("ly", floor(log(col("vv").cast("double")) * 1e6 + 0.5).cast("long"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum("lx").as("sx"), sum("ly").as("sy"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("lx") * col("lx")).as("sxx"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("n").as("n_points"),
+      Rounding.r(num / den, 4).as("beta"),
+      Rounding.r(
+        (col("sy").cast("double") / lit(1e6) -
+          num / den * (col("sx").cast("double") / lit(1e6))) /
+          col("n").cast("double"), 4).as("lnk"))
+  }
+
+  private val qHeapsFitSql = {
+    val num = "(n * sxy - sx * sy)::DOUBLE"
+    val den = "(n * sxx - sx * sx)::DOUBLE"
+    s"""WITH $TokensCte,
+       |mx AS (SELECT max(doc_id) AS m FROM documents),
+       |tokbkt AS (
+       |  SELECT ((doc_id * 10) // ((SELECT m FROM mx) + 1)) + 1 AS bkt,
+       |    CAST(sum(len(ts)) AS BIGINT) AS toks
+       |  FROM toks GROUP BY 1),
+       |termbkt AS (
+       |  SELECT ((fo * 10) // ((SELECT m FROM mx) + 1)) + 1 AS bkt,
+       |    CAST(count(*) AS BIGINT) AS nv
+       |  FROM (
+       |    SELECT t AS tok, min(doc_id) AS fo
+       |    FROM (SELECT doc_id, unnest(ts) AS t FROM toks) u GROUP BY 1) f
+       |  GROUP BY 1),
+       |grid AS (SELECT unnest(generate_series(1, 10)) AS i),
+       |ncum AS (
+       |  SELECT i, CAST(sum(toks) AS BIGINT) AS nn
+       |  FROM grid JOIN tokbkt ON bkt <= i GROUP BY 1),
+       |vcum AS (
+       |  SELECT i, CAST(sum(nv) AS BIGINT) AS vv
+       |  FROM grid JOIN termbkt ON bkt <= i GROUP BY 1),
+       |pts AS (
+       |  SELECT CAST(floor(ln(nn::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lx,
+       |    CAST(floor(ln(vv::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ly
+       |  FROM ncum JOIN vcum USING (i) WHERE nn > 0 AND vv > 0),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+       |    CAST(sum(lx * ly) AS BIGINT) AS sxy,
+       |    CAST(sum(lx * lx) AS BIGINT) AS sxx
+       |  FROM pts)
+       |SELECT n AS n_points,
+       |  ${Rounding.rSql(s"$num / $den", 4)} AS beta,
+       |  ${Rounding.rSql(
+          s"(sy::DOUBLE / 1e6 - $num / $den * (sx::DOUBLE / 1e6)) / n::DOUBLE", 4)} AS lnk
+       |FROM agg""".stripMargin
+  }
+
   // --- document fingerprint (rolling 4-gram hash, min-sampled) --------------
 
   private def qDocFingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -4859,6 +5041,9 @@ object TrainingDataQueries {
     "q_rbo" -> (qRbo _),
     "q_kappa" -> (qKappa _),
     "q_textrank_keywords" -> (qTextrankKeywords _),
+    "q_burstiness" -> (qBurstiness _),
+    "q_hill_tail" -> (qHillTail _),
+    "q_heaps_fit" -> (qHeapsFit _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_cluster_mix" -> (qClusterMix _),
@@ -4930,6 +5115,9 @@ object TrainingDataQueries {
     "q_rbo" -> qRboSql,
     "q_kappa" -> qKappaSql,
     "q_textrank_keywords" -> qTextrankKeywordsSql,
+    "q_burstiness" -> qBurstinessSql,
+    "q_hill_tail" -> qHillTailSql,
+    "q_heaps_fit" -> qHeapsFitSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_cluster_mix" -> qClusterMixSql,
