@@ -176,13 +176,10 @@ object ScaleQueries {
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, mfp))), t -> t.mfp)").as("c"))
 
-  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the fixed-point projection feeds init + both assignment
-    // passes + the centroid update
-    val fp = t(s, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
-      .persist()
+  /** One seeded Lloyd step: md5-lowest-k init → assign → update. The
+    * shared centroid table for q_kmeans and the silhouette audit.
+    */
+  private def kmCentroids(fp: DataFrame): DataFrame = {
     val seed = fp
       .withColumn("m", md5(col("vec_id").cast("string")))
       .orderBy("m", "vec_id").limit(KmK)
@@ -190,7 +187,17 @@ object ScaleQueries {
       .withColumn("cid",
         (row_number().over(Window.orderBy("m", "vec_id")) - 1).cast("long"))
       .select(col("cid"), col("x").as("c"))
-    val c2 = kmUpdate(kmAssign(fp, c1), fp)
+    kmUpdate(kmAssign(fp, c1), fp)
+  }
+
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the fixed-point projection feeds init + both assignment
+    // passes + the centroid update
+    val fp = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+      .persist()
+    val c2 = kmCentroids(fp)
     val a2 = kmAssign(fp, c2)
     val cl1 = c2.select(col("cid"),
       expr("aggregate(c, 0L, (acc, v) -> acc + abs(v))").as("c_l1"))
@@ -201,8 +208,11 @@ object ScaleQueries {
       .orderBy("cluster")
   }
 
-  private val qKmeansSql =
-    s"""WITH fp AS (
+  /** The shared CTE chain ending at the `c2` centroid table — prefix of
+    * q_kmeans and the silhouette audit's oracle.
+    */
+  private val KmCentroidCtes =
+    s"""fp AS (
        |  SELECT vec_id,
        |    list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT)) AS x
        |  FROM embeddings),
@@ -231,7 +241,10 @@ object ScaleQueries {
        |  SELECT cid, dim,
        |    CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS mfp
        |  FROM ex GROUP BY 1, 2),
-       |c2 AS (SELECT cid, list(mfp ORDER BY dim) AS c FROM cm GROUP BY 1),
+       |c2 AS (SELECT cid, list(mfp ORDER BY dim) AS c FROM cm GROUP BY 1)""".stripMargin
+
+  private val qKmeansSql =
+    s"""WITH $KmCentroidCtes,
        |a2 AS (
        |  SELECT f.vec_id,
        |    min(CAST(list_sum(list_transform(generate_series(1, len(f.x)),
@@ -246,6 +259,77 @@ object ScaleQueries {
        |  CAST(sum(a.dist) AS BIGINT) AS inertia, CAST(max(l.c_l1) AS BIGINT) AS c_l1
        |FROM a2d a JOIN l1 l ON a.cid = l.cid
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- centroid silhouette (internal cluster quality) -------------------------
+  //
+  // The label-free complement to q_cluster_eval's external Rand/ARI: for
+  // each vector, a = squared distance to its OWN centroid, b = min
+  // squared distance to any OTHER centroid, s = (b − a)/max(a, b) — the
+  // centroid (simplified) silhouette on squared distances, the O(N·k)
+  // variant every large-scale pipeline uses instead of the O(N²)
+  // pairwise original (full silhouette at 100 TB is a non-starter; the
+  // centroid form needs only the SAME broadcast-centroid pass k-means
+  // already runs). a and b are exact BIGINTs on the shared k-means
+  // centroid table; each s is one IEEE division, per-cluster means go
+  // through the fixed-point-sum discipline so partitioning can't move a
+  // tie. A cluster everyone sits deep inside → s near 1; overlapping
+  // centroids → s near 0 or negative.
+
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+      .persist()
+    val c2 = kmCentroids(fp)
+    // persisted: the per-(vec, centroid) distance table feeds both the
+    // own-cluster argmin and the other-cluster min
+    val dists = fp.crossJoin(broadcast(c2))
+      .withColumn("d",
+        expr("aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .select("vec_id", "cid", "d").persist()
+    val own = dists.groupBy("vec_id")
+      .agg(min(col("d") * lit(16L) + col("cid")).as("key"))
+      .select(col("vec_id"), expr("key div 16").as("a"),
+        (col("key") % 16).cast("long").as("own"))
+    val other = dists.join(own, "vec_id").filter(col("cid") =!= col("own"))
+      .groupBy("vec_id").agg(min("d").as("b"))
+    val sil = own.join(other, "vec_id")
+      .withColumn("sc",
+        when(greatest(col("a"), col("b")) === 0L, lit(0.0))
+          .otherwise((col("b") - col("a")).cast("double") /
+            greatest(col("a"), col("b")).cast("double")))
+    sil.groupBy("own")
+      .agg(count(lit(1)).as("n_vecs"), Rounding.fpSum(col("sc"), 1e6).as("ssum"))
+      .select(col("own").as("cluster"), col("n_vecs"),
+        Rounding.r(col("ssum") / col("n_vecs"), 6).as("mean_sil"))
+      .orderBy("cluster")
+  }
+
+  private val qSilhouetteSql =
+    s"""WITH $KmCentroidCtes,
+       |dd AS (
+       |  SELECT f.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(generate_series(1, len(f.x)),
+       |      i -> (f.x[i] - c.c[i]) * (f.x[i] - c.c[i]))) AS BIGINT) AS d
+       |  FROM fp f CROSS JOIN c2 c),
+       |onk AS (SELECT vec_id, min(d * 16 + cid) AS key FROM dd GROUP BY 1),
+       |ow AS (SELECT vec_id, key // 16 AS a, key % 16 AS own FROM onk),
+       |ot AS (
+       |  SELECT dd.vec_id, min(d) AS b
+       |  FROM dd JOIN ow ON dd.vec_id = ow.vec_id AND dd.cid <> ow.own
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT ow.own,
+       |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |      ELSE (b - a)::DOUBLE / greatest(a, b)::DOUBLE END AS sc
+       |  FROM ow JOIN ot USING (vec_id)),
+       |ag AS (
+       |  SELECT own, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    ${Rounding.fpSumSql("sc", "1e6")} AS ssum
+       |  FROM sc GROUP BY 1)
+       |SELECT CAST(own AS BIGINT) AS cluster, n_vecs,
+       |  ${Rounding.rSql("ssum / n_vecs", 6)} AS mean_sil
+       |FROM ag ORDER BY 1""".stripMargin
 
   // --- Gonzalez farthest-point k-center coreset selection --------------------
   //
@@ -620,6 +704,142 @@ object ScaleQueries {
        |  CAST(coalesce(m.md, -1) AS BIGINT) AS nearest_mutual
        |FROM bs LEFT JOIN m ON bs.id_a = m.id_a
        |ORDER BY 1""".stripMargin
+
+  // --- DBSCAN core/border/noise clustering ------------------------------------
+  //
+  // The density-based clustering family (Ester et al. 1996) the
+  // centroid methods can't replicate: clusters are maximal chains of
+  // eps-close CORE points (≥ MinPts neighbors), BORDER points attach to
+  // a neighboring core's cluster, the rest is NOISE — the natural
+  // degrade-gracefully dedup-cluster model (no forced k, outliers stay
+  // out). Scale shape: neighborhoods come from the band-amplified LSH
+  // candidate join (sub-quadratic — documented recall caveat shared
+  // with the whole LSH family), eps² is DATA-ADAPTIVE (the lowest-decile
+  // candidate distance — an integer picked by rank, so both engines
+  // agree exactly), core chaining reuses the battery's
+  // pointer-jumping connected components seeded from EVERY core point
+  // (isolated cores self-label), and border assignment is one
+  // min-label join. Everything that crosses rows is an exact BIGINT.
+  // Output: one row per cluster (n_core, n_other = border count) plus
+  // the -1 row whose n_other is the NOISE count.
+
+  private val DbMinPts = 3
+
+  private def qDbscan(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = TrainingDataQueries.bandSigs(s, dir).persist()
+    val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("band"), col("sig"))
+    val pairs = a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("ea").as("ea"), first("eb").as("eb"))
+      .withColumn("dist", expr("graft_l2q(ea, eb)"))
+      .select("id_a", "id_b", "dist").persist()
+    val np = pairs.agg(count(lit(1)).as("np"))
+    val eps = pairs.withColumn("rk", row_number().over(
+        Window.orderBy(col("dist"), col("id_a"), col("id_b"))))
+      .crossJoin(broadcast(np))
+      .filter(col("rk") <= greatest(lit(1L), expr("np div 10")))
+      .agg(max("dist").as("eps2"))
+    val ep = pairs.crossJoin(broadcast(eps))
+      .filter(col("dist") <= col("eps2"))
+      .select("id_a", "id_b").persist()
+    val nbr = ep.select(col("id_a").as("node"), col("id_b").as("nb"))
+      .unionByName(ep.select(col("id_b").as("node"), col("id_a").as("nb")))
+    val core = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= DbMinPts).select("node").persist()
+    val coreEdges = ep
+      .join(core.select(col("node").as("id_a")), "id_a")
+      .join(core.select(col("node").as("id_b")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val cc = TrainingDataQueries.connectedComponents(coreEdges)
+    val labels = cc.unionByName(
+      core.join(cc.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("label")))
+    val border = nbr
+      .join(core.select(col("node").as("nb")), "nb")
+      .join(core, Seq("node"), "left_anti")
+      .join(labels.select(col("node").as("nb"), col("label")), "nb")
+      .groupBy("node").agg(min("label").as("label"))
+    val clusters = labels.select(col("label"), lit(1L).as("is_core"))
+      .unionByName(border.select(col("label"), lit(0L).as("is_core")))
+      .groupBy("label")
+      .agg(sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_other"))
+      .select(col("label").as("cluster_rep"), col("n_core"), col("n_other"))
+    val nv = t(s, dir, "embeddings").agg(count(lit(1)).as("nv"))
+    val na = labels.select("node").unionByName(border.select("node"))
+      .agg(count(lit(1)).as("na"))
+    val noise = nv.crossJoin(broadcast(na))
+      .select(lit(-1L).as("cluster_rep"), lit(0L).as("n_core"),
+        (col("nv") - col("na")).as("n_other"))
+    clusters.unionByName(noise).orderBy("cluster_rep")
+  }
+
+  private val qDbscanSql = {
+    val l2q =
+      """CAST(list_sum(list_transform(generate_series(1, len(ea)), i ->
+        |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+        |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)) *
+        |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+        |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)))) AS BIGINT)""".stripMargin
+    s"""WITH RECURSIVE ${TrainingDataQueries.BandSigsCte},
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    any_value(a.e) AS ea, any_value(b.e) AS eb
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |pd AS (SELECT id_a, id_b, $l2q AS dist FROM pr),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pd),
+       |rk AS (
+       |  SELECT dist, row_number() OVER (ORDER BY dist, id_a, id_b) AS rk
+       |  FROM pd),
+       |ee AS (
+       |  SELECT max(dist) AS eps2 FROM rk
+       |  WHERE rk <= greatest(1, (SELECT np FROM np) // 10)),
+       |ep AS (
+       |  SELECT id_a, id_b FROM pd WHERE dist <= (SELECT eps2 FROM ee)),
+       |nbr AS (
+       |  SELECT id_a AS node, id_b AS nb FROM ep
+       |  UNION ALL SELECT id_b, id_a FROM ep),
+       |core AS (
+       |  SELECT node FROM (SELECT node, count(*) AS deg FROM nbr GROUP BY 1) d
+       |  WHERE deg >= $DbMinPts),
+       |ce AS (
+       |  SELECT e.id_a AS src, e.id_b AS dst
+       |  FROM ep e JOIN core ca ON e.id_a = ca.node
+       |  JOIN core cb ON e.id_b = cb.node),
+       |sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM core
+       |  UNION
+       |  SELECT sym.src, reach.lab FROM sym JOIN reach ON sym.dst = reach.node),
+       |labels AS (SELECT node, min(lab) AS label FROM reach GROUP BY 1),
+       |border AS (
+       |  SELECT n.node, min(l.label) AS label
+       |  FROM nbr n JOIN core c ON n.nb = c.node
+       |  LEFT JOIN core c2 ON n.node = c2.node
+       |  JOIN labels l ON n.nb = l.node
+       |  WHERE c2.node IS NULL
+       |  GROUP BY 1),
+       |cl AS (
+       |  SELECT label, CAST(sum(is_core) AS BIGINT) AS n_core,
+       |    CAST(sum(1 - is_core) AS BIGINT) AS n_other
+       |  FROM (SELECT label, 1 AS is_core FROM labels
+       |    UNION ALL SELECT label, 0 FROM border) u
+       |  GROUP BY 1),
+       |nz AS (
+       |  SELECT (SELECT count(*) FROM embeddings) -
+       |    ((SELECT count(*) FROM labels) + (SELECT count(*) FROM border)) AS nn)
+       |SELECT CAST(label AS BIGINT) AS cluster_rep, n_core, n_other FROM cl
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(nn AS BIGINT) FROM nz
+       |ORDER BY cluster_rep""".stripMargin
+  }
 
   // --- 2-D skyline (Pareto front) ---------------------------------------------
   //
@@ -2051,6 +2271,8 @@ object ScaleQueries {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_shard_plan" -> (qShardPlan _),
     "q_mutual_knn" -> (qMutualKnn _),
+    "q_silhouette" -> (qSilhouette _),
+    "q_dbscan" -> (qDbscan _),
     "q_skyline" -> (qSkyline _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_entropy_filter" -> (qEntropyFilter _),
@@ -2084,6 +2306,8 @@ object ScaleQueries {
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_shard_plan" -> qShardPlanSql,
     "q_mutual_knn" -> qMutualKnnSql,
+    "q_silhouette" -> qSilhouetteSql,
+    "q_dbscan" -> qDbscanSql,
     "q_skyline" -> qSkylineSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_entropy_filter" -> qEntropyFilterSql,

@@ -549,7 +549,7 @@ object TrainingDataQueries {
     * resets the plan to the materialized rows (the standard discipline
     * for iterative DataFrame algorithms).
     */
-  private def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  private[queries] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -2027,10 +2027,13 @@ object TrainingDataQueries {
   // report card for an approximate retriever, completing the eval family
   // next to the recall audits (q_ann_recall/q_lsh_recall/q_pq_recall
   // measure SET overlap; nDCG measures ORDER). Ground truth: the exact
-  // integer-dot top-K (2^20 fixed-point embeddings — exact BIGINT
-  // arithmetic), graded gains 2^(K−r+1)−1. System under test: the SQ8
-  // code-space ranking (integer code dot product — the cheap first pass
-  // a serving tier runs corpus-wide before exact rescoring). The log2
+  // squared-L2 top-K (2^20 fixed-point embeddings — exact BIGINT
+  // arithmetic, ascending), graded gains 2^(K−r+1)−1. System under
+  // test: the SQ8 ADC ranking — ascending code-space squared L2, the
+  // cheap first pass a serving tier runs corpus-wide before exact
+  // rescoring (codes are per-dim range-normalized — the Faiss QT_8bit
+  // symmetric-distance assumption — so the audit measures exactly the
+  // rank damage that normalization plus 8-bit rounding costs). The log2
   // discount table is generated ONCE on the driver and embedded as
   // identical literals in BOTH engines, so the metric needs no
   // cross-engine transcendentals: every DCG is an exact BIGINT sum of
@@ -2056,10 +2059,10 @@ object TrainingDataQueries {
     val qv = fp.filter(col("vec_id") === 0L).select(col("x").as("qx"))
     val truth = fp.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
       .withColumn("rel",
-        expr("aggregate(zip_with(x, qx, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
-      .orderBy(col("rel").desc, col("vec_id")).limit(NdcgK)
+        expr("aggregate(zip_with(x, qx, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .orderBy(col("rel"), col("vec_id")).limit(NdcgK)
       .withColumn("tr",
-        row_number().over(Window.orderBy(col("rel").desc, col("vec_id"))))
+        row_number().over(Window.orderBy(col("rel"), col("vec_id"))))
       .select(col("vec_id"),
         expr(s"shiftleft(CAST(1 AS BIGINT), ${NdcgK + 1} - tr) - 1").as("gain"))
     val ev = t(s, dir, "embeddings")
@@ -2076,10 +2079,12 @@ object TrainingDataQueries {
       .select(col("dim"), col("code").as("qcode"))
     val approx = codes.filter(col("vec_id") =!= 0L)
       .join(broadcast(qc), "dim")
-      .groupBy("vec_id").agg(sum(col("code") * col("qcode")).as("ascore"))
-      .orderBy(col("ascore").desc, col("vec_id")).limit(NdcgK)
+      .groupBy("vec_id")
+      .agg(sum((col("code") - col("qcode")) * (col("code") - col("qcode")))
+        .as("ascore"))
+      .orderBy(col("ascore"), col("vec_id")).limit(NdcgK)
       .withColumn("ar",
-        row_number().over(Window.orderBy(col("ascore").desc, col("vec_id"))))
+        row_number().over(Window.orderBy(col("ascore"), col("vec_id"))))
     val disc = s.createDataFrame(
       NdcgDiscFp.zipWithIndex.map { case (d, i) => (i + 1, d) }).toDF("ar", "disc_fp")
     val cuts = s.createDataFrame(
@@ -2109,11 +2114,12 @@ object TrainingDataQueries {
        |q AS (SELECT x AS qx FROM fp WHERE vec_id = 0),
        |rel AS (
        |  SELECT vec_id,
-       |    CAST(list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * qx[i])) AS BIGINT) AS rel
+       |    CAST(list_sum(list_transform(generate_series(1, len(x)),
+       |      i -> (x[i] - qx[i]) * (x[i] - qx[i]))) AS BIGINT) AS rel
        |  FROM fp, q WHERE vec_id <> 0),
        |truth AS (
-       |  SELECT vec_id, row_number() OVER (ORDER BY rel DESC, vec_id) AS tr
-       |  FROM (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $NdcgK)),
+       |  SELECT vec_id, row_number() OVER (ORDER BY rel, vec_id) AS tr
+       |  FROM (SELECT * FROM rel ORDER BY rel, vec_id LIMIT $NdcgK)),
        |gains AS (
        |  SELECT vec_id, (1::BIGINT << (${NdcgK + 1} - tr)) - 1 AS gain FROM truth),
        |ev AS (
@@ -2130,11 +2136,12 @@ object TrainingDataQueries {
        |  FROM ev e JOIN st s USING (dim)),
        |qc AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
        |approx AS (
-       |  SELECT c.vec_id, CAST(sum(c.code * q.qcode) AS BIGINT) AS ascore
+       |  SELECT c.vec_id,
+       |    CAST(sum((c.code - q.qcode) * (c.code - q.qcode)) AS BIGINT) AS ascore
        |  FROM codes c JOIN qc q USING (dim) WHERE c.vec_id <> 0 GROUP BY 1),
        |ranked AS (
-       |  SELECT vec_id, row_number() OVER (ORDER BY ascore DESC, vec_id) AS ar
-       |  FROM (SELECT * FROM approx ORDER BY ascore DESC, vec_id LIMIT $NdcgK)),
+       |  SELECT vec_id, row_number() OVER (ORDER BY ascore, vec_id) AS ar
+       |  FROM (SELECT * FROM approx ORDER BY ascore, vec_id LIMIT $NdcgK)),
        |disc(ar, disc_fp) AS (VALUES $discValues),
        |cuts(k, idcg_fp) AS (VALUES $cutValues),
        |j AS (
@@ -2246,8 +2253,8 @@ object TrainingDataQueries {
   // whole metric is ONE inner join of the two top-K lists against a
   // driver-generated cumulative-weight literal table (×1e12 fixed
   // point), summed as exact BIGINTs. No cross-engine pow() at query
-  // time. Lists: the exact integer-dot ranking vs the SQ8 code-space
-  // ranking (the cheap serving-tier first pass q_ndcg_eval grades).
+  // time. Lists: the exact squared-L2 ranking vs the SQ8 ADC
+  // (code-space L2) ranking — the same pair q_ndcg_eval grades.
 
   private val RboK = 10
   private val RboP = 0.9
@@ -2264,10 +2271,10 @@ object TrainingDataQueries {
     val qv = fp.filter(col("vec_id") === 0L).select(col("x").as("qx"))
     val exact = fp.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
       .withColumn("rel",
-        expr("aggregate(zip_with(x, qx, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
-      .orderBy(col("rel").desc, col("vec_id")).limit(RboK)
+        expr("aggregate(zip_with(x, qx, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .orderBy(col("rel"), col("vec_id")).limit(RboK)
       .withColumn("ra",
-        row_number().over(Window.orderBy(col("rel").desc, col("vec_id"))))
+        row_number().over(Window.orderBy(col("rel"), col("vec_id"))))
       .select("vec_id", "ra")
     val ev = t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")))
@@ -2283,10 +2290,12 @@ object TrainingDataQueries {
       .select(col("dim"), col("code").as("qcode"))
     val approx = codes.filter(col("vec_id") =!= 0L)
       .join(broadcast(qc), "dim")
-      .groupBy("vec_id").agg(sum(col("code") * col("qcode")).as("ascore"))
-      .orderBy(col("ascore").desc, col("vec_id")).limit(RboK)
+      .groupBy("vec_id")
+      .agg(sum((col("code") - col("qcode")) * (col("code") - col("qcode")))
+        .as("ascore"))
+      .orderBy(col("ascore"), col("vec_id")).limit(RboK)
       .withColumn("rb",
-        row_number().over(Window.orderBy(col("ascore").desc, col("vec_id"))))
+        row_number().over(Window.orderBy(col("ascore"), col("vec_id"))))
       .select("vec_id", "rb")
     val wcum = s.createDataFrame(
       RboWcumFp.zipWithIndex.map { case (w, i) => (i + 1, w) }).toDF("m", "wcum_fp")
@@ -2309,11 +2318,12 @@ object TrainingDataQueries {
        |q AS (SELECT x AS qx FROM fp WHERE vec_id = 0),
        |rel AS (
        |  SELECT vec_id,
-       |    CAST(list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * qx[i])) AS BIGINT) AS rel
+       |    CAST(list_sum(list_transform(generate_series(1, len(x)),
+       |      i -> (x[i] - qx[i]) * (x[i] - qx[i]))) AS BIGINT) AS rel
        |  FROM fp, q WHERE vec_id <> 0),
        |exact AS (
-       |  SELECT vec_id, row_number() OVER (ORDER BY rel DESC, vec_id) AS ra
-       |  FROM (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $RboK)),
+       |  SELECT vec_id, row_number() OVER (ORDER BY rel, vec_id) AS ra
+       |  FROM (SELECT * FROM rel ORDER BY rel, vec_id LIMIT $RboK)),
        |ev AS (
        |  SELECT vec_id, u.d AS dim, u.v::DOUBLE AS v FROM (
        |    SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
@@ -2328,11 +2338,12 @@ object TrainingDataQueries {
        |  FROM ev e JOIN st s USING (dim)),
        |qc AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
        |ap AS (
-       |  SELECT c.vec_id, CAST(sum(c.code * q.qcode) AS BIGINT) AS ascore
+       |  SELECT c.vec_id,
+       |    CAST(sum((c.code - q.qcode) * (c.code - q.qcode)) AS BIGINT) AS ascore
        |  FROM codes c JOIN qc q USING (dim) WHERE c.vec_id <> 0 GROUP BY 1),
        |approx AS (
-       |  SELECT vec_id, row_number() OVER (ORDER BY ascore DESC, vec_id) AS rb
-       |  FROM (SELECT * FROM ap ORDER BY ascore DESC, vec_id LIMIT $RboK)),
+       |  SELECT vec_id, row_number() OVER (ORDER BY ascore, vec_id) AS rb
+       |  FROM (SELECT * FROM ap ORDER BY ascore, vec_id LIMIT $RboK)),
        |wcum(m, wcum_fp) AS (VALUES $wcumValues),
        |j AS (
        |  SELECT w.wcum_fp
@@ -2343,6 +2354,116 @@ object TrainingDataQueries {
        |  ${Rounding.rSql("coalesce(CAST(sum(wcum_fp) AS BIGINT), 0)::DOUBLE / 1e12", 6)} AS rbo
        |FROM j""".stripMargin
   }
+
+  // --- average precision + MRR of the SQ8 ranking ------------------------------
+  //
+  // The binary-relevance ranking metrics completing the eval family
+  // (q_ndcg_eval = graded order, q_rbo = list agreement, this = binary
+  // order): relevance = membership in the exact squared-L2 top-K;
+  // system under test = the SQ8 ADC (code-space L2) top-K. AP@K is the
+  // mean of
+  // precision-at-each-hit — P@pos = hits_so_far/pos, a small rational
+  // that fix-points at 1e9 PER HIT so the sum is an exact BIGINT
+  // regardless of aggregation order; MRR is one reciprocal of the first
+  // hit's rank. All ranking math runs on ≤ K rows after two TakeOrdered
+  // corpus passes (shared shape with q_ndcg_eval/q_rbo).
+
+  private def qApEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))").as("x"))
+    val qv = fp.filter(col("vec_id") === 0L).select(col("x").as("qx"))
+    val exact = fp.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("rel",
+        expr("aggregate(zip_with(x, qx, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .orderBy(col("rel"), col("vec_id")).limit(RboK)
+      .select("vec_id")
+    val ev = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+    val st = ev.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val codes = ev.join(broadcast(st), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))).cast("long"))))
+          .as("code"))
+    val qc = codes.filter(col("vec_id") === 0L)
+      .select(col("dim"), col("code").as("qcode"))
+    val approx = codes.filter(col("vec_id") =!= 0L)
+      .join(broadcast(qc), "dim")
+      .groupBy("vec_id")
+      .agg(sum((col("code") - col("qcode")) * (col("code") - col("qcode")))
+        .as("ascore"))
+      .orderBy(col("ascore"), col("vec_id")).limit(RboK)
+      .withColumn("rb",
+        row_number().over(Window.orderBy(col("ascore"), col("vec_id"))))
+      .select("vec_id", "rb")
+    val hits = approx.join(exact, "vec_id")
+      .withColumn("h", row_number().over(Window.orderBy("rb")))
+      .withColumn("c",
+        floor(col("h").cast("double") / col("rb").cast("double") * 1e9 + 0.5)
+          .cast("long"))
+    hits.agg(count(lit(1)).as("n_hits"),
+        coalesce(sum("c"), lit(0L)).as("apsum"),
+        coalesce(min("rb"), lit(0)).as("first"))
+      .select(lit(RboK.toLong).as("n_rel"), col("n_hits"),
+        Rounding.r(col("apsum").cast("double") / lit(RboK.toDouble) / lit(1e9), 6)
+          .as("ap"),
+        when(col("first") > 0,
+          Rounding.r(lit(1.0) / col("first").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mrr"))
+  }
+
+  private val qApEvalSql =
+    s"""WITH fp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT)) AS x
+       |  FROM embeddings),
+       |q AS (SELECT x AS qx FROM fp WHERE vec_id = 0),
+       |rel AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(x)),
+       |      i -> (x[i] - qx[i]) * (x[i] - qx[i]))) AS BIGINT) AS rel
+       |  FROM fp, q WHERE vec_id <> 0),
+       |exact AS (SELECT vec_id FROM rel ORDER BY rel, vec_id LIMIT $RboK),
+       |ev AS (
+       |  SELECT vec_id, u.d AS dim, u.v::DOUBLE AS v FROM (
+       |    SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
+       |      i -> {'d': i - 1, 'v': embedding[i]})) AS u
+       |    FROM embeddings) z),
+       |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id, e.dim,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |      ELSE least(255, greatest(0,
+       |        CAST(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT))) END AS code
+       |  FROM ev e JOIN st s USING (dim)),
+       |qc AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
+       |ap0 AS (
+       |  SELECT c.vec_id,
+       |    CAST(sum((c.code - q.qcode) * (c.code - q.qcode)) AS BIGINT) AS ascore
+       |  FROM codes c JOIN qc q USING (dim) WHERE c.vec_id <> 0 GROUP BY 1),
+       |approx AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY ascore, vec_id) AS rb
+       |  FROM (SELECT * FROM ap0 ORDER BY ascore, vec_id LIMIT $RboK)),
+       |hits AS (
+       |  SELECT rb, row_number() OVER (ORDER BY rb) AS h
+       |  FROM approx JOIN exact USING (vec_id)),
+       |hc AS (
+       |  SELECT rb, CAST(floor(h::DOUBLE / rb::DOUBLE * 1e9 + 0.5) AS BIGINT) AS c
+       |  FROM hits),
+       |ag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits,
+       |    coalesce(CAST(sum(c) AS BIGINT), 0) AS apsum,
+       |    coalesce(min(rb), 0) AS first
+       |  FROM hc)
+       |SELECT CAST($RboK AS BIGINT) AS n_rel, n_hits,
+       |  ${Rounding.rSql(s"apsum::DOUBLE / $RboK.0 / 1e9", 6)} AS ap,
+       |  CASE WHEN first > 0
+       |    THEN ${Rounding.rSql("1.0 / first::DOUBLE", 6)}
+       |    ELSE 0.0 END AS mrr
+       |FROM ag""".stripMargin
 
   // --- ANN: IVF-PQ composed (the IVFADC oracle) ------------------------------
   //
@@ -5039,6 +5160,7 @@ object TrainingDataQueries {
     "q_jl_project" -> (qJlProject _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_rbo" -> (qRbo _),
+    "q_ap_eval" -> (qApEval _),
     "q_kappa" -> (qKappa _),
     "q_textrank_keywords" -> (qTextrankKeywords _),
     "q_burstiness" -> (qBurstiness _),
@@ -5113,6 +5235,7 @@ object TrainingDataQueries {
     "q_jl_project" -> qJlProjectSql,
     "q_zipf_fit" -> qZipfFitSql,
     "q_rbo" -> qRboSql,
+    "q_ap_eval" -> qApEvalSql,
     "q_kappa" -> qKappaSql,
     "q_textrank_keywords" -> qTextrankKeywordsSql,
     "q_burstiness" -> qBurstinessSql,

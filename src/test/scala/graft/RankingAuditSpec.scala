@@ -30,6 +30,29 @@ class RankingAuditSpec extends AnyFunSuite {
     s
   }
 
+  private def l2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  // SQ8 codes trained on ALL vectors (query included), per-dim
+  private lazy val sq8: (Long, Int) => Long = {
+    val d = raw.values.head.length
+    val mn = (0 until d).map(j => raw.values.map(_(j)).min)
+    val mx = (0 until d).map(j => raw.values.map(_(j)).max)
+    (id, j) =>
+      if (mx(j) == mn(j)) 0L
+      else math.min(255L, math.max(0L,
+        math.floor((raw(id)(j) - mn(j)) * 255.0 / (mx(j) - mn(j))).toLong))
+  }
+
+  /** Code-space squared L2 to the query (vec 0). */
+  private def codeL2(id: Long): Long = {
+    val d = raw.values.head.length
+    (0 until d).map { j => val x = sq8(id, j) - sq8(0L, j); x * x }.sum
+  }
+
   // --- q_ndcg_eval: full in-memory recompute ---------------------------------
 
   test("ndcg eval matches an in-memory exact-vs-SQ8 recompute") {
@@ -37,23 +60,14 @@ class RankingAuditSpec extends AnyFunSuite {
     val discFp = (1 to K).map(r =>
       math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
     def gain(r: Int): Long = (1L << (K - r + 1)) - 1
-    // ground truth: exact fixed-point dot to query vec 0
+    // ground truth: exact fixed-point squared L2 to query vec 0, ascending
     val qx = fp(0L)
-    val truth = fp.collect { case (id, x) if id != 0L => id -> dot(x, qx) }
-      .toSeq.sortBy { case (id, rel) => (-rel, id) }.take(K)
+    val truth = fp.collect { case (id, x) if id != 0L => id -> l2(x, qx) }
+      .toSeq.sortBy { case (id, rel) => (rel, id) }.take(K)
       .zipWithIndex.map { case ((id, _), i) => id -> gain(i + 1) }.toMap
-    // SQ8 codes trained on ALL vectors (query included)
-    val d = raw.values.head.length
-    val mn = (0 until d).map(j => raw.values.map(_(j)).min)
-    val mx = (0 until d).map(j => raw.values.map(_(j)).max)
-    def code(id: Long, j: Int): Long =
-      if (mx(j) == mn(j)) 0L
-      else math.min(255L, math.max(0L,
-        math.floor((raw(id)(j) - mn(j)) * 255.0 / (mx(j) - mn(j))).toLong))
-    val qc = (0 until d).map(code(0L, _)).toArray
-    val approx = raw.keys.filter(_ != 0L).map { id =>
-      id -> (0 until d).map(j => code(id, j) * qc(j)).sum }.toSeq
-      .sortBy { case (id, a) => (-a, id) }.take(K)
+    // system under test: the SQ8 ADC (code-space L2) ranking, ascending
+    val approx = raw.keys.filter(_ != 0L).map(id => id -> codeL2(id)).toSeq
+      .sortBy { case (id, a) => (a, id) }.take(K)
     val expect = Seq(1, 5, 10).map { k =>
       val dcg = approx.take(k).zipWithIndex.map { case ((id, _), i) =>
         truth.getOrElse(id, 0L) * discFp(i) }.sum
@@ -149,20 +163,11 @@ class RankingAuditSpec extends AnyFunSuite {
       math.floor((1 - p) / p * math.pow(p, d) / d * 1e12).toLong)
     val wcum = (1 to K).map(m => wFp.drop(m - 1).sum)
     val qx = fp(0L)
-    val exact = fp.collect { case (id, x) if id != 0L => id -> dot(x, qx) }
-      .toSeq.sortBy { case (id, r) => (-r, id) }.take(K)
+    val exact = fp.collect { case (id, x) if id != 0L => id -> l2(x, qx) }
+      .toSeq.sortBy { case (id, r) => (r, id) }.take(K)
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
-    val d = raw.values.head.length
-    val mn = (0 until d).map(j => raw.values.map(_(j)).min)
-    val mx = (0 until d).map(j => raw.values.map(_(j)).max)
-    def code(id: Long, j: Int): Long =
-      if (mx(j) == mn(j)) 0L
-      else math.min(255L, math.max(0L,
-        math.floor((raw(id)(j) - mn(j)) * 255.0 / (mx(j) - mn(j))).toLong))
-    val qc = (0 until d).map(code(0L, _))
-    val approx = raw.keys.filter(_ != 0L).map { id =>
-      id -> (0 until d).map(j => code(id, j) * qc(j)).sum }.toSeq
-      .sortBy { case (id, a) => (-a, id) }.take(K)
+    val approx = raw.keys.filter(_ != 0L).map(id => id -> codeL2(id)).toSeq
+      .sortBy { case (id, a) => (a, id) }.take(K)
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
     val common = exact.keySet & approx.keySet
     val rboFp = common.toSeq
@@ -175,6 +180,32 @@ class RankingAuditSpec extends AnyFunSuite {
     // prefix RBO is bounded by the full cumulative weight from rank 1
     assert(got._2 <= wcum.head * K, "rbo_fp exceeds its structural bound")
     assert(got._3 >= 0.0 && got._3 <= 1.0)
+  }
+
+  // --- q_ap_eval: in-memory average-precision recompute -----------------------
+
+  test("ap/mrr match an in-memory precision-at-hit recompute") {
+    val K = 10
+    val qx = fp(0L)
+    val exact = fp.collect { case (id, x) if id != 0L => id -> l2(x, qx) }
+      .toSeq.sortBy { case (id, r) => (r, id) }.take(K).map(_._1).toSet
+    val approx = raw.keys.filter(_ != 0L).map(id => id -> codeL2(id)).toSeq
+      .sortBy { case (id, a) => (a, id) }.take(K)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }
+    val hitRanks = approx.collect { case (id, rb) if exact(id) => rb }.sorted
+    val apsum = hitRanks.zipWithIndex.map { case (rb, i) =>
+      math.floor((i + 1).toDouble / rb.toDouble * 1e9 + 0.5).toLong }.sum
+    val ap = math.floor(apsum.toDouble / K.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    val mrr =
+      if (hitRanks.isEmpty) 0.0
+      else math.floor(1.0 / hitRanks.head.toDouble * 1e6 + 0.5) / 1e6
+    val got = run("q_ap_eval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .head
+    assert(got === ((K.toLong, hitRanks.size.toLong, ap, mrr)),
+      "q_ap_eval diverges from the recompute")
+    // AP is bounded by recall@K: ap <= n_hits / K
+    assert(got._3 <= got._2.toDouble / K + 1e-9)
   }
 
   // --- q_kappa: in-memory contingency recompute -------------------------------
