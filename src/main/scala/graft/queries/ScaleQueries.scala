@@ -2262,6 +2262,343 @@ object ScaleQueries {
        |    AS n_round2
        |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- AMS tug-of-war F2 sketch (join-size estimation) -----------------------
+  //
+  // Alon–Matias–Szegedy's second-frequency-moment estimator — the
+  // sketch a distributed planner consults before committing to a
+  // self-join: F2 = Σ tf² of a join key IS the key-equi self-join's
+  // output cardinality, and the tug-of-war sketch estimates it from S
+  // counters instead of the full frequency vector. Each counter is
+  // Σ_terms sgn(term, s)·tf with a deterministic ±1 hash sign — a plain
+  // algebraic SUM, so the sketch partial-aggregates map-side and merges
+  // by elementwise addition (the property that lets 1000 executors each
+  // fold their shard and ship S longs). The estimate is the LOWER MEDIAN
+  // of the S counter squares (an integer rank-pick both engines agree
+  // on exactly — no averaging float). This query reports the sketch
+  // AGAINST the exact F2 from the same term table so the estimate's
+  // error is itself oracle-checked. Scale notes: the sketch side needs
+  // no tf materialization at all at 100 TB (fold sgn·1 per occurrence);
+  // here the term table is reused for the exact twin. Counter squares
+  // stay far below 2^63 while |counter| ≲ √F2 ≪ 3·10⁹ — beyond that the
+  // counters (not the corpus) move to 128-bit, still S values.
+
+  private val AmsS = 16
+
+  private def sid7(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  private val ScaleTokensCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  private def qAmsSketch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tf = t(s, dir, "documents")
+      .select(explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    val exact = tf.agg(count(lit(1)).as("n_terms"),
+      sum("tf").as("f1"), sum(col("tf") * col("tf")).as("f2_exact"))
+    val ctr = tf
+      .select(col("tok"), col("tf"),
+        explode(expr(s"sequence(0, ${AmsS - 1})")).as("sk"))
+      .withColumn("sgn",
+        pmod(sid7(concat(col("tok"), lit(":"), col("sk").cast("string"))),
+          lit(2L)) * 2L - 1L)
+      .groupBy("sk").agg(sum(col("sgn") * col("tf")).as("c"))
+    val med = ctr
+      .withColumn("rk", row_number().over(
+        Window.orderBy((col("c") * col("c")).asc, col("sk"))))
+      .filter(col("rk") === AmsS / 2)
+      .select((col("c") * col("c")).as("f2_est"))
+    exact.crossJoin(broadcast(med))
+      .select(col("n_terms"), col("f1"), col("f2_exact"), col("f2_est"),
+        floor(abs(col("f2_est") - col("f2_exact")) * lit(1e6) / col("f2_exact"))
+          .cast("long").as("err_ppm"))
+  }
+
+  private val qAmsSketchSql =
+    s"""WITH $ScaleTokensCte,
+       |tf AS (
+       |  SELECT tok, count(*) AS tf
+       |  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(tf) AS BIGINT) AS f1,
+       |    CAST(sum(tf * tf) AS BIGINT) AS f2_exact
+       |  FROM tf),
+       |ctr AS (
+       |  SELECT sk,
+       |    CAST(sum(((('0x' || substr(md5(tok || ':' || CAST(sk AS VARCHAR)), 1, 7))::BIGINT
+       |      % 2) * 2 - 1) * tf) AS BIGINT) AS c
+       |  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, ${AmsS - 1})) AS sk) s
+       |  GROUP BY 1),
+       |md AS (
+       |  SELECT c * c AS f2_est FROM (
+       |    SELECT c, sk, row_number() OVER (ORDER BY c * c, sk) AS rk FROM ctr)
+       |  WHERE rk = ${AmsS / 2})
+       |SELECT n_terms, f1, f2_exact, f2_est,
+       |  CAST(floor(abs(f2_est - f2_exact) * 1e6 / f2_exact) AS BIGINT) AS err_ppm
+       |FROM ex CROSS JOIN md""".stripMargin
+
+  // --- Benford first-digit audit ----------------------------------------------
+  //
+  // Corpus forensics: natural size distributions follow Benford's law
+  // (P(first digit = d) = log10(1 + 1/d)); synthetic, truncated, or
+  // templated populations don't — a cheap fabrication/pipeline-bug
+  // detector over any positive magnitude column. The Benford shares are
+  // TRANSCENDENTAL, so (house discipline, same as q_ndcg_eval's log2
+  // table) they enter BOTH plans as driver-computed fixed-point
+  // literals — the engines never evaluate log10. Observed shares are
+  // exact integer divisions at parts-per-billion. One narrow projection
+  // + a 9-group aggregate; the digit table is a 9-row literal join, so
+  // zero-count digits still report.
+
+  private val BenfordPpb: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e9).toLong)
+
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val bt = s.range(1)
+      .select(explode(expr("array(" + BenfordPpb.map { case (d, f) =>
+        s"struct($d AS digit, ${f}L AS benford_ppb)"
+      }.mkString(",") + ")")).as("b"))
+      .select(col("b.digit").as("digit"), col("b.benford_ppb").as("benford_ppb"))
+    val counts = t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(substring(col("n_chars").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum("n_obs").as("n_total"))
+    bt.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppb", expr("(n_obs * 1000000000L) div n_total"))
+      .select(col("digit"), col("n_obs"), col("share_ppb"), col("benford_ppb"),
+        abs(col("share_ppb") - col("benford_ppb")).as("dev_ppb"))
+      .orderBy("digit")
+  }
+
+  private val qBenfordSql = {
+    val vals = BenfordPpb.map { case (d, f) => s"($d, $f)" }.mkString(", ")
+    s"""WITH b(digit, benford_ppb) AS (VALUES $vals),
+       |c AS (
+       |  SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    count(*) AS n_obs
+       |  FROM documents WHERE n_chars > 0 GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c)
+       |SELECT b.digit,
+       |  CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+       |  CAST((coalesce(c.n_obs, 0) * 1000000000) // n_total AS BIGINT) AS share_ppb,
+       |  CAST(b.benford_ppb AS BIGINT) AS benford_ppb,
+       |  CAST(abs((coalesce(c.n_obs, 0) * 1000000000) // n_total - b.benford_ppb)
+       |    AS BIGINT) AS dev_ppb
+       |FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN t
+       |ORDER BY b.digit""".stripMargin
+  }
+
+  // --- largest-remainder quota allocation -------------------------------------
+  //
+  // Hamilton apportionment of a fixed global sample budget across
+  // (lang, source) strata — the exact-integer answer to "give every
+  // stratum its proportional share of B docs, and make the total come
+  // out to EXACTLY B". floor(n·B/N) per stratum plus one extra for the
+  // L = B − Σfloor largest fractional remainders (ties broken by
+  // stratum key, so both engines pick the same winners). The guarantee
+  // the naive round() lacks: Σ alloc = B always, and every stratum is
+  // within 1 of its real quota. Plan: one grain aggregate, two 1-row
+  // broadcasts, one window over the STRATA table (bounded by the grain
+  // cardinality, never the corpus — the only unpartitioned window here
+  // sorts |langs|·|sources| rows).
+
+  private val QuotaBudget = 1000L
+
+  private def qQuotaAlloc(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    val tot = st.agg(sum("n_docs").as("n_total"))
+    val wb = st.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(n_docs * $QuotaBudget) div n_total"))
+      .withColumn("rem", expr(s"(n_docs * $QuotaBudget) % n_total"))
+    val lb = wb.agg(sum("base").as("sum_base"))
+    wb.crossJoin(broadcast(lb))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("rem"), col("lang"), col("source"))))
+      .withColumn("alloc", col("base") +
+        when(col("rk") <= lit(QuotaBudget) - col("sum_base"), 1L).otherwise(0L))
+      .select(col("lang"), col("source"), col("n_docs"), col("base"),
+        col("rem"), col("alloc"))
+      .orderBy("lang", "source")
+  }
+
+  private val qQuotaAllocSql =
+    s"""WITH st AS (
+       |  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM st),
+       |wb AS (
+       |  SELECT lang, source, n_docs,
+       |    (n_docs * $QuotaBudget) // n_total AS base,
+       |    (n_docs * $QuotaBudget) % n_total AS rem
+       |  FROM st CROSS JOIN t),
+       |lb AS (SELECT CAST(sum(base) AS BIGINT) AS sum_base FROM wb),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+       |  FROM wb)
+       |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
+       |  CAST(base + CASE WHEN rk <= $QuotaBudget - sum_base THEN 1 ELSE 0 END
+       |    AS BIGINT) AS alloc
+       |FROM rk CROSS JOIN lb ORDER BY lang, source""".stripMargin
+
+  // --- Borůvka minimum-spanning-forest rounds (single-linkage at scale) -------
+  //
+  // The hierarchical-clustering member the centroid (k-means), density
+  // (DBSCAN), and seeded (label-prop) families can't give: single-link
+  // structure = the minimum spanning forest of the similarity graph, and
+  // Borůvka is THE distributed MST algorithm (each round every component
+  // picks its minimum outgoing edge — all selections are provably MST
+  // edges — then components contract; rounds halve the component count,
+  // so log₂(n) rounds finish the forest; the MapReduce-MST literature
+  // (Karloff–Suri–Vassilvitskii model) is exactly this loop). Edges are
+  // the band-amplified LSH candidates (sub-quadratic, the near-dup
+  // family's shared caveat) with exact fixed-point squared-L2 weights;
+  // the total order (dist, id_a, id_b) makes every argmin — and hence
+  // the whole forest — deterministic cross-engine. Two rounds run
+  // unrolled; contraction reuses the battery's pointer-jumping
+  // connected components ON THE LABEL GRAPH (≤ one edge per component —
+  // the corpus-sized edge table never enters the contraction). Per
+  // round: one label join, one per-component argmin window (partitioned
+  // by component), one tiny-forest closure. Output: per-round component
+  // counts, edges selected, and total selected weight — the dendrogram's
+  // first two levels.
+
+  private val MstRounds = 2
+
+  private def qBoruvkaMst(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = TrainingDataQueries.bandSigs(s, dir)
+    val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("band"), col("sig"))
+    val edges = a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("ea").as("ea"), first("eb").as("eb"))
+      .withColumn("dist", expr("graft_l2q(ea, eb)"))
+      .select("id_a", "id_b", "dist").persist()
+    val nodes = edges.select(col("id_a").as("node"))
+      .unionByName(edges.select(col("id_b").as("node"))).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+    for (r <- 1 to MstRounds) {
+      val el = edges
+        .join(labels.select(col("node").as("id_a"), col("label").as("la")), "id_a")
+        .join(labels.select(col("node").as("id_b"), col("label").as("lb")), "id_b")
+        .filter(col("la") =!= col("lb"))
+      val contrib = el.select(col("la").as("comp"), col("dist"),
+          col("id_a"), col("id_b"), col("la"), col("lb"))
+        .unionByName(el.select(col("lb").as("comp"), col("dist"),
+          col("id_a"), col("id_b"), col("la"), col("lb")))
+      // the same edge may win for both of its endpoint components
+      val sel = contrib.withColumn("rk", row_number().over(
+          Window.partitionBy("comp").orderBy(col("dist"), col("id_a"), col("id_b"))))
+        .filter(col("rk") === 1)
+        .select("id_a", "id_b", "dist", "la", "lb")
+        .distinct()
+        .localCheckpoint(true)
+      val nCompBefore = labels.select("label").distinct().count()
+      val nSel = sel.count()
+      val w = if (nSel == 0) 0L else sel.agg(sum("dist")).head.getLong(0)
+      val lcc = TrainingDataQueries.connectedComponents(
+        sel.select(col("la").as("doc_a"), col("lb").as("doc_b")))
+      val relab = lcc.select(col("node").as("old_label"), col("label").as("new_label"))
+      labels = labels.join(relab, labels("label") === relab("old_label"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+      val nCompAfter = labels.select("label").distinct().count()
+      stats += ((r, nCompBefore, nSel, w, nCompAfter))
+    }
+    edges.unpersist()
+    import s.implicits._
+    stats.toSeq
+      .toDF("round", "n_comp_before", "n_edges_sel", "total_weight", "n_comp_after")
+      .orderBy("round")
+  }
+
+  private val qBoruvkaMstSql = {
+    val l2q =
+      """CAST(list_sum(list_transform(generate_series(1, len(ea)), i ->
+        |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+        |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)) *
+        |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+        |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)))) AS BIGINT)""".stripMargin
+    s"""WITH RECURSIVE ${TrainingDataQueries.BandSigsCte},
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    any_value(a.e) AS ea, any_value(b.e) AS eb
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |ed AS (SELECT id_a, id_b, $l2q AS dist FROM pr),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT id_a AS node FROM ed UNION ALL SELECT id_b FROM ed)),
+       |c1 AS (
+       |  SELECT id_a AS comp, dist, id_a, id_b, id_a AS la, id_b AS lb FROM ed
+       |  UNION ALL
+       |  SELECT id_b, dist, id_a, id_b, id_a, id_b FROM ed),
+       |s1 AS (
+       |  SELECT DISTINCT id_a, id_b, dist, la, lb FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY comp ORDER BY dist, id_a, id_b) AS rk FROM c1)
+       |  WHERE rk = 1),
+       |sym1 AS (SELECT la AS src, lb AS dst FROM s1 UNION ALL SELECT lb, la FROM s1),
+       |reach1(node, lab) AS (
+       |  SELECT src, src FROM sym1
+       |  UNION
+       |  SELECT sym1.src, reach1.lab FROM sym1 JOIN reach1 ON sym1.dst = reach1.node),
+       |lab1 AS (SELECT node AS old_label, min(lab) AS new_label FROM reach1 GROUP BY 1),
+       |l1 AS (
+       |  SELECT n.node, coalesce(l.new_label, n.node) AS label
+       |  FROM nodes n LEFT JOIN lab1 l ON n.node = l.old_label),
+       |e2 AS (
+       |  SELECT e.id_a, e.id_b, e.dist, a.label AS la, b.label AS lb
+       |  FROM ed e JOIN l1 a ON e.id_a = a.node JOIN l1 b ON e.id_b = b.node
+       |  WHERE a.label <> b.label),
+       |c2 AS (
+       |  SELECT la AS comp, dist, id_a, id_b, la, lb FROM e2
+       |  UNION ALL
+       |  SELECT lb, dist, id_a, id_b, la, lb FROM e2),
+       |s2 AS (
+       |  SELECT DISTINCT id_a, id_b, dist, la, lb FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY comp ORDER BY dist, id_a, id_b) AS rk FROM c2)
+       |  WHERE rk = 1),
+       |sym2 AS (SELECT la AS src, lb AS dst FROM s2 UNION ALL SELECT lb, la FROM s2),
+       |reach2(node, lab) AS (
+       |  SELECT src, src FROM sym2
+       |  UNION
+       |  SELECT sym2.src, reach2.lab FROM sym2 JOIN reach2 ON sym2.dst = reach2.node),
+       |lab2 AS (SELECT node AS old_label, min(lab) AS new_label FROM reach2 GROUP BY 1),
+       |l2 AS (
+       |  SELECT o.node, coalesce(l.new_label, o.label) AS label
+       |  FROM l1 o LEFT JOIN lab2 l ON o.label = l.old_label)
+       |SELECT 1 AS round,
+       |  CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_comp_before,
+       |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_edges_sel,
+       |  CAST(coalesce((SELECT sum(dist) FROM s1), 0) AS BIGINT) AS total_weight,
+       |  CAST((SELECT count(DISTINCT label) FROM l1) AS BIGINT) AS n_comp_after
+       |UNION ALL
+       |SELECT 2,
+       |  CAST((SELECT count(DISTINCT label) FROM l1) AS BIGINT),
+       |  CAST((SELECT count(*) FROM s2) AS BIGINT),
+       |  CAST(coalesce((SELECT sum(dist) FROM s2), 0) AS BIGINT),
+       |  CAST((SELECT count(DISTINCT label) FROM l2) AS BIGINT)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -2295,7 +2632,11 @@ object ScaleQueries {
     "q_cluster_eval" -> (qClusterEval _),
     "q_group_split" -> (qGroupSplit _),
     "q_dp_topk" -> (qDpTopk _),
-    "q_label_prop" -> (qLabelProp _))
+    "q_label_prop" -> (qLabelProp _),
+    "q_ams_sketch" -> (qAmsSketch _),
+    "q_benford" -> (qBenford _),
+    "q_quota_alloc" -> (qQuotaAlloc _),
+    "q_boruvka_mst" -> (qBoruvkaMst _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -2330,5 +2671,9 @@ object ScaleQueries {
     "q_cluster_eval" -> qClusterEvalSql,
     "q_group_split" -> qGroupSplitSql,
     "q_dp_topk" -> qDpTopkSql,
-    "q_label_prop" -> qLabelPropSql)
+    "q_label_prop" -> qLabelPropSql,
+    "q_ams_sketch" -> qAmsSketchSql,
+    "q_benford" -> qBenfordSql,
+    "q_quota_alloc" -> qQuotaAllocSql,
+    "q_boruvka_mst" -> qBoruvkaMstSql)
 }

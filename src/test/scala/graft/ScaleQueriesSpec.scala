@@ -820,4 +820,168 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(fp.toDouble / testNeg <= alpha + slack,
       s"test FPR ${fp.toDouble / testNeg} blows the conformal bound")
   }
+
+  // --- AMS F2 sketch -----------------------------------------------------------
+
+  test("ams sketch: exact F2, all 16 counters, and the median pick match " +
+    "an independent JVM recompute from the term table") {
+    import java.security.MessageDigest
+    def md5sid7(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7), 16)
+    graft.functions.GraftFunctions.register(spark)
+    // term table through the battery's own tokenizer (parity-tested
+    // elsewhere); the AMS math is recomputed here independently
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val f2Exact = tf.map { case (_, c) => c * c }.sum
+    val f1 = tf.map(_._2).sum
+    val counters = (0 until 16).map { sk =>
+      sk -> tf.map { case (tok, c) =>
+        ((md5sid7(s"$tok:$sk") % 2) * 2 - 1) * c
+      }.sum
+    }
+    val f2Est = counters.map { case (sk, c) => (c * c, sk) }
+      .sorted.apply(7)._1 // lower median = rank 8 of 16
+    val r = run("q_ams_sketch").collect().head
+    assert(r.getAs[Long]("n_terms") === tf.length.toLong)
+    assert(r.getAs[Long]("f1") === f1)
+    assert(r.getAs[Long]("f2_exact") === f2Exact)
+    assert(r.getAs[Long]("f2_est") === f2Est)
+    assert(r.getAs[Long]("err_ppm") ===
+      math.floor(math.abs(f2Est - f2Exact).toDouble * 1e6 / f2Exact).toLong)
+  }
+
+  // --- Benford audit -----------------------------------------------------------
+
+  test("benford: digits complete, shares sum to ~1e9, counts match a recount") {
+    val out = run("q_benford").collect()
+    assert(out.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).filter(_ > 0)
+    val byDigit = docs.groupBy(n => n.toString.head.asDigit)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_obs") ===
+        byDigit.getOrElse(r.getAs[Int]("digit"), 0L))
+    }
+    assert(out.map(_.getAs[Long]("n_obs")).sum === docs.length.toLong)
+    // integer-floor shares: within 9 ppb of unity from below
+    val shareSum = out.map(_.getAs[Long]("share_ppb")).sum
+    assert(shareSum > 1000000000L - 9 && shareSum <= 1000000000L)
+  }
+
+  // --- largest-remainder quota allocation ---------------------------------------
+
+  test("quota allocation: totals exactly the budget, every stratum within 1 " +
+    "of its real quota, winners are the largest remainders") {
+    val out = run("q_quota_alloc").collect()
+    val b = 1000L
+    assert(out.map(_.getAs[Long]("alloc")).sum === b,
+      "largest-remainder must hit the budget exactly")
+    val n = out.map(_.getAs[Long]("n_docs")).sum
+    out.foreach { r =>
+      val quota = r.getAs[Long]("n_docs").toDouble * b / n
+      val alloc = r.getAs[Long]("alloc").toDouble
+      assert(math.abs(alloc - quota) < 1.0,
+        s"stratum ${r.getAs[String]("lang")}/${r.getAs[String]("source")} " +
+          s"alloc $alloc vs quota $quota breaks the Hamilton ±1 property")
+      assert(r.getAs[Long]("alloc") - r.getAs[Long]("base") <= 1L)
+    }
+    // every promoted stratum has remainder >= every unpromoted one
+    val promoted = out.filter(r => r.getAs[Long]("alloc") > r.getAs[Long]("base"))
+    val skipped = out.filter(r => r.getAs[Long]("alloc") === r.getAs[Long]("base"))
+    if (promoted.nonEmpty && skipped.nonEmpty)
+      assert(promoted.map(_.getAs[Long]("rem")).min >=
+        skipped.map(_.getAs[Long]("rem")).max)
+  }
+
+  // --- Borůvka minimum spanning forest ------------------------------------------
+
+  test("boruvka rounds match an in-memory union-find replay and select only " +
+    "true MST edges") {
+    graft.functions.GraftFunctions.register(spark)
+    // the query's own candidate-edge construction, collected
+    val sigs = graft.queries.TrainingDataQueries.bandSigs(spark, dir)
+    val edges = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("band"), col("sig"))
+      .join(sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("ea").as("ea"), first("eb").as("eb"))
+      .withColumn("dist", expr("graft_l2q(ea, eb)"))
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(edges.nonEmpty, "LSH candidate graph is empty — test data too sparse")
+    // deterministic total order on edges
+    val ord = Ordering.by[(Long, Long, Long), (Long, Long, Long)] {
+      case (a, b, d) => (d, a, b) }
+    // union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    // Kruskal MST under the same total order (unique because the order is total)
+    val mst = scala.collection.mutable.Set[(Long, Long)]()
+    edges.sorted(ord).foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; mst += ((a, b)) }
+    }
+    // Borůvka replay with min-label contraction (the query's convention)
+    var label = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> n).toMap
+    val expected = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+    val allSelected = scala.collection.mutable.Set[(Long, Long)]()
+    for (r <- 1 to 2) {
+      val cross = edges.filter(e => label(e._1) != label(e._2))
+      val byComp = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      cross.foreach { case e @ (a, b, _) =>
+        Seq(label(a), label(b)).foreach { c =>
+          if (!byComp.contains(c) || ord.lt(e, byComp(c))) byComp(c) = e
+        }
+      }
+      val sel = byComp.values.toSet
+      val nBefore = label.values.toSet.size.toLong
+      // contract: min label over components of the selected label graph
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      sel.foreach { case (a, b, _) =>
+        val (la, lb) = (label(a), label(b))
+        adj(la) += lb; adj(lb) += la
+      }
+      val newLab = scala.collection.mutable.Map[Long, Long]()
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!newLab.contains(start)) {
+          val comp = scala.collection.mutable.Set[Long]()
+          val stack = scala.collection.mutable.Stack(start)
+          while (stack.nonEmpty) {
+            val x = stack.pop()
+            if (!comp(x)) { comp += x; adj(x).foreach(stack.push) }
+          }
+          val m = comp.min
+          comp.foreach(newLab(_) = m)
+        }
+      }
+      label = label.map { case (n, l) => n -> newLab.getOrElse(l, l) }
+      expected += ((r, nBefore, sel.size.toLong, sel.map(_._3).sum,
+        label.values.toSet.size.toLong))
+      sel.foreach { case (a, b, _) => allSelected += ((a, b)) }
+    }
+    // every Borůvka selection is a true MST edge (distinct total order ⇒
+    // the classic cut-property guarantee)
+    assert(allSelected.subsetOf(mst.toSet),
+      s"selected non-MST edges: ${allSelected.diff(mst.toSet).take(5)}")
+    val out = run("q_boruvka_mst").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq === expected.toSeq)
+    // rounds make progress: components strictly decrease while edges remain
+    out.foreach { case (_, before, nSel, _, after) =>
+      if (nSel > 0) assert(after < before)
+    }
+  }
 }
