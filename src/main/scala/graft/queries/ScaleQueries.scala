@@ -2599,6 +2599,169 @@ object ScaleQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // --- greedy maximum-coverage selection (submodular data selection) ---------
+  //
+  // The facility-location/coverage member of the selection family
+  // (k-center picks for DISTANCE diversity, reservoir/stratified for
+  // representativeness — this picks for VOCABULARY coverage): greedily
+  // select K documents maximizing the count of distinct covered tokens,
+  // the classic (1−1/e)-approximate greedy for monotone submodular
+  // objectives that coverage-based data-selection recipes build on.
+  // Each round is ONE pass over the (doc, token) table: anti-join the
+  // already-covered token set (bounded by K·|doc vocab| — broadcast),
+  // anti-join the ≤K selected docs, one partial-agg gain count, one
+  // distributed TakeOrdered argmax (gain desc, doc_id asc — exact and
+  // deterministic). The corpus never shuffles; K passes total, same
+  // discipline as q_kcenter. Marginal gains telescope: their running
+  // sum IS the covered-vocabulary curve, so the output carries the
+  // coverage curve for free. The universe is word BIGRAMS (the near-dup
+  // family's shingles): the synthetic generator saturates its unigram
+  // vocabulary in one document (the q_heaps_fit finding), while the
+  // bigram space stays rich enough that every greedy round has real
+  // marginal gain. A round whose candidates cover nothing new emits no
+  // row — greedy stops at saturation by construction.
+
+  private val McK = 5
+
+  private def qMaxCover(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // (doc_id, bigram), distinct per doc via the codegen'd shingle expr
+    val dt = TrainingDataQueries.bigramShingles(s, dir).persist()
+    var selected: DataFrame = null
+    var covered: DataFrame = null
+    for (r <- 1 to McK) {
+      val uncov = if (covered == null) dt
+        else dt.join(broadcast(covered), Seq("tok"), "left_anti")
+      val cand = if (selected == null) uncov
+        else uncov.join(broadcast(selected.select("doc_id")), Seq("doc_id"), "left_anti")
+      val w = cand.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(desc("gain"), col("doc_id")).limit(1)
+        .select(lit(r).as("rank"), col("doc_id"), col("gain"))
+        .localCheckpoint(true)
+      selected = if (selected == null) w else selected.unionByName(w)
+      val wTok = dt.join(broadcast(w.select("doc_id")), "doc_id")
+        .select("tok").distinct()
+      covered = (if (covered == null) wTok
+        else covered.unionByName(wTok).distinct()).localCheckpoint(true)
+    }
+    dt.unpersist()
+    selected
+      .withColumn("cum_cover", sum("gain").over(Window.orderBy("rank")))
+      .orderBy("rank")
+  }
+
+  private val qMaxCoverSql = {
+    def round(i: Int): String =
+      s"""g$i AS (
+         |  SELECT doc_id, count(*) AS gain FROM dt
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+         |    AND tok NOT IN (SELECT tok FROM cov${i - 1})
+         |  GROUP BY 1),
+         |w$i AS (
+         |  SELECT $i AS rank, doc_id, gain FROM g$i
+         |  ORDER BY gain DESC, doc_id LIMIT 1),
+         |sel$i AS (SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM w$i),
+         |cov$i AS (
+         |  SELECT tok FROM cov${i - 1}
+         |  UNION
+         |  SELECT tok FROM dt WHERE doc_id = (SELECT doc_id FROM w$i))""".stripMargin
+    s"""WITH $ScaleTokensCte,
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
+       |  FROM toks WHERE len(ts) >= 2),
+       |g1 AS (SELECT doc_id, count(*) AS gain FROM dt GROUP BY 1),
+       |w1 AS (
+       |  SELECT 1 AS rank, doc_id, gain FROM g1
+       |  ORDER BY gain DESC, doc_id LIMIT 1),
+       |sel1 AS (SELECT doc_id FROM w1),
+       |cov1 AS (SELECT DISTINCT tok FROM dt WHERE doc_id = (SELECT doc_id FROM w1)),
+       |${(2 to McK).map(round).mkString(",\n")},
+       |u AS (${(1 to McK).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")})
+       |SELECT rank, doc_id, CAST(gain AS BIGINT) AS gain,
+       |  CAST(sum(gain) OVER (ORDER BY rank) AS BIGINT) AS cum_cover
+       |FROM u ORDER BY rank""".stripMargin
+  }
+
+  // --- Theil–Sen robust slope (median of pairwise slopes) ---------------------
+  //
+  // The robust-regression complement to q_zipf_fit's OLS and
+  // q_mad_outliers' location statistic: the Theil–Sen estimator (median
+  // of all pairwise slopes) has a 29% breakdown point — a handful of
+  // mojibake megadocs can't drag it the way they drag least squares.
+  // Pairwise anything is quadratic, so the estimator runs on a BOUNDED
+  // DETERMINISTIC SAMPLE (md5 rank-pick of 64 docs — the q_group_split
+  // hash discipline), giving ≤ C(64,2) = 2016 pairs at ANY corpus size:
+  // a broadcast self-join of a driver-bounded table, never the corpus.
+  // Slopes fix-point to ppm BEFORE the rank pick (integer floor both
+  // engines agree on; x-ties are skipped — the standard Theil–Sen
+  // convention), the median is an exact lower-median rank pick, and the
+  // intercept is the median residual at that slope — every reported
+  // number an integer.
+
+  private val TsN = 64
+
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sample = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("x"),
+        size(array_distinct(call_function("graft_ws_tokens", col("text"))))
+          .cast("long").as("y"))
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .orderBy("m", "doc_id").limit(TsN)
+      .select("doc_id", "x", "y")
+      .persist()
+    val pairs = sample.select(col("doc_id").as("ia"), col("x").as("xa"), col("y").as("ya"))
+      .join(broadcast(sample.select(col("doc_id").as("ib"),
+        col("x").as("xb"), col("y").as("yb"))),
+        col("ia") < col("ib") && col("xa") =!= col("xb"))
+      .withColumn("slope_ppm",
+        expr("((yb - ya) * 1000000L) div (xb - xa)"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val slope = pairs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("slope_ppm"), col("ia"), col("ib"))))
+      .crossJoin(broadcast(np))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("slope_ppm"), col("n_pairs"))
+    val resid = sample.crossJoin(broadcast(slope))
+      .withColumn("r_fp", col("y") * lit(1000000L) - col("slope_ppm") * col("x"))
+    val intercept = resid
+      .withColumn("rk", row_number().over(Window.orderBy(col("r_fp"), col("doc_id"))))
+      .filter(col("rk") === lit((TsN + 1) / 2))
+      .select(col("slope_ppm"), col("n_pairs"), col("r_fp").as("intercept_fp"))
+    intercept.select(lit(TsN).cast("long").as("n_sample"), col("n_pairs"),
+      col("slope_ppm"), col("intercept_fp"))
+  }
+
+  private val qTheilSenSql =
+    s"""WITH $ScaleTokensCte,
+       |sm AS (
+       |  SELECT doc_id, x, y FROM (
+       |    SELECT d.doc_id, d.n_chars AS x,
+       |      CAST(len(list_distinct(t.ts)) AS BIGINT) AS y,
+       |      md5(CAST(d.doc_id AS VARCHAR)) AS m
+       |    FROM documents d JOIN toks t ON d.doc_id = t.doc_id)
+       |  ORDER BY m, doc_id LIMIT $TsN),
+       |pr AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |    ((b.y - a.y) * 1000000) // (b.x - a.x) AS slope_ppm
+       |  FROM sm a JOIN sm b ON a.doc_id < b.doc_id AND a.x <> b.x),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr),
+       |sl AS (
+       |  SELECT slope_ppm FROM (
+       |    SELECT slope_ppm, row_number() OVER (ORDER BY slope_ppm, ia, ib) AS rk
+       |    FROM pr)
+       |  WHERE rk = ((SELECT n_pairs FROM np) + 1) // 2),
+       |ic AS (
+       |  SELECT r_fp AS intercept_fp FROM (
+       |    SELECT y * 1000000 - (SELECT slope_ppm FROM sl) * x AS r_fp, doc_id
+       |    FROM sm)
+       |  ORDER BY r_fp, doc_id LIMIT 1 OFFSET ${(TsN + 1) / 2 - 1})
+       |SELECT CAST($TsN AS BIGINT) AS n_sample, (SELECT n_pairs FROM np) AS n_pairs,
+       |  CAST((SELECT slope_ppm FROM sl) AS BIGINT) AS slope_ppm,
+       |  CAST((SELECT intercept_fp FROM ic) AS BIGINT) AS intercept_fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -2636,7 +2799,9 @@ object ScaleQueries {
     "q_ams_sketch" -> (qAmsSketch _),
     "q_benford" -> (qBenford _),
     "q_quota_alloc" -> (qQuotaAlloc _),
-    "q_boruvka_mst" -> (qBoruvkaMst _))
+    "q_boruvka_mst" -> (qBoruvkaMst _),
+    "q_max_cover" -> (qMaxCover _),
+    "q_theil_sen" -> (qTheilSen _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -2675,5 +2840,7 @@ object ScaleQueries {
     "q_ams_sketch" -> qAmsSketchSql,
     "q_benford" -> qBenfordSql,
     "q_quota_alloc" -> qQuotaAllocSql,
-    "q_boruvka_mst" -> qBoruvkaMstSql)
+    "q_boruvka_mst" -> qBoruvkaMstSql,
+    "q_max_cover" -> qMaxCoverSql,
+    "q_theil_sen" -> qTheilSenSql)
 }

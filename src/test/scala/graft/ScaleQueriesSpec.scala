@@ -984,4 +984,72 @@ class ScaleQueriesSpec extends AnyFunSuite {
       if (nSel > 0) assert(after < before)
     }
   }
+
+  // --- greedy maximum coverage ---------------------------------------------------
+
+  test("max-cover greedy matches an in-memory replay; gains are monotone " +
+    "non-increasing and telescope into the coverage curve") {
+    graft.functions.GraftFunctions.register(spark)
+    val docToks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), expr("graft_shingles(text)").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    var covered = Set.empty[String]
+    var chosen = Vector.empty[(Int, Long, Long)]
+    var saturated = false
+    for (r <- 1 to 5 if !saturated) {
+      val gains = docToks.view
+        .filterKeys(d => !chosen.exists(_._2 == d)).toMap
+        .map { case (d, ts) => d -> (ts -- covered).size.toLong }
+        .filter(_._2 > 0) // zero-gain docs vanish from the anti-joined agg
+      if (gains.isEmpty) saturated = true
+      else {
+        val (doc, gain) = gains.minBy { case (d, g) => (-g, d) }
+        covered ++= docToks(doc)
+        chosen :+= ((r, doc, gain))
+      }
+    }
+    assert(chosen.length === 5,
+      "bigram universe saturated early — universe too small for the test")
+    val out = run("q_max_cover").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toVector === chosen)
+    // telescoping: cum_cover at rank r = |union of first r docs' vocab|
+    var cum = Set.empty[String]
+    out.foreach { case (_, doc, _, cc) =>
+      cum ++= docToks(doc)
+      assert(cc === cum.size.toLong)
+    }
+    // greedy marginal gains never increase (submodularity)
+    assert(out.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  // --- Theil–Sen robust slope ---------------------------------------------------
+
+  test("theil-sen slope and intercept match an exact in-memory recompute " +
+    "on the same deterministic sample") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(call_function("graft_ws_tokens", col("text"))))
+          .cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sample = docs.sortBy { case (id, _, _) => (md5hex(id.toString), id) }.take(64)
+    val pairs = for {
+      (ia, xa, ya) <- sample; (ib, xb, yb) <- sample
+      if ia < ib && xa != xb
+    } yield (ia, ib, (yb - ya) * 1000000L / (xb - xa))
+    val slope = pairs.sortBy { case (a, b, sp) => (sp, a, b) }
+      .apply((pairs.length + 1) / 2 - 1)._3
+    val intercept = sample.map { case (id, x, y) => (y * 1000000L - slope * x, id) }
+      .sorted.apply((64 + 1) / 2 - 1)._1
+    val r = run("q_theil_sen").collect().head
+    assert(r.getAs[Long]("n_sample") === 64L)
+    assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(r.getAs[Long]("slope_ppm") === slope)
+    assert(r.getAs[Long]("intercept_fp") === intercept)
+  }
 }
