@@ -2472,8 +2472,6 @@ object ScaleQueries {
   // counts, edges selected, and total selected weight — the dendrogram's
   // first two levels.
 
-  private val MstRounds = 2
-
   private def qBoruvkaMst(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sigs = TrainingDataQueries.bandSigs(s, dir)
@@ -2489,40 +2487,53 @@ object ScaleQueries {
       .select("id_a", "id_b", "dist").persist()
     val nodes = edges.select(col("id_a").as("node"))
       .unionByName(edges.select(col("id_b").as("node"))).distinct()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
-    val stats = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
-    for (r <- 1 to MstRounds) {
-      val el = edges
-        .join(labels.select(col("node").as("id_a"), col("label").as("la")), "id_a")
-        .join(labels.select(col("node").as("id_b"), col("label").as("lb")), "id_b")
-        .filter(col("la") =!= col("lb"))
+    // per-component argmin, both endpoint components; the same edge may
+    // win for both, so dedupe — the survivors are MST edges (cut property)
+    def selectMin(el: DataFrame): DataFrame = {
       val contrib = el.select(col("la").as("comp"), col("dist"),
           col("id_a"), col("id_b"), col("la"), col("lb"))
         .unionByName(el.select(col("lb").as("comp"), col("dist"),
           col("id_a"), col("id_b"), col("la"), col("lb")))
-      // the same edge may win for both of its endpoint components
-      val sel = contrib.withColumn("rk", row_number().over(
+      contrib.withColumn("rk", row_number().over(
           Window.partitionBy("comp").orderBy(col("dist"), col("id_a"), col("id_b"))))
         .filter(col("rk") === 1)
         .select("id_a", "id_b", "dist", "la", "lb")
         .distinct()
         .localCheckpoint(true)
-      val nCompBefore = labels.select("label").distinct().count()
-      val nSel = sel.count()
-      val w = if (nSel == 0) 0L else sel.agg(sum("dist")).head.getLong(0)
-      val lcc = TrainingDataQueries.connectedComponents(
-        sel.select(col("la").as("doc_a"), col("lb").as("doc_b")))
-      val relab = lcc.select(col("node").as("old_label"), col("label").as("new_label"))
-      labels = labels.join(relab, labels("label") === relab("old_label"), "left")
-        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(true)
-      val nCompAfter = labels.select("label").distinct().count()
-      stats += ((r, nCompBefore, nSel, w, nCompAfter))
     }
+    def selStats(sel: DataFrame): (Long, Long) = {
+      val r = sel.agg(count(lit(1)).as("c"),
+        coalesce(sum("dist"), lit(0L)).as("w")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // Selected edges under a strict total order can never cycle (the
+    // heaviest edge of a would-be cycle is nobody's minimum), so the
+    // label forest is acyclic and every selected edge merges exactly two
+    // components: n_comp_after = n_comp_before − n_selected. That
+    // identity replaces a distinct-count job per round, and the FINAL
+    // round needs no contraction at all. The spec replays the real
+    // contraction in memory and pins the identity.
+    val nNodes = nodes.count()
+    // round 1: labels ARE the node ids — no label join needed
+    val s1 = selectMin(edges.select(col("id_a"), col("id_b"), col("dist"),
+      col("id_a").as("la"), col("id_b").as("lb")))
+    val (n1, w1) = selStats(s1)
+    // contract round 1 (the only contraction two rounds need)
+    val lcc = TrainingDataQueries.connectedComponents(
+      s1.select(col("la").as("doc_a"), col("lb").as("doc_b")))
+    val relab = lcc.select(col("node").as("old_label"), col("label").as("new_label"))
+    val labels = nodes.join(relab, nodes("node") === relab("old_label"), "left")
+      .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
+      .localCheckpoint(true)
+    val e2 = edges
+      .join(labels.select(col("node").as("id_a"), col("label").as("la")), "id_a")
+      .join(labels.select(col("node").as("id_b"), col("label").as("lb")), "id_b")
+      .filter(col("la") =!= col("lb"))
+    val (n2, w2) = selStats(selectMin(e2))
     edges.unpersist()
+    val after1 = nNodes - n1
     import s.implicits._
-    stats.toSeq
+    Seq((1, nNodes, n1, w1, after1), (2, after1, n2, w2, after1 - n2))
       .toDF("round", "n_comp_before", "n_edges_sel", "total_weight", "n_comp_after")
       .orderBy("round")
   }
@@ -2576,26 +2587,20 @@ object ScaleQueries {
        |    SELECT *, row_number() OVER (
        |      PARTITION BY comp ORDER BY dist, id_a, id_b) AS rk FROM c2)
        |  WHERE rk = 1),
-       |sym2 AS (SELECT la AS src, lb AS dst FROM s2 UNION ALL SELECT lb, la FROM s2),
-       |reach2(node, lab) AS (
-       |  SELECT src, src FROM sym2
-       |  UNION
-       |  SELECT sym2.src, reach2.lab FROM sym2 JOIN reach2 ON sym2.dst = reach2.node),
-       |lab2 AS (SELECT node AS old_label, min(lab) AS new_label FROM reach2 GROUP BY 1),
-       |l2 AS (
-       |  SELECT o.node, coalesce(l.new_label, o.label) AS label
-       |  FROM l1 o LEFT JOIN lab2 l ON o.label = l.old_label)
-       |SELECT 1 AS round,
-       |  CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_comp_before,
-       |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_edges_sel,
-       |  CAST(coalesce((SELECT sum(dist) FROM s1), 0) AS BIGINT) AS total_weight,
-       |  CAST((SELECT count(DISTINCT label) FROM l1) AS BIGINT) AS n_comp_after
+       |ct AS (
+       |  SELECT (SELECT count(*) FROM nodes) AS nn,
+       |    (SELECT count(*) FROM s1) AS n1,
+       |    coalesce((SELECT sum(dist) FROM s1), 0) AS w1,
+       |    (SELECT count(*) FROM s2) AS n2,
+       |    coalesce((SELECT sum(dist) FROM s2), 0) AS w2)
+       |SELECT 1 AS round, CAST(nn AS BIGINT) AS n_comp_before,
+       |  CAST(n1 AS BIGINT) AS n_edges_sel, CAST(w1 AS BIGINT) AS total_weight,
+       |  CAST(nn - n1 AS BIGINT) AS n_comp_after
+       |FROM ct
        |UNION ALL
-       |SELECT 2,
-       |  CAST((SELECT count(DISTINCT label) FROM l1) AS BIGINT),
-       |  CAST((SELECT count(*) FROM s2) AS BIGINT),
-       |  CAST(coalesce((SELECT sum(dist) FROM s2), 0) AS BIGINT),
-       |  CAST((SELECT count(DISTINCT label) FROM l2) AS BIGINT)
+       |SELECT 2, CAST(nn - n1 AS BIGINT), CAST(n2 AS BIGINT), CAST(w2 AS BIGINT),
+       |  CAST(nn - n1 - n2 AS BIGINT)
+       |FROM ct
        |ORDER BY round""".stripMargin
   }
 
@@ -2762,6 +2767,142 @@ object ScaleQueries {
        |  CAST((SELECT slope_ppm FROM sl) AS BIGINT) AS slope_ppm,
        |  CAST((SELECT intercept_fp FROM ic) AS BIGINT) AS intercept_fp""".stripMargin
 
+  // --- mergeable histogram quantiles (with exact-error audit) ----------------
+  //
+  // The practical distributed quantile: a fixed-width histogram is a
+  // MERGEABLE sketch (per-bucket counts are algebraic sums — map-side
+  // partials, elementwise merge, constant size), so 1000 executors ship
+  // B longs each instead of sorting the corpus. Estimate = the upper
+  // edge of the first bucket whose cumulative count reaches ⌈q·N/100⌉,
+  // with guaranteed error ≤ one bucket width. This query reports the
+  // estimates AGAINST the exact rank-picked quantiles from the same
+  // column, so the sketch's realized error is itself oracle-checked
+  // (the exact side's global sort is the audit's cost, not the
+  // sketch's — at 100 TB the audit runs on a sample). Two corpus
+  // passes total: one min/max agg to fix the domain, one bucket-count
+  // agg; the quantile math runs on B rows.
+
+  private val HqB = 64L
+  private val HqQs = Seq(50, 90, 99)
+
+  private def qHistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("n_chars").as("x"))
+    val mm = d.agg(min("x").as("mn"), max("x").as("mx"),
+      count(lit(1)).as("n"))
+    val hist = d.crossJoin(broadcast(mm))
+      .withColumn("b", expr(s"((x - mn) * $HqB) div (mx - mn + 1)"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qs = s.range(1).select(explode(expr(
+      "array(" + HqQs.map(q => s"${q}L").mkString(",") + ")")).as("q"))
+    val est = qs.crossJoin(broadcast(mm))
+      .join(cum, cum("cum") >= expr("(q * n + 99) div 100"))
+      .groupBy("q", "mn", "mx", "n").agg(min("b").as("qb"))
+      // bucket upper edge: mn + (qb+1)·width − 1, width = (mx−mn+1)/B exact
+      .withColumn("est", expr(s"mn + ((qb + 1) * (mx - mn + 1)) div $HqB - 1"))
+    val exact = d
+      .withColumn("rk", row_number().over(Window.orderBy("x")))
+      .crossJoin(broadcast(mm.select(col("n").as("n2"))))
+      .join(qs, col("rk") === expr("(q * n2 + 99) div 100"))
+      .select(col("q").as("q2"), col("x").as("exact"))
+    est.join(exact, col("q") === col("q2"))
+      .select(col("q"), col("n"), col("qb"), col("est"), col("exact"),
+        abs(col("est") - col("exact")).as("err"),
+        expr(s"(mx - mn + 1) div $HqB + 1").as("max_err"))
+      .orderBy("q")
+  }
+
+  private val qHistQuantilesSql = {
+    val qvals = HqQs.mkString(", ")
+    s"""WITH d AS (SELECT n_chars AS x FROM documents),
+       |mm AS (
+       |  SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n FROM d),
+       |hist AS (
+       |  SELECT ((x - mn) * $HqB) // (mx - mn + 1) AS b, count(*) AS c
+       |  FROM d CROSS JOIN mm GROUP BY 1),
+       |cm AS (
+       |  SELECT b, sum(c) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+       |  FROM hist),
+       |qs AS (SELECT CAST(unnest([$qvals]) AS BIGINT) AS q),
+       |est AS (
+       |  SELECT q, mn, mx, n, min(b) AS qb
+       |  FROM qs CROSS JOIN mm JOIN cm ON cm.cumc >= (q * n + 99) // 100
+       |  GROUP BY 1, 2, 3, 4),
+       |ex AS (
+       |  SELECT q AS q2, x AS exact FROM qs CROSS JOIN mm
+       |  JOIN (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM d) r
+       |    ON r.rk = (q * n + 99) // 100)
+       |SELECT q, n, CAST(qb AS BIGINT) AS qb,
+       |  CAST(mn + ((qb + 1) * (mx - mn + 1)) // $HqB - 1 AS BIGINT) AS est,
+       |  CAST(exact AS BIGINT) AS exact,
+       |  CAST(abs(mn + ((qb + 1) * (mx - mn + 1)) // $HqB - 1 - exact) AS BIGINT) AS err,
+       |  CAST((mx - mn + 1) // $HqB + 1 AS BIGINT) AS max_err
+       |FROM est JOIN ex ON est.q = ex.q2
+       |ORDER BY q""".stripMargin
+  }
+
+  // --- priority sampling (subset-sum estimation from k rows) -----------------
+  //
+  // Duffield–Lund–Thorup priority sampling — the ESTIMATION complement
+  // to the Efraimidis–Espirakis reservoir (which draws a sample;
+  // this one answers "what does any weight-sum look like" from k rows
+  // with provably near-optimal variance): priority p_i = w_i/u_i with
+  // u_i uniform, keep the k highest priorities, τ = the (k+1)-th, and
+  // every kept row estimates its weight as max(w_i, τ) — unbiased for
+  // ANY subset sum. u_i is a deterministic 20-bit md5 draw (the
+  // q_group_split hash discipline), priorities integer-divide in weight
+  // units so ranking, τ, and every estimate are exact BIGINTs. Plan:
+  // one narrow projection + one distributed top-(k+1)
+  // (TakeOrderedAndProject) + one broadcast of τ back over the kept
+  // rows; the corpus is scanned once and never shuffled.
+
+  private val PsK = 32
+
+  private def qPrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .withColumn("h20",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+          .cast("long"), lit(1048576L)))
+      .withColumn("p", expr("(w * 1048576L) div (h20 + 1)"))
+    val top = d.orderBy(desc("p"), col("doc_id")).limit(PsK + 1)
+      .localCheckpoint(true)
+    val tau = top.orderBy(col("p"), col("doc_id")).limit(1)
+      .select(col("p").as("tau"))
+    val kept = top.orderBy(desc("p"), col("doc_id")).limit(PsK)
+    val tot = t(s, dir, "documents").agg(sum("n_chars").as("w_total"))
+    kept.crossJoin(broadcast(tau))
+      .withColumn("est", greatest(col("w"), col("tau")))
+      .agg(count(lit(1)).as("k"), max("tau").as("tau"),
+        sum("est").as("w_est"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("tau"), col("w_total"), col("w_est"),
+        floor(abs(col("w_est") - col("w_total")) * lit(1e6) / col("w_total"))
+          .cast("long").as("err_ppm"))
+  }
+
+  private val qPrioritySampleSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars AS w,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT
+       |      % 1048576) AS h20
+       |  FROM documents),
+       |p AS (SELECT doc_id, w, (w * 1048576) // (h20 + 1) AS p FROM d),
+       |top AS (SELECT * FROM p ORDER BY p DESC, doc_id LIMIT ${PsK + 1}),
+       |tau AS (SELECT p AS tau FROM top ORDER BY p, doc_id LIMIT 1),
+       |kept AS (SELECT * FROM top ORDER BY p DESC, doc_id LIMIT $PsK),
+       |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total FROM documents),
+       |ag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(tau) AS BIGINT) AS tau,
+       |    CAST(sum(greatest(w, tau)) AS BIGINT) AS w_est
+       |  FROM kept CROSS JOIN tau)
+       |SELECT k, tau, w_total, w_est,
+       |  CAST(floor(abs(w_est - w_total) * 1e6 / w_total) AS BIGINT) AS err_ppm
+       |FROM ag CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -2801,7 +2942,9 @@ object ScaleQueries {
     "q_quota_alloc" -> (qQuotaAlloc _),
     "q_boruvka_mst" -> (qBoruvkaMst _),
     "q_max_cover" -> (qMaxCover _),
-    "q_theil_sen" -> (qTheilSen _))
+    "q_theil_sen" -> (qTheilSen _),
+    "q_hist_quantiles" -> (qHistQuantiles _),
+    "q_priority_sample" -> (qPrioritySample _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -2842,5 +2985,7 @@ object ScaleQueries {
     "q_quota_alloc" -> qQuotaAllocSql,
     "q_boruvka_mst" -> qBoruvkaMstSql,
     "q_max_cover" -> qMaxCoverSql,
-    "q_theil_sen" -> qTheilSenSql)
+    "q_theil_sen" -> qTheilSenSql,
+    "q_hist_quantiles" -> qHistQuantilesSql,
+    "q_priority_sample" -> qPrioritySampleSql)
 }

@@ -1052,4 +1052,51 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("slope_ppm") === slope)
     assert(r.getAs[Long]("intercept_fp") === intercept)
   }
+
+  // --- histogram quantiles --------------------------------------------------------
+
+  test("histogram quantiles: exact side matches a rank-pick recompute and the " +
+    "sketch error honors the one-bucket-width bound") {
+    val xs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = xs.length
+    val out = run("q_hist_quantiles").collect()
+    assert(out.map(_.getAs[Long]("q")).toSeq === Seq(50L, 90L, 99L))
+    out.foreach { r =>
+      val q = r.getAs[Long]("q")
+      val rank = (q * n + 99) / 100 // ceil(q*n/100)
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("exact") === xs((rank - 1).toInt))
+      assert(r.getAs[Long]("err") <= r.getAs[Long]("max_err"),
+        s"q=$q sketch error ${r.getAs[Long]("err")} exceeds the bucket-width " +
+          s"bound ${r.getAs[Long]("max_err")}")
+    }
+  }
+
+  // --- priority sampling ------------------------------------------------------------
+
+  test("priority sample: tau, kept set, and the subset-sum estimator match an " +
+    "exact in-memory recompute") {
+    import java.security.MessageDigest
+    def h20(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 5), 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val prio = docs.map { case (id, w) => (id, w, w * 1048576L / (h20(id.toString) + 1)) }
+    val sorted = prio.sortBy { case (id, _, p) => (-p, id) }
+    val tau = sorted(32)._3
+    val wEst = sorted.take(32).map { case (_, w, _) => math.max(w, tau) }.sum
+    val wTotal = docs.map(_._2).sum
+    val r = run("q_priority_sample").collect().head
+    assert(r.getAs[Long]("k") === 32L)
+    assert(r.getAs[Long]("tau") === tau)
+    assert(r.getAs[Long]("w_total") === wTotal)
+    assert(r.getAs[Long]("w_est") === wEst)
+    // DLT unbiasedness: one draw won't be exact, but a 32-of-500 priority
+    // sample estimating the TOTAL should land within half of the truth
+    assert(math.abs(wEst - wTotal).toDouble / wTotal < 0.5,
+      s"estimator $wEst wildly off total $wTotal — priority math is broken")
+  }
 }
