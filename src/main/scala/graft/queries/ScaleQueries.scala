@@ -642,15 +642,16 @@ object ScaleQueries {
       col("band"), col("sig"))
     val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
       col("band"), col("sig"))
+    // fixed-point integer L2 (codegen'd graft_l2q): per-element
+    // quantization is order-independent and the BIGINT sum is exact, so
+    // both engines rank candidates identically (ties on id). Computed
+    // per band-collision row so the pair-dedup shuffle moves 24 B/row
+    // instead of the two 64-dim vectors.
     val pairs = a.join(b, Seq("band", "sig"))
       .filter(col("id_a") =!= col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first("ea").as("ea"), first("eb").as("eb"))
-      // fixed-point integer L2 (codegen'd graft_l2q — bit-identical to
-      // the aggregate/zip_with lambda chain it replaced): per-element
-      // quantization is order-independent and the BIGINT sum is exact,
-      // so both engines rank candidates identically (ties on id)
       .withColumn("dist", expr("graft_l2q(ea, eb)"))
+      .groupBy("id_a", "id_b")
+      .agg(first("dist").as("dist"))
       .select("id_a", "id_b", "dist")
     val w = Window.partitionBy("id_a").orderBy(col("dist"), col("id_b"))
     // persisted: the directed edge table feeds its own reversal join,
@@ -727,17 +728,7 @@ object ScaleQueries {
 
   private def qDbscan(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sigs = TrainingDataQueries.bandSigs(s, dir).persist()
-    val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
-      col("band"), col("sig"))
-    val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
-      col("band"), col("sig"))
-    val pairs = a.join(b, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first("ea").as("ea"), first("eb").as("eb"))
-      .withColumn("dist", expr("graft_l2q(ea, eb)"))
-      .select("id_a", "id_b", "dist").persist()
+    val pairs = TrainingDataQueries.lshPairDists(s, dir).persist()
     val np = pairs.agg(count(lit(1)).as("np"))
     val eps = pairs.withColumn("rk", row_number().over(
         Window.orderBy(col("dist"), col("id_a"), col("id_b"))))
@@ -2474,32 +2465,22 @@ object ScaleQueries {
 
   private def qBoruvkaMst(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sigs = TrainingDataQueries.bandSigs(s, dir)
-    val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
-      col("band"), col("sig"))
-    val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
-      col("band"), col("sig"))
-    val edges = a.join(b, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first("ea").as("ea"), first("eb").as("eb"))
-      .withColumn("dist", expr("graft_l2q(ea, eb)"))
-      .select("id_a", "id_b", "dist").persist()
+    val edges = TrainingDataQueries.lshPairDists(s, dir).persist()
     val nodes = edges.select(col("id_a").as("node"))
       .unionByName(edges.select(col("id_b").as("node"))).distinct()
     // per-component argmin, both endpoint components; the same edge may
     // win for both, so dedupe — the survivors are MST edges (cut property)
-    def selectMin(el: DataFrame): DataFrame = {
+    def selectMin(el: DataFrame, checkpoint: Boolean): DataFrame = {
       val contrib = el.select(col("la").as("comp"), col("dist"),
           col("id_a"), col("id_b"), col("la"), col("lb"))
         .unionByName(el.select(col("lb").as("comp"), col("dist"),
           col("id_a"), col("id_b"), col("la"), col("lb")))
-      contrib.withColumn("rk", row_number().over(
+      val sel = contrib.withColumn("rk", row_number().over(
           Window.partitionBy("comp").orderBy(col("dist"), col("id_a"), col("id_b"))))
         .filter(col("rk") === 1)
         .select("id_a", "id_b", "dist", "la", "lb")
         .distinct()
-        .localCheckpoint(true)
+      if (checkpoint) sel.localCheckpoint(true) else sel
     }
     def selStats(sel: DataFrame): (Long, Long) = {
       val r = sel.agg(count(lit(1)).as("c"),
@@ -2516,7 +2497,7 @@ object ScaleQueries {
     val nNodes = nodes.count()
     // round 1: labels ARE the node ids — no label join needed
     val s1 = selectMin(edges.select(col("id_a"), col("id_b"), col("dist"),
-      col("id_a").as("la"), col("id_b").as("lb")))
+      col("id_a").as("la"), col("id_b").as("lb")), checkpoint = true)
     val (n1, w1) = selStats(s1)
     // contract round 1 (the only contraction two rounds need)
     val lcc = TrainingDataQueries.connectedComponents(
@@ -2529,7 +2510,7 @@ object ScaleQueries {
       .join(labels.select(col("node").as("id_a"), col("label").as("la")), "id_a")
       .join(labels.select(col("node").as("id_b"), col("label").as("lb")), "id_b")
       .filter(col("la") =!= col("lb"))
-    val (n2, w2) = selStats(selectMin(e2))
+    val (n2, w2) = selStats(selectMin(e2, checkpoint = false))
     edges.unpersist()
     val after1 = nNodes - n1
     import s.implicits._
@@ -2903,6 +2884,144 @@ object ScaleQueries {
        |  CAST(floor(abs(w_est - w_total) * 1e6 / w_total) AS BIGINT) AS err_ppm
        |FROM ag CROSS JOIN tot""".stripMargin
 
+  // --- join-key skew profile (log2-df histogram) ------------------------------
+  //
+  // The pre-flight every 100 TB join should run before choosing a
+  // strategy: profile the key-frequency distribution — a Zipf head
+  // means salting or AQE skew-split, a flat profile means a plain
+  // hash join. Per-key counts are one partial-agg pass; the profile
+  // itself is the LOG2-BINNED histogram of those counts (bin =
+  // bit-length of df), a ≤64-row mergeable summary at any corpus size —
+  // the full per-key rank table a naive percentile profile would sort
+  // is exactly what this avoids. Reports per bin: #keys, total rows,
+  // the bin's hottest key's df, and each bin's row share — the top bin
+  // IS the skew diagnosis (its share ≈ what one task would own
+  // unsalted).
+
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val df = t(s, dir, "documents")
+      .select(explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val tot = df.agg(sum("df").as("total"))
+    // bit-length bin, NOT floor(log2(df)): log2 is a libm double whose
+    // rounding at exact powers of two differs across engines; the
+    // binary-string length is integer-exact in both
+    df.withColumn("bin", expr("CAST(length(bin(df)) - 1 AS BIGINT)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_keys"), sum("df").as("rows"), max("df").as("max_df"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_keys"), col("rows"), col("max_df"),
+        expr("(rows * 1000000L) div total").as("share_ppm"))
+      .orderBy("bin")
+  }
+
+  private val qSkewReportSql =
+    s"""WITH $ScaleTokensCte,
+       |df AS (
+       |  SELECT tok, count(*) AS df
+       |  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+       |tt AS (SELECT CAST(sum(df) AS BIGINT) AS total FROM df)
+       |SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(df) AS BIGINT) AS rows,
+       |  CAST(max(df) AS BIGINT) AS max_df,
+       |  CAST((sum(df) * 1000000) // total AS BIGINT) AS share_ppm
+       |FROM df CROSS JOIN tt
+       |GROUP BY 1, total ORDER BY 1""".stripMargin
+
+  // --- Gini decision-stump induction ------------------------------------------
+  //
+  // One-split tree learning in-engine (completing the learning family
+  // next to the BPE merges, the linear probe, conformal gating, and
+  // label propagation): choose the n_chars threshold that best
+  // separates English from non-English by WEIGHTED GINI IMPURITY —
+  // the CART criterion — with every score an exact integer. Gini
+  // avoids entropy's logarithms: minimizing Σ_child n_c·(1 − Σ_k p²)
+  // is maximizing Σ_child (pos_c² + neg_c²)/n_c, which fix-points to
+  // ·1e9 integer divisions both engines compute identically. Candidate
+  // thresholds are the 32 equi-width bucket edges (the q_hist_quantiles
+  // discipline): one bucket-grain aggregate over the corpus, one
+  // cumulative window over ≤32 rows, argmin by (score, threshold) —
+  // the corpus is scanned once, the search runs on the bin table.
+  // Count squares need pos² ≪ 2^63/1e9: beyond ~3·10⁹ rows per side
+  // the score moves to DECIMAL(38) — the knob, not the plan, changes.
+
+  private val GsB = 32L
+
+  private def qGiniStump(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("n_chars").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val mm = d.agg(min("x").as("mn"), max("x").as("mx"),
+      count(lit(1)).as("n"), sum("y").as("pos"))
+    val bins = d.crossJoin(broadcast(mm))
+      .withColumn("b", expr(s"((x - mn) * $GsB) div (mx - mn + 1)"))
+      .groupBy("b").agg(count(lit(1)).as("nb"), sum("y").as("pb"))
+    val cum = bins
+      .withColumn("nl", sum("nb").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pl", sum("pb").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(mm))
+      .filter(col("nl") > 0 && col("nl") < col("n")) // both children non-empty
+      // threshold = the bucket's inclusive upper edge (x <= thr goes left)
+      .withColumn("thr", expr(s"mn + ((b + 1) * (mx - mn + 1)) div $GsB - 1"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("pr", col("pos") - col("pl"))
+      .withColumn("purity_fp", expr(
+        """(pl * pl + (nl - pl) * (nl - pl)) * 1000000000L div nl +
+          |(pr * pr + (nr - pr) * (nr - pr)) * 1000000000L div nr""".stripMargin))
+    cum
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("purity_fp"), col("thr"))))
+      .filter(col("rk") === 1)
+      .withColumn("parent_fp", expr(
+        "(pos * pos + (n - pos) * (n - pos)) * 1000000000L div n"))
+      .select(col("thr"), col("nl"), col("pl"), col("nr"), col("pr"),
+        col("purity_fp"), col("parent_fp"),
+        // majority-vote stump accuracy in ppm: each child predicts its
+        // majority class
+        expr("""((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000L)
+          |div n""".stripMargin).as("acc_ppm"))
+  }
+
+  private val qGiniStumpSql =
+    s"""WITH d AS (
+       |  SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |mm AS (
+       |  SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM d),
+       |bins AS (
+       |  SELECT ((x - mn) * $GsB) // (mx - mn + 1) AS b,
+       |    count(*) AS nb, sum(y) AS pb
+       |  FROM d CROSS JOIN mm GROUP BY 1),
+       |cum AS (
+       |  SELECT b,
+       |    sum(nb) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+       |    sum(pb) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+       |  FROM bins),
+       |sc AS (
+       |  SELECT mn + ((b + 1) * (mx - mn + 1)) // $GsB - 1 AS thr,
+       |    nl, pl, n - nl AS nr, pos - pl AS pr,
+       |    (pl * pl + (nl - pl) * (nl - pl)) * 1000000000 // nl +
+       |    ((pos - pl) * (pos - pl) + ((n - nl) - (pos - pl)) * ((n - nl) - (pos - pl)))
+       |      * 1000000000 // (n - nl) AS purity_fp,
+       |    n, pos
+       |  FROM cum CROSS JOIN mm WHERE nl > 0 AND nl < n)
+       |SELECT CAST(thr AS BIGINT) AS thr, CAST(nl AS BIGINT) AS nl,
+       |  CAST(pl AS BIGINT) AS pl, CAST(nr AS BIGINT) AS nr,
+       |  CAST(pr AS BIGINT) AS pr, CAST(purity_fp AS BIGINT) AS purity_fp,
+       |  CAST((pos * pos + (n - pos) * (n - pos)) * 1000000000 // n AS BIGINT)
+       |    AS parent_fp,
+       |  CAST((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000 // n
+       |    AS BIGINT) AS acc_ppm
+       |FROM sc ORDER BY purity_fp DESC, thr LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -2944,7 +3063,9 @@ object ScaleQueries {
     "q_max_cover" -> (qMaxCover _),
     "q_theil_sen" -> (qTheilSen _),
     "q_hist_quantiles" -> (qHistQuantiles _),
-    "q_priority_sample" -> (qPrioritySample _))
+    "q_priority_sample" -> (qPrioritySample _),
+    "q_skew_report" -> (qSkewReport _),
+    "q_gini_stump" -> (qGiniStump _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -2987,5 +3108,7 @@ object ScaleQueries {
     "q_max_cover" -> qMaxCoverSql,
     "q_theil_sen" -> qTheilSenSql,
     "q_hist_quantiles" -> qHistQuantilesSql,
-    "q_priority_sample" -> qPrioritySampleSql)
+    "q_priority_sample" -> qPrioritySampleSql,
+    "q_skew_report" -> qSkewReportSql,
+    "q_gini_stump" -> qGiniStumpSql)
 }

@@ -549,9 +549,18 @@ object TrainingDataQueries {
     * resets the plan to the materialized rows (the standard discipline
     * for iterative DataFrame algorithms).
     */
-  private[queries] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  private[graft] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // The candidate/label graphs this closure runs on are orders of
+    // magnitude smaller than the corpus (near-dup candidates, Borůvka
+    // forests, DBSCAN core edges), but they inherit the corpus plan's
+    // partition count — every pointer-jumping iteration then pays tens of
+    // near-empty tasks of pure scheduler latency. Coalesce the edge list
+    // to a few partitions first: labels are partition-invariant (min is
+    // commutative), so this is a latency knob, not a semantics one; a
+    // petabyte caller passes edges already partitioned to its own scale.
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .coalesce(8)
       .localCheckpoint(true)
     // round 0 fused into the init: label = min(node, min neighbor) is one
     // aggregate over sym — the identity-labels variant spent its first
@@ -1125,6 +1134,27 @@ object TrainingDataQueries {
       .select(col("vec_id"), col("e"), posexplode(col("sigs")).as(Seq("band", "sig")))
   }
 
+  /** LSH candidate pairs with exact quantized-L2 distances. The distance
+    * is computed PER BAND-COLLISION ROW — a few dozen flops — so the
+    * pair-dedup shuffle carries 24 bytes/row; the earlier
+    * first(ea)/first(eb) shape moved the two 64-dim vectors (~1 KB/row)
+    * through the exchange at any corpus size. A pair agreeing on m bands
+    * recomputes the distance m times, m ≤ ExprHelpers.LshBands: flops
+    * are cheaper than shuffle bytes.
+    */
+  private[graft] def lshPairDists(s: SparkSession, dir: String): DataFrame = {
+    val sigs = bandSigs(s, dir)
+    val a = sigs.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", expr("graft_l2q(ea, eb)"))
+      .groupBy("id_a", "id_b").agg(first("dist").as("dist"))
+      .select("id_a", "id_b", "dist")
+  }
+
   private[graft] val BandSigsCte =
     s"""e0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
@@ -1188,11 +1218,12 @@ object TrainingDataQueries {
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       // a pair can collide in several bands — count them (the OR of the
-      // AND-OR), then verify once per pair
-      .groupBy("id_a", "id_b")
-      .agg(first("ea").as("ea"), first("eb").as("eb"),
-        count(lit(1)).as("bands_hit"))
+      // AND-OR), then verify. The cosine is computed per collision row
+      // (≤ LshBands recomputes) so the dedup shuffle carries a double,
+      // not the two vectors.
       .withColumn("cos", expr("graft_cosine(ea, eb)"))
+      .groupBy("id_a", "id_b")
+      .agg(first("cos").as("cos"), count(lit(1)).as("bands_hit"))
       .filter(col("cos") > 0.3)
       .select(col("id_a"), col("id_b"), col("bands_hit"),
         Rounding.r(col("cos"), 4).as("cos"))

@@ -1099,4 +1099,68 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(math.abs(wEst - wTotal).toDouble / wTotal < 0.5,
       s"estimator $wEst wildly off total $wTotal — priority math is broken")
   }
+
+  // --- join-key skew report -----------------------------------------------------
+
+  test("skew report: bins partition the key table, shares telescope, hottest " +
+    "bin carries the corpus-stopword mass") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = run("q_skew_report").collect()
+    // bins partition: key and row totals reconcile exactly
+    assert(out.map(_.getAs[Long]("n_keys")).sum === df.length.toLong)
+    assert(out.map(_.getAs[Long]("rows")).sum === df.map(_._2).sum)
+    // every key lands in the bit-length bin
+    val byBin = df.groupBy { case (_, d) => 63 - java.lang.Long.numberOfLeadingZeros(d) }
+    out.foreach { r =>
+      val b = r.getAs[Long]("bin").toInt
+      assert(r.getAs[Long]("n_keys") === byBin(b).length.toLong)
+      assert(r.getAs[Long]("max_df") === byBin(b).map(_._2).max)
+    }
+    // floor-division shares stay within one ppm per bin of unity
+    val shares = out.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares > 1000000L - out.length && shares <= 1000000L)
+  }
+
+  // --- Gini decision stump --------------------------------------------------------
+
+  test("gini stump matches an exhaustive in-memory split search and beats " +
+    "the parent impurity") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "en") 1L else 0L))
+    val (mn, mx, n, pos) =
+      (d.map(_._1).min, d.map(_._1).max, d.length.toLong, d.map(_._2).sum)
+    val binOf = (x: Long) => (x - mn) * 32L / (mx - mn + 1)
+    val cand = (0L until 32L).map { b =>
+      val thr = mn + (b + 1) * (mx - mn + 1) / 32L - 1
+      val left = d.filter { case (x, _) => binOf(x) <= b }
+      val nl = left.length.toLong
+      val pl = left.map(_._2).sum
+      (thr, nl, pl)
+    }.filter { case (_, nl, _) => nl > 0 && nl < n }
+    val scored = cand.map { case (thr, nl, pl) =>
+      val (nr, pr) = (n - nl, pos - pl)
+      val purity = (pl * pl + (nl - pl) * (nl - pl)) * 1000000000L / nl +
+        (pr * pr + (nr - pr) * (nr - pr)) * 1000000000L / nr
+      (thr, nl, pl, nr, pr, purity)
+    }
+    val best = scored.minBy { case (thr, _, _, _, _, p) => (-p, thr) }
+    val r = run("q_gini_stump").collect().head
+    assert(r.getAs[Long]("thr") === best._1)
+    assert((r.getAs[Long]("nl"), r.getAs[Long]("pl"),
+      r.getAs[Long]("nr"), r.getAs[Long]("pr")) === ((best._2, best._3, best._4, best._5)))
+    assert(r.getAs[Long]("purity_fp") === best._6)
+    // the chosen split is at least as pure as no split (Gini never hurts)
+    val parent = (pos * pos + (n - pos) * (n - pos)) * 1000000000L / n
+    assert(r.getAs[Long]("parent_fp") === parent)
+    // purity_fp is the two-child sum at 1e9 scale; each child contributes
+    // at least its share of the parent purity (concavity of Gini)
+    assert(r.getAs[Long]("acc_ppm") >= 1000000L *
+      math.max(pos, n - pos) / n - 1,
+      "majority stump must be no worse than the majority-class baseline")
+  }
 }
