@@ -3022,6 +3022,178 @@ object ScaleQueries {
        |    AS BIGINT) AS acc_ppm
        |FROM sc ORDER BY purity_fp DESC, thr LIMIT 1""".stripMargin
 
+  // --- Stupid Backoff trigram LM scoring ---------------------------------------
+  //
+  // Brants et al. 2007 ("Large Language Models in Machine Translation")
+  // — THE MapReduce-era LM: no discounting, no normalization, just
+  // S(w₃|w₁w₂) = f(w₁w₂w₃)/f(w₁w₂), backing off to α·S(w₃|w₂) and
+  // α²·f(w₃)/N with α = 0.4, because at web scale raw counts plus a
+  // constant backoff match smoothed models. Counts come from a TRAIN
+  // split and scores run over the held-out TEST split (the q_group_split
+  // md5 discipline) — training on the scored corpus itself would make
+  // every trigram seen and the backoff dead code. Float discipline:
+  // each level fix-points to 1e6 with integer floors (α·S = 2·S div 5,
+  // α²·S = 4·S div 25), so the per-doc mean is an order-immune BIGINT
+  // sum. Plan: one position pass over test docs, three train count
+  // tables (trigram/bigram/unigram — each one partial-agg shuffle),
+  // three left key-joins (Zipf-skewed probe side is AQE's skew case,
+  // build sides are count tables), one per-doc aggregate. Also reports
+  // which backoff level served each position — the coverage diagnostic
+  // a curation dashboard wants next to the score.
+
+  private def qStupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), call_function("graft_ws_tokens", col("text")).as("ts"))
+      .withColumn("is_train",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100 < 80)
+    val pos3 = docs
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("is_train"), explode(expr(
+        """transform(sequence(0, size(ts)-3),
+          |  i -> struct(element_at(ts, i+1) AS w1, element_at(ts, i+2) AS w2,
+          |              element_at(ts, i+3) AS w3))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("is_train"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .persist()
+    val train = pos3.filter(col("is_train"))
+    val c123 = train.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // bigram/unigram counts over the SAME trigram-position table: the
+    // (w2, w3) and (w3) grains of one pass, not a second tokenize
+    val c23 = train.groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+    val c2 = train.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val c3 = train.groupBy("w3").agg(count(lit(1)).as("c3"))
+    val tT = train.agg(count(lit(1)).as("t"))
+    val scored = pos3.filter(!col("is_train"))
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(tT))
+      .withColumn("s_fp", expr(
+        """CASE
+          |  WHEN coalesce(c123, 0) > 0 THEN (c123 * 1000000L) div c12
+          |  WHEN coalesce(c23, 0) > 0 THEN (2 * ((c23 * 1000000L) div c2)) div 5
+          |  WHEN coalesce(c3, 0) > 0 THEN (4 * ((c3 * 1000000L) div t)) div 25
+          |  ELSE 0L END""".stripMargin))
+      .withColumn("lvl", expr(
+        """CASE WHEN coalesce(c123, 0) > 0 THEN 3
+          |  WHEN coalesce(c23, 0) > 0 THEN 2
+          |  WHEN coalesce(c3, 0) > 0 THEN 1 ELSE 0 END""".stripMargin))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum("s_fp").as("score_fp"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") <= 1, 1L).otherwise(0L)).as("n_uni_or_oov"))
+      .select(col("doc_id"), col("n_pos"), col("score_fp"),
+        Rounding.r(col("score_fp") / col("n_pos") / lit(1e6), 6).as("mean_s"),
+        col("n_tri"), col("n_bi"), col("n_uni_or_oov"))
+      .orderBy("doc_id")
+  }
+
+  private val qStupidBackoffSql =
+    s"""WITH $ScaleTokensCte,
+       |dt AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 100 < 80) AS is_train, ts
+       |  FROM toks WHERE len(ts) >= 3),
+       |pos AS (
+       |  SELECT doc_id, is_train, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+       |    SELECT doc_id, is_train,
+       |      unnest(list_transform(generate_series(1, len(ts)-2),
+       |        i -> {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]})) AS u
+       |    FROM dt) x),
+       |tr AS (SELECT * FROM pos WHERE is_train),
+       |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tr GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2),
+       |c23 AS (SELECT w2, w3, count(*) AS c23 FROM tr GROUP BY 1, 2),
+       |c2 AS (SELECT w2, count(*) AS c2 FROM tr GROUP BY 1),
+       |c3 AS (SELECT w3, count(*) AS c3 FROM tr GROUP BY 1),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tr),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CASE
+       |      WHEN coalesce(a.c123, 0) > 0 THEN (a.c123 * 1000000) // b.c12
+       |      WHEN coalesce(d.c23, 0) > 0 THEN (2 * ((d.c23 * 1000000) // e.c2)) // 5
+       |      WHEN coalesce(f.c3, 0) > 0 THEN (4 * ((f.c3 * 1000000) // t)) // 25
+       |      ELSE 0 END AS s_fp,
+       |    CASE WHEN coalesce(a.c123, 0) > 0 THEN 3
+       |      WHEN coalesce(d.c23, 0) > 0 THEN 2
+       |      WHEN coalesce(f.c3, 0) > 0 THEN 1 ELSE 0 END AS lvl
+       |  FROM pos p
+       |  LEFT JOIN c123 a ON p.w1 = a.w1 AND p.w2 = a.w2 AND p.w3 = a.w3
+       |  LEFT JOIN c12 b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  LEFT JOIN c23 d ON p.w2 = d.w2 AND p.w3 = d.w3
+       |  LEFT JOIN c2 e ON p.w2 = e.w2
+       |  LEFT JOIN c3 f ON p.w3 = f.w3
+       |  CROSS JOIN tt
+       |  WHERE NOT p.is_train)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(sum(s_fp) AS BIGINT) AS score_fp,
+       |  ${Rounding.rSql("(CAST(sum(s_fp) AS BIGINT) / count(*)) / 1e6", 6)} AS mean_s,
+       |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+       |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+       |  CAST(sum(CASE WHEN lvl <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_or_oov
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- snapshot diff (corpus version reconciliation) ---------------------------
+  //
+  // The table-diff every incremental corpus build runs between two
+  // snapshot versions: ONE full-outer hash join on the stable document
+  // key, change detection by CONTENT HASH (never byte-comparing text
+  // through the shuffle — the md5 rides the scan projection), statuses
+  // added / removed / changed / unchanged with per-status row and byte
+  // deltas. Snapshots are derived deterministically from the one test
+  // table (v1 drops doc_id % 7 = 0, v2 drops % 5 = 0 and rewrites
+  // % 11 = 0) so both engines reconstruct identical versions.
+
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val v1 = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h1"), col("n_chars").as("len1"))
+    val v2 = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("text2", when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .select(col("doc_id"), md5(col("text2")).as("h2"),
+        (col("n_chars") + when(pmod(col("doc_id"), lit(11)) === 0, 7L)
+          .otherwise(0L)).as("len2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status", expr(
+        """CASE WHEN h1 IS NULL THEN 'added'
+          |  WHEN h2 IS NULL THEN 'removed'
+          |  WHEN h1 <> h2 THEN 'changed'
+          |  ELSE 'unchanged' END""".stripMargin))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("len2"), lit(0L)) - coalesce(col("len1"), lit(0L)))
+          .as("bytes_delta"))
+      .orderBy("status")
+  }
+
+  private val qSnapshotDiffSql =
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS h1, n_chars AS len1
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS h2,
+      |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 7 ELSE 0 END AS len2
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT
+      |  CASE WHEN h1 IS NULL THEN 'added'
+      |    WHEN h2 IS NULL THEN 'removed'
+      |    WHEN h1 <> h2 THEN 'changed'
+      |    ELSE 'unchanged' END AS status,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(coalesce(len2, 0) - coalesce(len1, 0)) AS BIGINT) AS bytes_delta
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -3065,7 +3237,9 @@ object ScaleQueries {
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_priority_sample" -> (qPrioritySample _),
     "q_skew_report" -> (qSkewReport _),
-    "q_gini_stump" -> (qGiniStump _))
+    "q_gini_stump" -> (qGiniStump _),
+    "q_stupid_backoff" -> (qStupidBackoff _),
+    "q_snapshot_diff" -> (qSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3110,5 +3284,7 @@ object ScaleQueries {
     "q_hist_quantiles" -> qHistQuantilesSql,
     "q_priority_sample" -> qPrioritySampleSql,
     "q_skew_report" -> qSkewReportSql,
-    "q_gini_stump" -> qGiniStumpSql)
+    "q_gini_stump" -> qGiniStumpSql,
+    "q_stupid_backoff" -> qStupidBackoffSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql)
 }

@@ -1163,4 +1163,78 @@ class ScaleQueriesSpec extends AnyFunSuite {
       math.max(pos, n - pos) / n - 1,
       "majority stump must be no worse than the majority-class baseline")
   }
+
+  // --- Stupid Backoff LM ----------------------------------------------------------
+
+  test("stupid backoff scores match an exact in-memory recompute and the " +
+    "backoff levels actually fire on held-out trigrams") {
+    import java.security.MessageDigest
+    def md5hex8(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), call_function("graft_ws_tokens", col("text")).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector))
+      .filter(_._2.length >= 3)
+    val (train, test) = docs.partition { case (id, _) => md5hex8(id.toString) % 100 < 80 }
+    def tris(ts: Vector[String]) = ts.sliding(3).map(w => (w(0), w(1), w(2))).toVector
+    val trainTris = train.flatMap { case (_, ts) => tris(ts) }
+    val c123 = trainTris.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c12 = trainTris.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.length.toLong }
+    val c23 = trainTris.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.length.toLong }
+    val c2 = trainTris.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val c3 = trainTris.groupBy(_._3).map { case (k, v) => k -> v.length.toLong }
+    val tT = trainTris.length.toLong
+    val expected = test.map { case (id, ts) =>
+      val scores = tris(ts).map { tri =>
+        if (c123.getOrElse(tri, 0L) > 0)
+          (c123(tri) * 1000000L / c12((tri._1, tri._2)), 3)
+        else if (c23.getOrElse((tri._2, tri._3), 0L) > 0)
+          (2 * (c23((tri._2, tri._3)) * 1000000L / c2(tri._2)) / 5, 2)
+        else if (c3.getOrElse(tri._3, 0L) > 0)
+          (4 * (c3(tri._3) * 1000000L / tT) / 25, 1)
+        else (0L, 0)
+      }
+      id -> (scores.length.toLong, scores.map(_._1).sum,
+        scores.count(_._2 == 3).toLong, scores.count(_._2 == 2).toLong,
+        scores.count(_._2 <= 1).toLong)
+    }.toMap
+    val out = run("q_stupid_backoff").collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val e = expected(r.getAs[Long]("doc_id"))
+      assert((r.getAs[Long]("n_pos"), r.getAs[Long]("score_fp"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("n_bi"),
+        r.getAs[Long]("n_uni_or_oov")) === e)
+    }
+    // held-out scoring must exercise the backoff chain, not just the
+    // trigram hit path
+    assert(out.map(_.getAs[Long]("n_bi")).sum +
+      out.map(_.getAs[Long]("n_uni_or_oov")).sum > 0,
+      "no position ever backed off — the train/test split is not separating")
+    assert(out.map(_.getAs[Long]("n_tri")).sum > 0,
+      "no trigram hits at all — the split left no shared context")
+  }
+
+  // --- snapshot diff ----------------------------------------------------------------
+
+  test("snapshot diff statuses match a direct recount of the derived versions") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val added = ids.count(i => i % 7 == 0 && i % 5 != 0).toLong
+    val removed = ids.count(i => i % 7 != 0 && i % 5 == 0).toLong
+    val changed = ids.count(i => i % 7 != 0 && i % 5 != 0 && i % 11 == 0).toLong
+    val unchanged = ids.count(i => i % 7 != 0 && i % 5 != 0 && i % 11 != 0).toLong
+    val out = run("q_snapshot_diff").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.get("added").map(_._1).getOrElse(0L) === added)
+    assert(out.get("removed").map(_._1).getOrElse(0L) === removed)
+    assert(out.get("changed").map(_._1) === (if (changed > 0) Some(changed) else None))
+    assert(out.get("unchanged").map(_._1).getOrElse(0L) === unchanged)
+    // every changed doc gained exactly the 7-byte revision marker
+    out.get("changed").foreach { case (n, delta) => assert(delta === 7L * n) }
+    // unchanged rows must cancel byte-for-byte
+    out.get("unchanged").foreach { case (_, delta) => assert(delta === 0L) }
+  }
 }
