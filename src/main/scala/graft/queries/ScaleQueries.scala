@@ -3194,6 +3194,169 @@ object ScaleQueries {
       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- Spearman rank correlation (tie-averaged, integer-exact) ---------------
+  //
+  // The monotone-association complement to q_correlation's Pearson (and
+  // the rank twin of q_mann_whitney): Spearman's ρ between document
+  // length and vocabulary richness. Tie-averaged ranks are half-integers,
+  // so (the Mann–Whitney discipline) everything computes at 2× scale:
+  // 2·rank = 2·(count below) + (count equal) + 1 is a BIGINT from ONE
+  // window over the VALUE GRAIN — counts collapse per distinct value
+  // first, so the windows run over the distinct-value tables, never the
+  // corpus. ρ = cov(ra, rb)/(σa·σb) assembled from exact integer moments
+  // (Σ2ra, Σ2rb, Σ4ra·rb, Σ4ra², Σ4rb²), one final double division.
+
+  private def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("xa"),
+        size(array_distinct(call_function("graft_ws_tokens", col("text"))))
+          .cast("long").as("xb"))
+      .persist()
+    // 2×-scaled tie-averaged rank per distinct value: 2·cb + ties + 1
+    def ranks2(v: String): DataFrame = {
+      val grain = d.groupBy(col(v).as("value")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+      grain
+        .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+        .select(col("value"), (lit(2L) * col("cb") + col("c") + 1L).as("r2"))
+    }
+    val ra = ranks2("xa").withColumnRenamed("value", "xa")
+      .withColumnRenamed("r2", "ra2")
+    val rb = ranks2("xb").withColumnRenamed("value", "xb")
+      .withColumnRenamed("r2", "rb2")
+    d.join(ra, "xa").join(rb, "xb")
+      .agg(count(lit(1)).as("n"),
+        sum("ra2").as("sa"), sum("rb2").as("sb"),
+        sum(col("ra2") * col("rb2")).as("sab"),
+        sum(col("ra2") * col("ra2")).as("saa"),
+        sum(col("rb2") * col("rb2")).as("sbb"))
+      .select(col("n"),
+        Rounding.r(
+          (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+            sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+              (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")),
+          6).as("rho"))
+  }
+
+  private val qSpearmanSql =
+    s"""WITH $ScaleTokensCte,
+       |d AS (
+       |  SELECT dd.doc_id, dd.n_chars AS xa,
+       |    CAST(len(list_distinct(tk.ts)) AS BIGINT) AS xb
+       |  FROM documents dd JOIN toks tk ON dd.doc_id = tk.doc_id),
+       |ga AS (SELECT xa AS value, count(*) AS c FROM d GROUP BY 1),
+       |ra AS (
+       |  SELECT value AS xa,
+       |    2 * coalesce(sum(c) OVER (ORDER BY value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ra2
+       |  FROM ga),
+       |gb AS (SELECT xb AS value, count(*) AS c FROM d GROUP BY 1),
+       |rb AS (
+       |  SELECT value AS xb,
+       |    2 * coalesce(sum(c) OVER (ORDER BY value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rb2
+       |  FROM gb),
+       |j AS (
+       |  SELECT d.doc_id, ra.ra2, rb.rb2
+       |  FROM d JOIN ra ON d.xa = ra.xa JOIN rb ON d.xb = rb.xb),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(ra2) AS BIGINT) AS sa, CAST(sum(rb2) AS BIGINT) AS sb,
+       |    CAST(sum(ra2 * rb2) AS BIGINT) AS sab,
+       |    CAST(sum(ra2 * ra2) AS BIGINT) AS saa,
+       |    CAST(sum(rb2 * rb2) AS BIGINT) AS sbb
+       |  FROM j)
+       |SELECT n,
+       |  ${Rounding.rSql(
+             "CAST(n * sab - sa * sb AS DOUBLE) / " +
+             "sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))", 6)}
+       |    AS rho
+       |FROM m""".stripMargin
+
+  // --- neighborhood growth (1-hop vs 2-hop reach) -----------------------------
+  //
+  // The expansion profile of the similarity graph — the exact small-k
+  // form of the neighborhood function HyperANF estimates with HLL
+  // registers at web scale: per node, |N₁| (distinct 1-hop neighbors)
+  // and |N₂| (distinct nodes within 2 hops, self excluded), from the
+  // LSH candidate graph with a DEGREE CAP (the df-cap discipline —
+  // keep each node's NgDeg nearest edges by (dist, id) so the 2-hop
+  // self-join is bounded by Σ deg² ≤ n·NgDeg², not by the hub nodes).
+  // One edge-table self-join + two distinct aggregates; output is the
+  // growth histogram (ratio bin → node count) plus per-bin mean reach —
+  // a bounded summary at any corpus size. Fast-expanding neighborhoods
+  // mark generic/templated regions; flat ones mark isolated content.
+
+  private val NgDeg = 8
+
+  private def qNeighborhoodGrowth(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // persisted: the candidate computation feeds both directions of sym
+    val p = TrainingDataQueries.lshPairDists(s, dir).persist()
+    val sym = p.select(col("id_a").as("u"), col("id_b").as("v"), col("dist"))
+      .unionByName(p.select(col("id_b").as("u"), col("id_a").as("v"), col("dist")))
+    val capped = sym.withColumn("rk", row_number().over(
+        Window.partitionBy("u").orderBy(col("dist"), col("v"))))
+      .filter(col("rk") <= NgDeg)
+      .select("u", "v").persist()
+    val n1 = capped.groupBy("u").agg(count(lit(1)).as("n1"))
+    val two = capped.as("a")
+      .join(capped.select(col("u").as("v"), col("v").as("w")).as("b"), "v")
+      .filter(col("u") =!= col("w"))
+      .select(col("u"), col("w").as("v"))
+      .unionByName(capped.select("u", "v"))
+      .distinct()
+      .groupBy("u").agg(count(lit(1)).as("n2"))
+    n1.join(two, "u")
+      // growth ratio bin at 1 decimal: floor(10·n2/n1)
+      .withColumn("gbin", expr("(n2 * 10L) div n1"))
+      .groupBy("gbin")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("n1").as("sum_n1"), sum("n2").as("sum_n2"))
+      .orderBy("gbin")
+  }
+
+  private val qNeighborhoodGrowthSql = {
+    val l2q =
+      """CAST(list_sum(list_transform(generate_series(1, len(ea)), i ->
+        |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+        |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)) *
+        |      (CAST(floor(ea[i] * 1048576.0) AS BIGINT) -
+        |       CAST(floor(eb[i] * 1048576.0) AS BIGINT)))) AS BIGINT)""".stripMargin
+    s"""WITH ${TrainingDataQueries.BandSigsCte},
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    any_value(a.e) AS ea, any_value(b.e) AS eb
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |ed AS (SELECT id_a, id_b, $l2q AS dist FROM pr),
+       |sym AS (
+       |  SELECT id_a AS u, id_b AS v, dist FROM ed
+       |  UNION ALL SELECT id_b, id_a, dist FROM ed),
+       |capped AS (
+       |  SELECT u, v FROM (
+       |    SELECT u, v, row_number() OVER (
+       |      PARTITION BY u ORDER BY dist, v) AS rk FROM sym)
+       |  WHERE rk <= $NgDeg),
+       |n1 AS (SELECT u, count(*) AS n1 FROM capped GROUP BY 1),
+       |two AS (
+       |  SELECT u, count(*) AS n2 FROM (
+       |    SELECT DISTINCT u, v FROM (
+       |      SELECT a.u, b.w AS v
+       |      FROM capped a JOIN (SELECT u AS v, v AS w FROM capped) b USING (v)
+       |      WHERE a.u <> b.w
+       |      UNION ALL SELECT u, v FROM capped))
+       |  GROUP BY 1)
+       |SELECT (n2 * 10) // n1 AS gbin,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(n1) AS BIGINT) AS sum_n1,
+       |  CAST(sum(n2) AS BIGINT) AS sum_n2
+       |FROM n1 JOIN two USING (u)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -3239,7 +3402,9 @@ object ScaleQueries {
     "q_skew_report" -> (qSkewReport _),
     "q_gini_stump" -> (qGiniStump _),
     "q_stupid_backoff" -> (qStupidBackoff _),
-    "q_snapshot_diff" -> (qSnapshotDiff _))
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_spearman" -> (qSpearman _),
+    "q_neighborhood_growth" -> (qNeighborhoodGrowth _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3286,5 +3451,7 @@ object ScaleQueries {
     "q_skew_report" -> qSkewReportSql,
     "q_gini_stump" -> qGiniStumpSql,
     "q_stupid_backoff" -> qStupidBackoffSql,
-    "q_snapshot_diff" -> qSnapshotDiffSql)
+    "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_spearman" -> qSpearmanSql,
+    "q_neighborhood_growth" -> qNeighborhoodGrowthSql)
 }

@@ -1237,4 +1237,63 @@ class ScaleQueriesSpec extends AnyFunSuite {
     // unchanged rows must cancel byte-for-byte
     out.get("unchanged").foreach { case (_, delta) => assert(delta === 0L) }
   }
+
+  // --- Spearman rank correlation -------------------------------------------------
+
+  test("spearman rho matches an in-memory tie-averaged recompute") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("n_chars"),
+        size(array_distinct(call_function("graft_ws_tokens", col("text"))))
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ranks(xs: Array[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val below = sorted.count(_ < v)
+        val ties = sorted.count(_ == v)
+        v -> (below + (ties + 1) / 2.0)
+      }.toMap
+    }
+    val ra = ranks(d.map(_._1)); val rb = ranks(d.map(_._2))
+    val pairs = d.map { case (a, b) => (ra(a), rb(b)) }
+    val n = pairs.length.toDouble
+    val (sa, sb) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sab = pairs.map(p => p._1 * p._2).sum
+    val saa = pairs.map(p => p._1 * p._1).sum
+    val sbb = pairs.map(p => p._2 * p._2).sum
+    val rho = (n * sab - sa * sb) /
+      math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    val r = run("q_spearman").collect().head
+    assert(r.getAs[Long]("n") === d.length.toLong)
+    // the query's 2x-scaled integer path equals the float definition
+    assert(math.abs(r.getAs[Double]("rho") - rho) < 1e-5,
+      s"query rho ${r.getAs[Double]("rho")} vs recomputed $rho")
+    assert(math.abs(r.getAs[Double]("rho")) <= 1.0)
+  }
+
+  // --- neighborhood growth ---------------------------------------------------------
+
+  test("neighborhood growth matches an in-memory capped-BFS recount") {
+    graft.functions.GraftFunctions.register(spark)
+    val edges = graft.queries.TrainingDataQueries.lshPairDists(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = edges.flatMap { case (a, b, d) => Seq((a, b, d), (b, a, d)) }
+    val capped = sym.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy { case (_, v, dd) => (dd, v) }.take(8).toSeq
+    }.map { case (u, v, _) => (u, v) }.toSet
+    val adj = capped.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val perNode = adj.map { case (u, n1set) =>
+      val n2set = (n1set ++ n1set.flatMap(v => adj.getOrElse(v, Set.empty))) - u
+      (u, n1set.size.toLong, n2set.size.toLong)
+    }
+    val expected = perNode.groupBy { case (_, n1, n2) => n2 * 10 / n1 }
+      .map { case (g, xs) =>
+        g -> (xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum) }
+    val out = run("q_neighborhood_growth").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === expected)
+    // reach can only grow: every bin is at least the 1-hop baseline 10
+    assert(out.keys.min >= 10L)
+  }
 }
