@@ -3357,6 +3357,61 @@ object ScaleQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- Wilson score interval for gate pass rates -------------------------------
+  //
+  // The uncertainty every per-group pass-rate dashboard needs: the
+  // Wilson score interval, which (unlike the normal/Wald interval)
+  // stays inside [0,1] and behaves at small n or extreme rates — the
+  // difference between "this language's 3-doc sample passed 100%" and
+  // actionable. z = 1.96 enters as the usual constant; all arithmetic
+  // is IEEE doubles through the IDENTICAL operation order in both
+  // engines (division, multiplication, and sqrt are all correctly
+  // rounded per IEEE-754, so the floats agree bit-for-bit — the same
+  // reasoning as Rounding). One grain aggregate; the interval math runs
+  // on |langs| rows.
+
+  private def qWilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars").between(120, 2000), 1L).otherwise(0L)).as("k"))
+    g.withColumn("nn", col("n").cast("double"))
+      .withColumn("phat", col("k").cast("double") / col("nn"))
+      .withColumn("denom", lit(1.0) + lit(3.8416) / col("nn"))
+      .withColumn("center", (col("phat") + lit(1.9208) / col("nn")) / col("denom"))
+      .withColumn("half", (lit(1.96) * sqrt(
+        (col("phat") * (lit(1.0) - col("phat")) + lit(0.9604) / col("nn")) /
+          col("nn"))) / col("denom"))
+      .select(col("lang"), col("n"), col("k"),
+        Rounding.r(col("phat"), 6).as("rate"),
+        Rounding.r(col("center") - col("half"), 6).as("lo"),
+        Rounding.r(col("center") + col("half"), 6).as("hi"))
+      .orderBy("lang")
+  }
+
+  private val qWilsonCiSql =
+    s"""WITH g AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN n_chars BETWEEN 120 AND 2000 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT lang, n, k,
+       |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+       |    1.0 + 3.8416 / CAST(n AS DOUBLE) AS denom,
+       |    CAST(n AS DOUBLE) AS nn
+       |  FROM g),
+       |c AS (
+       |  SELECT lang, n, k, phat,
+       |    (phat + 1.9208 / nn) / denom AS center,
+       |    (1.96 * sqrt((phat * (1.0 - phat) + 0.9604 / nn) / nn)) / denom AS half
+       |  FROM w)
+       |SELECT lang, n, k,
+       |  ${Rounding.rSql("phat", 6)} AS rate,
+       |  ${Rounding.rSql("center - half", 6)} AS lo,
+       |  ${Rounding.rSql("center + half", 6)} AS hi
+       |FROM c ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -3404,7 +3459,8 @@ object ScaleQueries {
     "q_stupid_backoff" -> (qStupidBackoff _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_spearman" -> (qSpearman _),
-    "q_neighborhood_growth" -> (qNeighborhoodGrowth _))
+    "q_neighborhood_growth" -> (qNeighborhoodGrowth _),
+    "q_wilson_ci" -> (qWilsonCi _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3453,5 +3509,6 @@ object ScaleQueries {
     "q_stupid_backoff" -> qStupidBackoffSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_spearman" -> qSpearmanSql,
-    "q_neighborhood_growth" -> qNeighborhoodGrowthSql)
+    "q_neighborhood_growth" -> qNeighborhoodGrowthSql,
+    "q_wilson_ci" -> qWilsonCiSql)
 }

@@ -1296,4 +1296,31 @@ class ScaleQueriesSpec extends AnyFunSuite {
     // reach can only grow: every bin is at least the 1-hop baseline 10
     assert(out.keys.min >= 10L)
   }
+
+  // --- Wilson interval ------------------------------------------------------------
+
+  test("wilson interval matches the closed form and brackets the rate inside [0,1]") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val out = run("q_wilson_ci").collect()
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val xs = d.filter(_._1 == lang)
+      val n = xs.length.toDouble
+      val k = xs.count { case (_, c) => c >= 120 && c <= 2000 }.toDouble
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      assert(r.getAs[Long]("k") === k.toLong)
+      val phat = k / n
+      val denom = 1.0 + 3.8416 / n
+      val center = (phat + 1.9208 / n) / denom
+      val half = 1.96 * math.sqrt((phat * (1.0 - phat) + 0.9604 / n) / n) / denom
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("lo") === r6(center - half))
+      assert(r.getAs[Double]("hi") === r6(center + half))
+      assert(r.getAs[Double]("lo") >= 0.0 && r.getAs[Double]("hi") <= 1.0)
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("rate") &&
+        r.getAs[Double]("rate") <= r.getAs[Double]("hi"))
+    }
+  }
 }
