@@ -3412,6 +3412,146 @@ object ScaleQueries {
        |  ${Rounding.rSql("center + half", 6)} AS hi
        |FROM c ORDER BY lang""".stripMargin
 
+  // --- Markov stationary distribution of event-type transitions ---------------
+  //
+  // Behavioral steady-state analytics: the per-user event stream induces
+  // a transition matrix over event types; its stationary distribution
+  // says where sessions SETTLE (vs q_next_event's one-step counts). The
+  // corpus-scale part is transition counting — one lag window per user
+  // (bounded by the user's own history) and a (prev, next) grain agg;
+  // the matrix itself is |types|² rows, so the power iteration runs on a
+  // broadcast-sized table. Fixed-point discipline: rows normalize to
+  // 1e6-ppm integers, each iteration floors Σ π(i)·p(i,j) / 1e6 — both
+  // engines run the identical integer recurrence (the q_pagerank
+  // discipline), three unrolled steps from the uniform start. Floor
+  // leakage (Σπ drifts a few ppm below 1e6) is reported, not hidden.
+
+  private val MkIters = 3
+
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("i"), col("next_type").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val rowTot = trans.groupBy("i").agg(sum("c").as("ci"))
+    val p = trans.join(rowTot, "i")
+      .select(col("i"), col("j"), expr("(c * 1000000L) div ci").as("p_fp"))
+      .persist()
+    val k = p.select(col("i").as("state")).distinct()
+    val nk = k.count()
+    var pi = k.select(col("state"), lit(1000000L / nk).as("pi_fp"))
+      .localCheckpoint(true)
+    (1 to MkIters).foreach { _ =>
+      pi = p.join(pi.withColumnRenamed("state", "i"), "i")
+        .groupBy(col("j").as("state"))
+        .agg(sum(expr("(pi_fp * p_fp) div 1000000")).as("pi_fp"))
+        .localCheckpoint(true)
+    }
+    pi.join(rowTot.withColumnRenamed("i", "state"), "state")
+      .select(col("state"), col("ci").as("n_out"), col("pi_fp"))
+      .orderBy("state")
+  }
+
+  private val qMarkovStationarySql = {
+    def step(i: Int): String =
+      s"""pi$i AS (
+         |  SELECT p.j AS state,
+         |    CAST(sum((q.pi_fp * p.p_fp) // 1000000) AS BIGINT) AS pi_fp
+         |  FROM p JOIN pi${i - 1} q ON p.i = q.state GROUP BY 1)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS next_type
+       |  FROM events),
+       |tr AS (
+       |  SELECT event_type AS i, next_type AS j, count(*) AS c
+       |  FROM ev WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |rt AS (SELECT i, CAST(sum(c) AS BIGINT) AS ci FROM tr GROUP BY 1),
+       |p AS (
+       |  SELECT tr.i, tr.j, (tr.c * 1000000) // rt.ci AS p_fp
+       |  FROM tr JOIN rt ON tr.i = rt.i),
+       |k AS (SELECT DISTINCT i AS state FROM p),
+       |pi0 AS (
+       |  SELECT state,
+       |    1000000 // (SELECT count(*) FROM k) AS pi_fp
+       |  FROM k),
+       |${(1 to MkIters).map(step).mkString(",\n")}
+       |SELECT s.state, rt.ci AS n_out, CAST(s.pi_fp AS BIGINT) AS pi_fp
+       |FROM pi$MkIters s JOIN rt ON s.state = rt.i
+       |ORDER BY s.state""".stripMargin
+  }
+
+  // --- degree assortativity of the similarity graph ----------------------------
+  //
+  // Newman's assortativity coefficient: do high-degree nodes attach to
+  // high-degree nodes? Over the LSH candidate graph this separates
+  // hub-and-spoke near-dup structure (one template, many variants:
+  // r < 0) from block structure (mutual dense clusters: r > 0) — the
+  // shape signal that tells a dedup pipeline whether canonical-survivor
+  // selection or clique collapse fits. Computed as the exact Pearson
+  // correlation of endpoint degrees over DIRECTED STUBS (each edge
+  // counted both ways, the standard symmetric form): one degree
+  // aggregate, two key joins back to the edge table, five BIGINT
+  // moments, one double at the end.
+
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = TrainingDataQueries.lshPairDists(s, dir).select("id_a", "id_b")
+      .persist()
+    val deg = e.select(col("id_a").as("node"))
+      .unionByName(e.select(col("id_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val stubs = e
+      .join(deg.select(col("node").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("node").as("id_b"), col("deg").as("db")), "id_b")
+      .select(col("da").as("x"), col("db").as("y"))
+      .unionByName(e
+        .join(deg.select(col("node").as("id_a"), col("deg").as("da")), "id_a")
+        .join(deg.select(col("node").as("id_b"), col("deg").as("db")), "id_b")
+        .select(col("db").as("x"), col("da").as("y")))
+    stubs.agg(count(lit(1)).as("m2"),
+        sum("x").as("sx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("m2"),
+        Rounding.r(
+          (col("m2") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("r"))
+  }
+
+  private val qAssortativitySql = {
+    s"""WITH ${TrainingDataQueries.BandSigsCte},
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT id_a AS node FROM pr UNION ALL SELECT id_b FROM pr)
+       |  GROUP BY 1),
+       |stub AS (
+       |  SELECT da.deg AS x, db.deg AS y
+       |  FROM pr JOIN deg da ON pr.id_a = da.node JOIN deg db ON pr.id_b = db.node
+       |  UNION ALL
+       |  SELECT db.deg, da.deg
+       |  FROM pr JOIN deg da ON pr.id_a = da.node JOIN deg db ON pr.id_b = db.node),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m2, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM stub)
+       |SELECT m2,
+       |  ${Rounding.rSql(
+             "CAST(m2 * sxy - sx * sx AS DOUBLE) / CAST(m2 * sxx - sx * sx AS DOUBLE)", 6)}
+       |    AS r
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -3460,7 +3600,9 @@ object ScaleQueries {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_spearman" -> (qSpearman _),
     "q_neighborhood_growth" -> (qNeighborhoodGrowth _),
-    "q_wilson_ci" -> (qWilsonCi _))
+    "q_wilson_ci" -> (qWilsonCi _),
+    "q_markov_stationary" -> (qMarkovStationary _),
+    "q_assortativity" -> (qAssortativity _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3510,5 +3652,7 @@ object ScaleQueries {
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_spearman" -> qSpearmanSql,
     "q_neighborhood_growth" -> qNeighborhoodGrowthSql,
-    "q_wilson_ci" -> qWilsonCiSql)
+    "q_wilson_ci" -> qWilsonCiSql,
+    "q_markov_stationary" -> qMarkovStationarySql,
+    "q_assortativity" -> qAssortativitySql)
 }

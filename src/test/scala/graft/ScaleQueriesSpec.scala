@@ -1323,4 +1323,65 @@ class ScaleQueriesSpec extends AnyFunSuite {
         r.getAs[Double]("rate") <= r.getAs[Double]("hi"))
     }
   }
+
+  // --- Markov stationary distribution ----------------------------------------------
+
+  test("markov stationary matches an in-memory integer power-iteration replay " +
+    "and conserves mass up to floor leakage") {
+    // ts is TIMESTAMP_NTZ: order by its ISO string form (sorts identically)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("string").as("tss"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+      seq.zip(seq.drop(1))
+    }
+    val c = trans.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ci = trans.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val p = c.map { case ((i, j), n) => (i, j) -> n * 1000000L / ci(i) }
+    // the query seeds pi over states WITH outgoing transitions (p's i set)
+    val states = ci.keySet
+    var pi: Map[String, Long] =
+      states.map(_ -> 1000000L / states.size).toMap
+    for (_ <- 1 to 3) {
+      pi = p.toSeq.flatMap { case ((i, j), pf) =>
+        pi.get(i).map(v => j -> v * pf / 1000000L)
+      }.groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2).sum }
+    }
+    val out = run("q_markov_stationary").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // query inner-joins row totals, so only states with out-transitions report
+    val reporting = pi.keySet.intersect(ci.keySet)
+    assert(out.keySet === reporting)
+    reporting.foreach { st =>
+      assert(out(st) === ((ci(st), pi(st))), s"state $st")
+    }
+    // total stationary mass: 1e6 minus bounded floor leakage
+    val mass = out.values.map(_._2).sum
+    assert(mass <= 1000000L && mass > 900000L,
+      s"stationary mass $mass drifted more than floor leakage allows")
+  }
+
+  // --- degree assortativity ---------------------------------------------------------
+
+  test("assortativity equals the exact stub-Pearson recompute and lies in [-1, 1]") {
+    graft.functions.GraftFunctions.register(spark)
+    val edges = graft.queries.TrainingDataQueries.lshPairDists(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val stubs = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m2 = stubs.length.toLong
+    val sx = stubs.map(_._1).sum
+    val sxy = stubs.map(s => s._1 * s._2).sum
+    val sxx = stubs.map(s => s._1 * s._1).sum
+    val rExp = (m2 * sxy - sx * sx).toDouble / (m2 * sxx - sx * sx).toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val r = run("q_assortativity").collect().head
+    assert(r.getAs[Long]("m2") === m2)
+    assert(r.getAs[Double]("r") === r6(rExp))
+    assert(math.abs(r.getAs[Double]("r")) <= 1.0)
+  }
 }
