@@ -3552,6 +3552,209 @@ object ScaleQueries {
        |FROM m""".stripMargin
   }
 
+  // --- Cavnar–Trenkle char-trigram language ID ---------------------------------
+  //
+  // The classic scalable language identifier (Cavnar & Trenkle 1994,
+  // "N-Gram-Based Text Categorization") next to q_lang_id's stopword
+  // heuristic: per-language RANK PROFILES of the top-P character
+  // trigrams, documents scored by rank-order distance (Σ|doc rank −
+  // profile rank|, out-of-profile trigrams pay the max penalty P),
+  // prediction = argmin. Profiles train on an md5 80% split and the
+  // held-out 20% reports the CONFUSION MATRIX — the audit artifact.
+  // Scale shape: trigrams ride 48-bit md5 ids; profile construction is
+  // a (lang, sid) grain agg + a per-lang top-P window (bounded by the
+  // language count, never the corpus); scoring joins each test doc's
+  // own top-P profile (per-doc window, bounded) against the broadcast
+  // |langs|·P profile table. Everything integer.
+
+  private val CtP = 40
+
+  private def qCtLangId(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("tl"))
+      .withColumn("is_train",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100 < 80)
+    val tri = docs
+      .filter(length(col("tl")) >= 3)
+      .select(col("doc_id"), col("lang"), col("is_train"), explode(expr(
+        "transform(sequence(1, length(tl) - 2), i -> substring(tl, i, 3))"))
+        .as("t3"))
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        conv(substring(md5(col("t3")), 1, 12), 16, 10).cast("long").as("sid"))
+      .persist()
+    val prof = tri.filter(col("is_train"))
+      .groupBy("lang", "sid").agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("c"), col("sid"))))
+      .filter(col("lrank") <= CtP)
+      .select(col("lang").as("plang"), col("sid"), col("lrank"))
+    val dprof = tri.filter(!col("is_train"))
+      .groupBy("doc_id", "lang", "sid").agg(count(lit(1)).as("c"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("c"), col("sid"))))
+      .filter(col("drank") <= CtP)
+    // candidate distance = Σ_matched |doc rank − profile rank| plus the
+    // max penalty P for every doc-profile trigram ABSENT from that
+    // language's profile (t − m of them); languages matching nothing
+    // never appear and could never win
+    val tTot = dprof.groupBy("doc_id").agg(count(lit(1)).as("t"))
+    val dist = dprof.join(broadcast(prof), Seq("sid"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum(abs(col("drank") - col("lrank"))).as("d"),
+        count(lit(1)).as("m"))
+    val scored = dist.join(tTot, "doc_id")
+      .withColumn("dist", col("d") + (col("t") - col("m")) * lit(CtP.toLong))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dist"), col("plang"))))
+      .filter(col("rk") === 1)
+    scored.groupBy(col("lang").as("true_lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  private val qCtLangIdSql =
+    s"""WITH dd AS (
+       |  SELECT doc_id, lang, lower(text) AS tl,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 100 < 80) AS is_train
+       |  FROM documents WHERE length(lower(text)) >= 3),
+       |tri AS (
+       |  SELECT doc_id, lang, is_train,
+       |    ('0x' || substr(md5(s), 1, 12))::BIGINT AS sid FROM (
+       |    SELECT doc_id, lang, is_train,
+       |      unnest(list_transform(generate_series(1, length(tl) - 2),
+       |        i -> substr(tl, i, 3))) AS s
+       |    FROM dd) x),
+       |prof AS (
+       |  SELECT lang AS plang, sid, lrank FROM (
+       |    SELECT lang, sid, row_number() OVER (
+       |      PARTITION BY lang ORDER BY count(*) DESC, sid) AS lrank
+       |    FROM tri WHERE is_train GROUP BY lang, sid)
+       |  WHERE lrank <= $CtP),
+       |dp AS (
+       |  SELECT doc_id, lang, sid, drank FROM (
+       |    SELECT doc_id, lang, sid, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY count(*) DESC, sid) AS drank
+       |    FROM tri WHERE NOT is_train GROUP BY doc_id, lang, sid)
+       |  WHERE drank <= $CtP),
+       |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS t FROM dp GROUP BY 1),
+       |dist AS (
+       |  SELECT dp.doc_id, dp.lang, p.plang,
+       |    CAST(sum(abs(dp.drank - p.lrank)) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS m
+       |  FROM dp JOIN prof p ON dp.sid = p.sid
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT dist.doc_id, dist.lang, dist.plang,
+       |    dist.d + (tt.t - dist.m) * $CtP AS dist2
+       |  FROM dist JOIN tt ON dist.doc_id = tt.doc_id),
+       |w AS (
+       |  SELECT doc_id, lang, plang FROM (
+       |    SELECT doc_id, lang, plang,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY dist2, plang) AS rk
+       |    FROM sc)
+       |  WHERE rk = 1)
+       |SELECT lang AS true_lang, plang AS pred_lang,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- k-core peeling rounds ----------------------------------------------------
+  //
+  // The density skeleton of the similarity graph: iteratively drop
+  // nodes of degree < k until fixpoint — surviving cores are the
+  // dense near-dup blocks (what q_assortativity's r > 0 predicts),
+  // peeled nodes are the sparse periphery safe to keep. Two peeling
+  // rounds run unrolled (each is a degree agg + a semi-join — the
+  // standard distributed peel; full convergence is the same loop with
+  // the battery's checkpoint discipline). The core threshold is
+  // DATA-ADAPTIVE — the lower-quartile degree + 1, an exact integer
+  // rank-pick (the q_dbscan eps discipline; at 100 TB it swaps for
+  // approx_percentile) — so peeling genuinely fires whatever the
+  // graph's density. Reports per round: surviving nodes, surviving
+  // edges, min surviving degree, and the chosen k.
+
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e0 = TrainingDataQueries.lshPairDists(s, dir).select("id_a", "id_b")
+      .persist()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("id_a").as("node"))
+        .unionByName(e.select(col("id_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    val d0 = degrees(e0).persist()
+    val n0 = d0.agg(count(lit(1))).head.getLong(0)
+    val kc = d0
+      .withColumn("rk", row_number().over(Window.orderBy(col("deg"), col("node"))))
+      .filter(col("rk") === lit((n0 + 3) / 4))
+      .select(col("deg") + 1L).head.getLong(0)
+    def peel(e: DataFrame): DataFrame = {
+      val keep = degrees(e).filter(col("deg") >= kc).select("node")
+      e.join(keep.withColumnRenamed("node", "id_a"), "id_a")
+        .join(keep.withColumnRenamed("node", "id_b"), "id_b")
+        .localCheckpoint(true)
+    }
+    def stats(round: Int, e: DataFrame): (Int, Long, Long, Long, Long) = {
+      val d = degrees(e).agg(count(lit(1)).as("n"),
+        coalesce(min("deg"), lit(0L)).as("mindeg")).head
+      val ne = e.count()
+      (round, d.getLong(0), ne, d.getLong(1), kc)
+    }
+    val e1 = peel(e0)
+    val e2 = peel(e1)
+    val rows = Seq(stats(0, e0), stats(1, e1), stats(2, e2))
+    e0.unpersist(); d0.unpersist()
+    import s.implicits._
+    rows.toDF("round", "n_nodes", "n_edges", "min_deg", "kc").orderBy("round")
+  }
+
+  private val qKcoreSql =
+    s"""WITH ${TrainingDataQueries.BandSigsCte},
+       |g0 AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sg a JOIN sg b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |d0 AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT id_a AS node FROM g0 UNION ALL SELECT id_b FROM g0) GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d0),
+       |kcv AS (
+       |  SELECT deg + 1 AS kc FROM (
+       |    SELECT deg, row_number() OVER (ORDER BY deg, node) AS rk FROM d0)
+       |  WHERE rk = (SELECT (n + 3) // 4 FROM nn)),
+       |k0 AS (SELECT node FROM d0 WHERE deg >= (SELECT kc FROM kcv)),
+       |g1 AS (
+       |  SELECT e.id_a, e.id_b FROM g0 e
+       |  JOIN k0 a ON e.id_a = a.node JOIN k0 b ON e.id_b = b.node),
+       |d1 AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT id_a AS node FROM g1 UNION ALL SELECT id_b FROM g1) GROUP BY 1),
+       |k1 AS (SELECT node FROM d1 WHERE deg >= (SELECT kc FROM kcv)),
+       |g2 AS (
+       |  SELECT e.id_a, e.id_b FROM g1 e
+       |  JOIN k1 a ON e.id_a = a.node JOIN k1 b ON e.id_b = b.node),
+       |d2 AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT id_a AS node FROM g2 UNION ALL SELECT id_b FROM g2) GROUP BY 1)
+       |SELECT 0 AS round,
+       |  CAST((SELECT count(*) FROM d0) AS BIGINT) AS n_nodes,
+       |  CAST((SELECT count(*) FROM g0) AS BIGINT) AS n_edges,
+       |  CAST(coalesce((SELECT min(deg) FROM d0), 0) AS BIGINT) AS min_deg,
+       |  CAST((SELECT kc FROM kcv) AS BIGINT) AS kc
+       |UNION ALL
+       |SELECT 1, CAST((SELECT count(*) FROM d1) AS BIGINT),
+       |  CAST((SELECT count(*) FROM g1) AS BIGINT),
+       |  CAST(coalesce((SELECT min(deg) FROM d1), 0) AS BIGINT),
+       |  CAST((SELECT kc FROM kcv) AS BIGINT)
+       |UNION ALL
+       |SELECT 2, CAST((SELECT count(*) FROM d2) AS BIGINT),
+       |  CAST((SELECT count(*) FROM g2) AS BIGINT),
+       |  CAST(coalesce((SELECT min(deg) FROM d2), 0) AS BIGINT),
+       |  CAST((SELECT kc FROM kcv) AS BIGINT)
+       |ORDER BY round""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -3602,7 +3805,9 @@ object ScaleQueries {
     "q_neighborhood_growth" -> (qNeighborhoodGrowth _),
     "q_wilson_ci" -> (qWilsonCi _),
     "q_markov_stationary" -> (qMarkovStationary _),
-    "q_assortativity" -> (qAssortativity _))
+    "q_assortativity" -> (qAssortativity _),
+    "q_ct_lang_id" -> (qCtLangId _),
+    "q_kcore" -> (qKcore _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3654,5 +3859,7 @@ object ScaleQueries {
     "q_neighborhood_growth" -> qNeighborhoodGrowthSql,
     "q_wilson_ci" -> qWilsonCiSql,
     "q_markov_stationary" -> qMarkovStationarySql,
-    "q_assortativity" -> qAssortativitySql)
+    "q_assortativity" -> qAssortativitySql,
+    "q_ct_lang_id" -> qCtLangIdSql,
+    "q_kcore" -> qKcoreSql)
 }

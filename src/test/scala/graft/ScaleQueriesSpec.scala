@@ -1384,4 +1384,81 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("r") === r6(rExp))
     assert(math.abs(r.getAs[Double]("r")) <= 1.0)
   }
+
+  // --- Cavnar–Trenkle language ID ---------------------------------------------------
+
+  test("ct lang-id confusion matrix matches an exact in-memory profile replay") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sid12(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(12), 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).toLowerCase))
+      .filter(_._3.length >= 3)
+    val (train, test) = docs.partition { case (id, _, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100 < 80 }
+    def tris(t: String): Seq[Long] =
+      (0 to t.length - 3).map(i => sid12(t.substring(i, i + 3)))
+    val P = 40
+    val prof: Map[String, Map[Long, Int]] = train.groupBy(_._2).map {
+      case (lang, ds) =>
+        val counts = ds.flatMap(d => tris(d._3)).groupBy(identity)
+          .map { case (k, v) => k -> v.length.toLong }
+        lang -> counts.toSeq.sortBy { case (sid, c) => (-c, sid) }.take(P)
+          .zipWithIndex.map { case ((sid, _), i) => sid -> (i + 1) }.toMap
+    }
+    val confusion = test.map { case (_, lang, t) =>
+      val counts = tris(t).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val dp = counts.toSeq.sortBy { case (sid, c) => (-c, sid) }.take(P)
+        .zipWithIndex.map { case ((sid, _), i) => sid -> (i + 1) }
+      val cand = prof.toSeq.flatMap { case (plang, pm) =>
+        val matched = dp.filter { case (sid, _) => pm.contains(sid) }
+        if (matched.isEmpty) None
+        else {
+          val d = matched.map { case (sid, dr) => math.abs(dr - pm(sid)).toLong }.sum
+          Some(plang -> (d + (dp.length - matched.length).toLong * P))
+        }
+      }
+      val pred = cand.minBy { case (pl, d) => (d, pl) }._1
+      (lang, pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val out = run("q_ct_lang_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === confusion)
+  }
+
+  // --- k-core peeling ------------------------------------------------------------------
+
+  test("k-core rounds match an in-memory peel with the adaptive threshold") {
+    graft.functions.GraftFunctions.register(spark)
+    val edges = graft.queries.TrainingDataQueries.lshPairDists(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def degs(es: Array[(Long, Long)]): Map[Long, Long] =
+      es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+    val d0 = degs(edges)
+    val n0 = d0.size.toLong
+    val kc = d0.toSeq.sortBy { case (n, d) => (d, n) }
+      .apply(((n0 + 3) / 4 - 1).toInt)._2 + 1
+    def peel(es: Array[(Long, Long)]): Array[(Long, Long)] = {
+      val keep = degs(es).filter(_._2 >= kc).keySet
+      es.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val e1 = peel(edges); val e2 = peel(e1)
+    def statRow(r: Int, es: Array[(Long, Long)]) = {
+      val d = degs(es)
+      (r, d.size.toLong, es.length.toLong,
+        if (d.isEmpty) 0L else d.values.min, kc)
+    }
+    val expected = Seq(statRow(0, edges), statRow(1, e1), statRow(2, e2))
+    val out = run("q_kcore").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq === expected)
+    // peeling is monotone
+    assert(out(0)._2 >= out(1)._2 && out(1)._2 >= out(2)._2)
+    assert(out(0)._3 >= out(1)._3 && out(1)._3 >= out(2)._3)
+  }
 }
