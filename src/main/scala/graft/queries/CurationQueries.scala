@@ -1458,6 +1458,70 @@ object CurationQueries {
         expr("(1000000 * tp) div n_test_pos").as("tpr_micros"))
   }
 
+  // --- McNemar's paired test (which quality gate is better?) ------------------
+  //
+  // The statistically honest way to compare two classifiers evaluated
+  // on the SAME documents: unpaired accuracy deltas double-count the
+  // shared easy cases, McNemar looks only at the DISCORDANT pairs —
+  // b = docs the probe gets right and the length gate wrong, c = the
+  // reverse; the test statistic (b−c)²/(b+c) is chi-square(1) under
+  // the no-difference null. Here: classifier A = the in-engine linear
+  // probe thresholded at its rank-picked median score (at 100 TB the
+  // median swaps for approx_percentile, the q_mad_outliers note),
+  // classifier B = the q_wilson_ci length gate, truth = the probe
+  // family's seed label. Every count is an exact BIGINT; the statistic
+  // fix-points at 1e6.
+
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc0 = probeScores(s, dir).persist()
+    val nN = sc0.agg(count(lit(1))).head.getLong(0)
+    val tau = sc0
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .filter(col("rk") === lit((nN + 1) / 2))
+      .select(col("score").as("tau"))
+    sc0.crossJoin(broadcast(tau))
+      .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+      .withColumn("pa", (col("score") > col("tau")).cast("long"))
+      .withColumn("pb", col("n_chars").between(120, 2000).cast("long"))
+      .withColumn("aok", (col("pa") === col("y")).cast("long"))
+      .withColumn("bok", (col("pb") === col("y")).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("aok") === 1 && col("bok") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("aok") === 0 && col("bok") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("aok") === 1 && col("bok") === 1, 1L).otherwise(0L))
+          .as("both_ok"))
+      .withColumn("stat_fp", expr(
+        "CASE WHEN b + c > 0 THEN ((b - c) * (b - c) * 1000000L) div (b + c) ELSE 0L END"))
+  }
+
+  private val qMcnemarSql =
+    s"""WITH $ProbeCtes,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scores),
+       |tau AS (
+       |  SELECT score AS tau FROM (
+       |    SELECT score, row_number() OVER (ORDER BY score, doc_id) AS rk
+       |    FROM scores)
+       |  WHERE rk = (SELECT (n + 1) // 2 FROM nn)),
+       |d AS (
+       |  SELECT s.doc_id, s.y,
+       |    CASE WHEN s.score > (SELECT tau FROM tau) THEN 1 ELSE 0 END AS pa,
+       |    CASE WHEN doc.n_chars BETWEEN 120 AND 2000 THEN 1 ELSE 0 END AS pb
+       |  FROM scores s JOIN documents doc ON s.doc_id = doc.doc_id),
+       |ag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS both_ok
+       |  FROM d)
+       |SELECT n, b, c, both_ok,
+       |  CAST(CASE WHEN b + c > 0
+       |    THEN ((b - c) * (b - c) * 1000000) // (b + c) ELSE 0 END AS BIGINT)
+       |    AS stat_fp
+       |FROM ag""".stripMargin
+
   private val qConformalSql =
     s"""WITH $ProbeCtes,
        |sp AS (
@@ -1511,7 +1575,8 @@ object CurationQueries {
     "q_source_divergence" -> (qSourceDivergence _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_probe_calibration" -> (qProbeCalibration _),
-    "q_conformal" -> (qConformal _))
+    "q_conformal" -> (qConformal _),
+    "q_mcnemar" -> (qMcnemar _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_encode" -> qBpeEncodeSql,
@@ -1535,5 +1600,6 @@ object CurationQueries {
     "q_source_divergence" -> qSourceDivergenceSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_probe_calibration" -> qProbeCalibrationSql,
-    "q_conformal" -> qConformalSql)
+    "q_conformal" -> qConformalSql,
+    "q_mcnemar" -> qMcnemarSql)
 }

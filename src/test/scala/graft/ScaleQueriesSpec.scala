@@ -1461,4 +1461,33 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(out(0)._2 >= out(1)._2 && out(1)._2 >= out(2)._2)
     assert(out(0)._3 >= out(1)._3 && out(1)._3 >= out(2)._3)
   }
+
+  // --- McNemar paired gate comparison -----------------------------------------------
+
+  test("mcnemar discordant counts and statistic match an exact recompute") {
+    val scores = graft.queries.CurationQueries.probeScores(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nch = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val tau = scores.sortBy { case (id, _, sc) => (sc, id) }
+      .apply(((scores.length + 1) / 2 - 1))._3
+    var (b, c, bothOk) = (0L, 0L, 0L)
+    scores.foreach { case (id, y, sc) =>
+      val pa = if (sc > tau) 1L else 0L
+      val pb = if (nch(id) >= 120 && nch(id) <= 2000) 1L else 0L
+      (pa == y, pb == y) match {
+        case (true, false) => b += 1
+        case (false, true) => c += 1
+        case (true, true)  => bothOk += 1
+        case _             =>
+      }
+    }
+    val r = run("q_mcnemar").collect().head
+    assert(r.getAs[Long]("n") === scores.length.toLong)
+    assert((r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("both_ok")) === ((b, c, bothOk)))
+    val stat = if (b + c > 0) (b - c) * (b - c) * 1000000L / (b + c) else 0L
+    assert(r.getAs[Long]("stat_fp") === stat)
+  }
 }
