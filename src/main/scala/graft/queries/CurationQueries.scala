@@ -221,16 +221,15 @@ object CurationQueries {
           expr(s"substring(text2, length(text2) - ${CsWin - 1}, $CsWin)"))
           .otherwise(col("text2")))
       .filter(length(col("w")) >= CsK)
-    // grams shuffle as 56-bit md5 ids (8 B), not 20-char strings — the
-    // df agg, the cap join, and the pair self-join all key on the id.
-    // Both engines hash identically, so the (astronomically rare)
-    // collision would merge the same two grams in both — cross-engine
-    // equality is unconditional.
+    // grams key the joins as their raw 20-char strings: an md5-id variant
+    // (8 B/row through the shuffles) was A/B-profiled 6.5 s vs 4.0 s —
+    // 1.1M per-gram md5 calls cost more than the string bytes save at
+    // this gram width; revisit only if the gram key widens
     val grams = docs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, length(w) - ${CsK - 1}), i -> substring(w, i, $CsK))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        conv(substring(md5(col("col")), 1, 14), 16, 10).cast("long").as("g"))
+        col("col").as("g"))
     val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val keep = grams.join(
       dfc.filter(col("df").between(2, CsDfCap)).select("g"), "g")
@@ -266,8 +265,7 @@ object CurationQueries {
        |      ELSE text2 END AS w
        |  FROM d),
        |g AS (
-       |  SELECT doc_id, u.p AS pos,
-       |    ('0x' || substr(md5(u.s), 1, 14))::BIGINT AS g FROM (
+       |  SELECT doc_id, u.p AS pos, u.s AS g FROM (
        |    SELECT doc_id,
        |      unnest(list_transform(generate_series(1, length(w) - ${CsK - 1}),
        |        i -> {'p': i, 's': substr(w, i, $CsK)})) AS u
