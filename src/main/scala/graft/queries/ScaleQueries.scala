@@ -3755,6 +3755,113 @@ object ScaleQueries {
        |  CAST((SELECT kc FROM kcv) AS BIGINT)
        |ORDER BY round""".stripMargin
 
+  // --- Kaplan–Meier survival (signup → purchase, with censoring) ---------------
+  //
+  // The survival-analysis member of the analytics family: time from a
+  // user's first signup to first purchase, users who never purchase
+  // CENSORED at the study end (the corpus' own max timestamp) — the
+  // estimator that handles "hasn't happened YET" correctly where a
+  // naive mean-of-observed-durations is biased low. Durations land on
+  // a FIXED 8-bucket grid so the product-limit recurrence
+  // S_b = S_{b−1}·(n_b − d_b)/n_b unrolls into eight exact integer
+  // floor steps at 1e9 (a per-step-floored cumulative product has no
+  // window form; a bounded grid is the streaming-sketch trade the
+  // battery's histogram quantiles already make). Corpus-scale work is
+  // three keyed aggregates and one conditional-sum pass; the chain runs
+  // on ONE row. S·n stays under 2^63 while the risk set is < ~9·10⁹ —
+  // past that the chain moves to DECIMAL(38).
+
+  private val KmB = 8
+
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+      .persist()
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("es").as("t0"))
+    val end = ev.agg(max("es").as("tend"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("es") >= col("t0"))
+      .groupBy("user_id").agg(min("es").as("tp"))
+    val dur = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(end))
+      .select(col("user_id"),
+        (coalesce(col("tp"), col("tend")) - col("t0")).as("dur"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("evt"))
+    val mx = dur.agg(max("dur").as("mx"))
+    val bk = dur.crossJoin(broadcast(mx))
+      .withColumn("b", expr(s"(dur * $KmB) div (mx + 1)"))
+    val aggs = max("mx").as("mx") +:
+      (0 until KmB).flatMap(k => Seq(
+        sum(when(col("b") === k, col("evt")).otherwise(0L)).as(s"d$k"),
+        sum(when(col("b") === k, lit(1L) - col("evt")).otherwise(0L)).as(s"c$k")))
+    var row = bk.groupBy().agg(aggs.head, aggs.tail: _*)
+    row = row.withColumn(s"n${KmB - 1}",
+      col(s"d${KmB - 1}") + col(s"c${KmB - 1}"))
+    for (k <- KmB - 2 to 0 by -1)
+      row = row.withColumn(s"n$k",
+        col(s"n${k + 1}") + col(s"d$k") + col(s"c$k"))
+    for (k <- 0 until KmB) {
+      val prev = if (k == 0) "1000000000L" else s"s${k - 1}"
+      row = row.withColumn(s"s$k", expr(
+        s"CASE WHEN n$k > 0 THEN ($prev * (n$k - d$k)) div n$k ELSE $prev END"))
+    }
+    val structs = (0 until KmB).map(k =>
+      s"struct($k AS bucket, (($k + 1) * (mx + 1)) div $KmB AS t_hi, " +
+        s"n$k AS n_risk, d$k AS d, c$k AS c, s$k AS surv_fp)").mkString(",")
+    row.select(explode(expr(s"array($structs)")).as("r"))
+      .select("r.*").orderBy("bucket")
+  }
+
+  private val qKaplanMeierSql = {
+    val condSums = (0 until KmB).map(k =>
+      s"""CAST(sum(CASE WHEN b = $k THEN evt ELSE 0 END) AS BIGINT) AS d$k,
+         |    CAST(sum(CASE WHEN b = $k THEN 1 - evt ELSE 0 END) AS BIGINT) AS c$k"""
+        .stripMargin).mkString(",\n    ")
+    val nChain = (KmB - 2 to 0 by -1)
+      .map(k => s"n${k + 1} + d$k + c$k AS n$k").mkString(", ")
+    val sChain = (0 until KmB).map { k =>
+      val prev = if (k == 0) "1000000000" else s"s${k - 1}"
+      s"CASE WHEN n$k > 0 THEN ($prev * (n$k - d$k)) // n$k ELSE $prev END AS s$k"
+    }.mkString(",\n    ")
+    val rows = (0 until KmB).map(k =>
+      s"""SELECT $k AS bucket, (($k + 1) * (mx + 1)) // $KmB AS t_hi,
+         |  n$k AS n_risk, d$k AS d, c$k AS c, s$k AS surv_fp FROM sv"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+       |  FROM events),
+       |su AS (
+       |  SELECT user_id, min(es) AS t0 FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |ed AS (SELECT max(es) AS tend FROM ev),
+       |pu AS (
+       |  SELECT e.user_id, min(e.es) AS tp
+       |  FROM ev e JOIN su ON e.user_id = su.user_id
+       |  WHERE e.event_type = 'purchase' AND e.es >= su.t0 GROUP BY 1),
+       |du AS (
+       |  SELECT su.user_id,
+       |    coalesce(pu.tp, (SELECT tend FROM ed)) - su.t0 AS dur,
+       |    CASE WHEN pu.tp IS NOT NULL THEN 1 ELSE 0 END AS evt
+       |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id),
+       |mxx AS (SELECT max(dur) AS mx FROM du),
+       |bk AS (SELECT (dur * $KmB) // (mx + 1) AS b, evt FROM du CROSS JOIN mxx),
+       |r0 AS (
+       |  SELECT (SELECT mx FROM mxx) AS mx,
+       |    $condSums
+       |  FROM bk),
+       |rn AS (SELECT *, d${KmB - 1} + c${KmB - 1} AS n${KmB - 1} FROM r0),
+       |rm AS (SELECT *, $nChain FROM rn),
+       |sv AS (SELECT *,
+       |    $sChain
+       |  FROM rm)
+       |$rows
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -3807,7 +3914,8 @@ object ScaleQueries {
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_assortativity" -> (qAssortativity _),
     "q_ct_lang_id" -> (qCtLangId _),
-    "q_kcore" -> (qKcore _))
+    "q_kcore" -> (qKcore _),
+    "q_kaplan_meier" -> (qKaplanMeier _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3861,5 +3969,6 @@ object ScaleQueries {
     "q_markov_stationary" -> qMarkovStationarySql,
     "q_assortativity" -> qAssortativitySql,
     "q_ct_lang_id" -> qCtLangIdSql,
-    "q_kcore" -> qKcoreSql)
+    "q_kcore" -> qKcoreSql,
+    "q_kaplan_meier" -> qKaplanMeierSql)
 }

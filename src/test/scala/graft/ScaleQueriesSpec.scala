@@ -1490,4 +1490,45 @@ class ScaleQueriesSpec extends AnyFunSuite {
     val stat = if (b + c > 0) (b - c) * (b - c) * 1000000L / (b + c) else 0L
     assert(r.getAs[Long]("stat_fp") === stat)
   }
+
+  // --- Kaplan–Meier survival -----------------------------------------------------------
+
+  test("kaplan-meier matches an in-memory product-limit replay; survival is " +
+    "monotone non-increasing and risk sets telescope") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val tend = ev.map(_._3).max
+    val tp = ev.filter(_._2 == "purchase")
+      .filter { case (u, _, es) => t0.contains(u) && es >= t0(u) }
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val durs = t0.toSeq.map { case (u, t) =>
+      (tp.get(u).getOrElse(tend) - t, if (tp.contains(u)) 1L else 0L) }
+    val mx = durs.map(_._1).max
+    val byB = durs.groupBy { case (d, _) => d * 8 / (mx + 1) }
+    val d = (0 until 8).map(k => byB.getOrElse(k.toLong, Seq()).map(_._2).sum)
+    val c = (0 until 8).map(k =>
+      byB.getOrElse(k.toLong, Seq()).map(x => 1L - x._2).sum)
+    val n = (0 until 8).map(k => (k until 8).map(j => d(j) + c(j)).sum)
+    var sPrev = 1000000000L
+    val sv = (0 until 8).map { k =>
+      if (n(k) > 0) sPrev = sPrev * (n(k) - d(k)) / n(k)
+      sPrev
+    }
+    val out = run("q_kaplan_meier").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.length === 8)
+    out.foreach { case (k, tHi, nr, dk, ck, s) =>
+      assert(tHi === (k + 1).toLong * (mx + 1) / 8)
+      assert(nr === n(k)); assert(dk === d(k)); assert(ck === c(k))
+      assert(s === sv(k), s"bucket $k")
+    }
+    // product-limit structure: S non-increasing, n telescoping
+    assert(out.map(_._6).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(out.head._3 === t0.size.toLong, "risk set at bucket 0 = all subjects")
+  }
 }
