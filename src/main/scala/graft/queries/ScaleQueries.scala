@@ -3862,6 +3862,56 @@ object ScaleQueries {
        |ORDER BY bucket""".stripMargin
   }
 
+  // --- event-type co-occurrence lift (association rules) ----------------------
+  //
+  // The market-basket primitive over user behavior: for every pair of
+  // event types, support (users doing both) and LIFT = P(a∧b)/(P(a)P(b))
+  // — lift > 1 marks genuinely associated behaviors where raw
+  // co-occurrence counts just echo popularity. Baskets are per-user
+  // DISTINCT type sets (one dedup aggregate); the pair join is per-user
+  // over ≤|types| rows, so its output is bounded by N·|types|² — the
+  // item dimension, not the corpus, pays the quadratic term (the
+  // q_source_overlap bound). Lift fix-points to ppm through one exact
+  // integer expression: floor(n_ab·N·10⁶ / (n_a·n_b)).
+
+  private def qCooccurLift(s: SparkSession, dir: String): DataFrame = {
+    val basket = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct().persist()
+    val nUsers = basket.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val item = basket.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(item.select(col("event_type").as("ta"), col("n_item").as("n_a")), "ta")
+      .join(item.select(col("event_type").as("tb"), col("n_item").as("n_b")), "tb")
+      .crossJoin(broadcast(nUsers))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * n_users * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy("ta", "tb")
+  }
+
+  private val qCooccurLiftSql =
+    """WITH basket AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM basket),
+      |item AS (SELECT event_type, count(*) AS n_item FROM basket GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pr.ta, pr.tb, CAST(pr.n_ab AS BIGINT) AS n_ab,
+      |  CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
+      |  CAST((pr.n_ab * n_users * 1000000) // (ia.n_item * ib.n_item) AS BIGINT)
+      |    AS lift_ppm
+      |FROM pr JOIN item ia ON pr.ta = ia.event_type
+      |JOIN item ib ON pr.tb = ib.event_type
+      |CROSS JOIN nu
+      |ORDER BY ta, tb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets" -> (qGroupingSets _),
     "q_winnowing" -> (qWinnowing _),
@@ -3915,7 +3965,8 @@ object ScaleQueries {
     "q_assortativity" -> (qAssortativity _),
     "q_ct_lang_id" -> (qCtLangId _),
     "q_kcore" -> (qKcore _),
-    "q_kaplan_meier" -> (qKaplanMeier _))
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_cooccur_lift" -> (qCooccurLift _))
 
   val oracles: Map[String, String] = Map(
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3970,5 +4021,6 @@ object ScaleQueries {
     "q_assortativity" -> qAssortativitySql,
     "q_ct_lang_id" -> qCtLangIdSql,
     "q_kcore" -> qKcoreSql,
-    "q_kaplan_meier" -> qKaplanMeierSql)
+    "q_kaplan_meier" -> qKaplanMeierSql,
+    "q_cooccur_lift" -> qCooccurLiftSql)
 }

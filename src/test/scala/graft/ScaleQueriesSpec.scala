@@ -1531,4 +1531,31 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(out.map(_._6).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     assert(out.head._3 === t0.size.toLong, "risk set at bucket 0 = all subjects")
   }
+
+  // --- co-occurrence lift --------------------------------------------------------------
+
+  test("cooccur lift matches an exact basket recount; bounds hold") {
+    val basket = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = basket.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    val nUsers = byUser.size.toLong
+    val item = basket.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val pairCounts = byUser.values.toSeq.flatMap { ts =>
+      val s = ts.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val out = run("q_cooccur_lift").collect()
+    assert(out.length === pairCounts.size)
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_ab") === pairCounts((ta, tb)))
+      assert(r.getAs[Long]("n_a") === item(ta))
+      assert(r.getAs[Long]("n_b") === item(tb))
+      assert(r.getAs[Long]("lift_ppm") ===
+        pairCounts((ta, tb)) * nUsers * 1000000L / (item(ta) * item(tb)))
+      // support can never exceed either marginal
+      assert(r.getAs[Long]("n_ab") <= math.min(item(ta), item(tb)))
+    }
+  }
 }
