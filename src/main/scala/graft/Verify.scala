@@ -23,6 +23,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Share expensive deterministic intermediates (lshPairDists,
+    // probeScores) across the battery's independent consumers — RDD-block
+    // materializations that survive the per-query clearCache below.
+    // Values are unchanged by construction (SharedIntermediatesSpec).
+    if (!sys.env.contains("SPARK_GRAFT_NO_SHARE")) graft.queries.Shared.enable()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -72,7 +72,21 @@ object ExtractionPipeline {
       overlap: Int = Chunker.DefaultOverlap,
       resume: Boolean = true,
       mode: ChunkMode = ChunkFlat,
-      maxPayloadChars: Int = Extractor.DefaultMaxPayloadChars) {
+      maxPayloadChars: Int = Extractor.DefaultMaxPayloadChars,
+      // Extract BEFORE the salted exchange (map-side), so the shuffle
+      // ships boilerplate-STRIPPED text instead of raw payloads.
+      // Extraction is per-turn pure, so outputs are bit-identical either
+      // side of the shuffle (`ExtractionPipelineSpec`); the post-shuffle
+      // sort fixes the within-bucket (conv_id, turn_idx) write order
+      // either way. MEASURED NEGATIVE on the bench mix (60% plain /
+      // 25% html / 15% pdf), hence default FALSE: the extracted rows'
+      // span/label/block arrays add MORE compressed shuffle bytes than
+      // the stripped boilerplate removes — 385.0 vs 357.5 B/turn at
+      // zstd-1, with no throughput win (80.3k vs 86.5k turns/s @32,
+      // within host noise). The flag stays for corpora where markup
+      // dominates (boilerplate-heavy html crawls), where the sign
+      // flips; numbers in BASELINE.md.
+      mapSideExtract: Boolean = false) {
     require(outDir.nonEmpty, "outDir must be non-empty")
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     require(waves >= 1, s"waves must be positive, got $waves")
@@ -258,6 +272,20 @@ object ExtractionPipeline {
     }
   }
 
+  /** Per-turn chunkers shared by the map-side and reduce-side layouts. */
+  private def flatChunks(e: ExtractedTurn, size: Int, ov: Int): Array[ChunkLite] =
+    Chunker.splitTextWithOverlap(e.text, size, ov).zipWithIndex
+      .map { case (c, i) => ChunkLite(i, c.content, c.start, c.end) }.toArray
+
+  private def structChunks(e: ExtractedTurn, size: Int, ov: Int,
+      charSlice: Boolean): Array[StructChunkLite] = {
+    val blocks = rebuildBlocks(e.text, e.block_lens, e.span_labels)
+    val cs = if (charSlice) Chunker.chunkCharSlices(blocks, size, ov)
+      else Chunker.chunkWithStructure(blocks, size, ov)
+    cs.map(sc => StructChunkLite(sc.chunkIndex, sc.content, sc.page,
+      sc.sectionBoundary, sc.sectionHeading.getOrElse(""))).toArray
+  }
+
   private val PhaseLog = sys.env.contains("SPARK_GRAFT_PHASE_LOG")
 
   @inline private def phase[A](name: String)(f: => A): A = {
@@ -337,23 +365,21 @@ object ExtractionPipeline {
         val acc = new CollectionAccumulator[PartitionLineage]
         spark.sparkContext.register(acc, s"lineage-wave-$wave")
 
-        val waveDf = bucketed
+        val waveRaw = bucketed
           .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
-          // ONE wide shuffle: co-locate each salted bucket, then order
-          // turns within partitions — deterministic extraction input order
-          // at any parallelism. Partition count is at LEAST the wave's
-          // bucket count: tasks ≫ cores lets dynamic scheduling absorb the
-          // balls-into-bins skew of hashing buckets into partitions (with
-          // count == cores, one partition drawing 2-3 buckets becomes a
-          // 2-3× straggler that caps the whole stage)
-          .repartition(math.max(shufflePartitions, waveBuckets.size).max(1),
-            col("bucket"))
-          .sortWithinPartitions("conv_id", "turn_idx")
-          .as[TurnWithBucket]
+        // ONE wide shuffle: co-locate each salted bucket, then order
+        // turns within partitions — deterministic write order at any
+        // parallelism. Partition count is at LEAST the wave's bucket
+        // count: tasks ≫ cores lets dynamic scheduling absorb the
+        // balls-into-bins skew of hashing buckets into partitions (with
+        // count == cores, one partition drawing 2-3 buckets becomes a
+        // 2-3× straggler that caps the whole stage)
+        val nPart = math.max(shufflePartitions, waveBuckets.size).max(1)
 
-        // SINGLE-PASS extract+chunk: the chunker runs inside the same
-        // mapPartitions as extraction and its output rides along as an
-        // array column WRITTEN WITH the extracted table; the chunks table
+        // SINGLE-PASS extract+chunk: the chunker runs inside the same job
+        // as extraction (same mapPartitions when reduce-side; the
+        // post-shuffle stage when map-side) and its output rides along as
+        // an array column WRITTEN WITH the extracted table; the chunks table
         // is then exploded out of a column-pruned read-back of just that
         // array column. Compared to the two alternatives measured on this
         // box: (a) re-chunking from a full read-back re-decodes the text
@@ -378,41 +404,46 @@ object ExtractionPipeline {
               col("c.section_boundary"), col("c.section_heading"))
         }
 
-        val withChunks = cfg.mode match {
-          case ChunkFlat =>
-            waveDf.mapPartitions { it =>
-              extractPartition(it, acc, maxPayload).map { e =>
-                val cs = Chunker.splitTextWithOverlap(e.text, chunkSize, overlap)
-                  .zipWithIndex
-                  .map { case (c, i) => ChunkLite(i, c.content, c.start, c.end) }
-                  .toArray
-                (e, cs)
-              }
-            }.toDF("e", "chunks")
-          case ChunkStructured =>
-            waveDf.mapPartitions { it =>
-              extractPartition(it, acc, maxPayload).map { e =>
-                // F6 over blocks rebuilt from the live extraction output —
-                // same reconstruction the stored columns would support
-                val blocks = rebuildBlocks(e.text, e.block_lens, e.span_labels)
-                val cs = Chunker.chunkWithStructure(blocks, chunkSize, overlap)
-                  .map(sc => StructChunkLite(sc.chunkIndex, sc.content, sc.page,
-                    sc.sectionBoundary, sc.sectionHeading.getOrElse("")))
-                  .toArray
-                (e, cs)
-              }
-            }.toDF("e", "chunks")
-          case ChunkCharSlice =>
-            waveDf.mapPartitions { it =>
-              extractPartition(it, acc, maxPayload).map { e =>
-                val blocks = rebuildBlocks(e.text, e.block_lens, e.span_labels)
-                val cs = Chunker.chunkCharSlices(blocks, chunkSize, overlap)
-                  .map(sc => StructChunkLite(sc.chunkIndex, sc.content, sc.page,
-                    sc.sectionBoundary, sc.sectionHeading.getOrElse("")))
-                  .toArray
-                (e, cs)
-              }
-            }.toDF("e", "chunks")
+        val withChunks = if (cfg.mapSideExtract) {
+          // MAP-SIDE extraction: strip boilerplate BEFORE the exchange —
+          // the shuffle carries extracted text + spans, not raw payloads
+          // (A/B'd on the bench input, numbers in BASELINE.md). Chunking
+          // stays post-shuffle so the chunks array (~1.1× text) never
+          // rides the exchange. Lineage pid = INPUT partition here (the
+          // stage that did the extraction work — the lineage contract).
+          val extracted = waveRaw.as[TurnWithBucket]
+            .mapPartitions(it => extractPartition(it, acc, maxPayload))
+            .repartition(nPart, col("bucket"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .as[ExtractedTurn]
+          cfg.mode match {
+            case ChunkFlat =>
+              extracted.mapPartitions(_.map(e => (e, flatChunks(e, chunkSize, overlap))))
+                .toDF("e", "chunks")
+            case m =>
+              extracted.mapPartitions(_.map(e =>
+                (e, structChunks(e, chunkSize, overlap, m == ChunkCharSlice))))
+                .toDF("e", "chunks")
+          }
+        } else {
+          // reduce-side layout (the round-2 shape): raw turns shuffle,
+          // extract+chunk fused in ONE post-sort mapPartitions
+          val waveDf = waveRaw
+            .repartition(nPart, col("bucket"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .as[TurnWithBucket]
+          cfg.mode match {
+            case ChunkFlat =>
+              waveDf.mapPartitions { it =>
+                extractPartition(it, acc, maxPayload)
+                  .map(e => (e, flatChunks(e, chunkSize, overlap)))
+              }.toDF("e", "chunks")
+            case m =>
+              waveDf.mapPartitions { it =>
+                extractPartition(it, acc, maxPayload)
+                  .map(e => (e, structChunks(e, chunkSize, overlap, m == ChunkCharSlice)))
+              }.toDF("e", "chunks")
+          }
         }
 
         phase("extract+write") {

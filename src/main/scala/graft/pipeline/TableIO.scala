@@ -17,8 +17,10 @@ import scala.jdk.CollectionConverters._
   * Schema evolution: ADDED columns work across snapshots via parquet
   * schema merging at read (older buckets surface NULL — see
   * `SchemaEvolutionSpec`). Column RENAMES/DROPS need Iceberg's field-id
-  * indirection, which a name-based parquet emulation cannot express;
-  * they are out of scope here and arrive for free with a real catalog.
+  * indirection — provided by the [[SchemaEvolution]] sidecar
+  * (`schema-v<id>.json` beside each manifest snapshot), whose
+  * `readMerged` remaps/prunes/backfills every bucket to the current
+  * schema by id. With a real Iceberg catalog both drop in unchanged.
   *
   * Commit protocol: write JSON to `manifest.json.tmp`, then atomic
   * `Files.move(..., ATOMIC_MOVE)` over `manifest.json` — readers never see

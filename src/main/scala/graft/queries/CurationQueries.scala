@@ -727,7 +727,7 @@ object CurationQueries {
   /** (doc_id, y, score) for the whole corpus — shared by the probe's
     * top-k query and its AUC evaluation.
     */
-  private[graft] def probeScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def probeScores(s: SparkSession, dir: String): DataFrame = Shared("probeScores", s, dir) {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(simpleTokens(col("text"))).as("tok"))
       .persist() // feeds features AND labels — one tokenize pass
@@ -1417,11 +1417,15 @@ object CurationQueries {
   // by exchangeability a fresh negative exceeds it with probability
   // ≤ k/(n+1) ≤ α, a distribution-free false-positive bound no
   // cross-validated threshold gives. Everything is integer rank-picks on
-  // the probe's BIGINT scores (no floats until the reported rates). At
-  // 100 TB the calibration side is a bounded deterministic sample (the
-  // AucEvalSize discipline) and the threshold broadcasts to gate the
-  // corpus in one narrow pass; the rank window here is bounded by the
-  // calibration negatives.
+  // the probe's BIGINT scores (no floats until the reported rates).
+  // The k-th-largest pick runs over the DISTINCT-SCORE value grain
+  // (counts collapse per score first, cumulate, pick the value whose
+  // cumulative range covers k — the q_mann_whitney/q_spearman rank
+  // convention): the round-2 form ranked every calibration-negative ROW
+  // through one unpartitioned window — corpus-sized, the exact
+  // single-task funnel PlanGuardSpec's battery-wide window check now
+  // rejects (it caught this one). The threshold then broadcasts to gate
+  // the test side in one narrow pass.
 
   private val ConfAlphaPct = 10 // α = 0.10
 
@@ -1433,11 +1437,16 @@ object CurationQueries {
       .persist()
     val calNeg = scored.filter(col("grp") === "cal" && col("y") === 0)
     val nNeg = calNeg.agg(count(lit(1)).as("n_cal_neg"))
-    val thr = calNeg
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    // k-th largest via the distinct-score grain: the window sorts one row
+    // per distinct score, never one per calibration row
+    val grain = calNeg.groupBy("score").agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = grain
+      .withColumn("cb", coalesce(sum("c").over(wv), lit(0L)))
       .crossJoin(broadcast(nNeg))
-      .filter(col("rk") === expr(s"($ConfAlphaPct * (n_cal_neg + 1)) div 100"))
+      .withColumn("k", expr(s"($ConfAlphaPct * (n_cal_neg + 1)) div 100"))
+      .filter(col("cb") < col("k") && col("k") <= col("cb") + col("c"))
       .select(col("score").as("thresh"), col("n_cal_neg"))
     scored.filter(col("grp") === "test")
       .crossJoin(broadcast(thr))

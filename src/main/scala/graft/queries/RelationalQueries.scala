@@ -421,7 +421,7 @@ object RelationalQueries {
       |  SELECT user_id, ver, min(event_type) AS event_type, min(ts) AS f,
       |    CAST(count(*) AS BIGINT) AS n_events
       |  FROM v GROUP BY 1, 2)
-      |SELECT user_id, ver, event_type, n_events,
+      |SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type, n_events,
       |  strftime(f, '%Y-%m-%d %H:%M:%S') AS eff_from,
       |  strftime(lead(f) OVER wv, '%Y-%m-%d %H:%M:%S') AS eff_to,
       |  lead(f) OVER wv IS NULL AS is_current

@@ -3205,6 +3205,14 @@ object ScaleQueries {
   // first, so the windows run over the distinct-value tables, never the
   // corpus. ρ = cov(ra, rb)/(σa·σb) assembled from exact integer moments
   // (Σ2ra, Σ2rb, Σ4ra·rb, Σ4ra², Σ4rb²), one final double division.
+  //
+  // Overflow bound (the q_gini_stump convention): the final products
+  // n·sab / n·saa / n·sbb are Θ(n⁴) on 2×-scaled ranks — BIGINT holds to
+  // n ≈ 5·10⁴ documents, where DuckDB's HUGEINT promotion would raise
+  // Out of Range while Spark silently wraps. Past that bound, compute
+  // the moment aggregates and the two products as DECIMAL(38,0) in Spark
+  // and keep DuckDB's native HUGEINT (drop the BIGINT casts in the
+  // oracle's `m` CTE) — same plan shape, exactness preserved to 10³⁸.
 
   private def qSpearman(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -3518,6 +3526,10 @@ object ScaleQueries {
         sum("x").as("sx"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("m2"),
+        // overflow bound: m2·sxy and m2·sxx are Θ(m·Σd²) ≈ Θ(m²·d̄²) —
+        // BIGINT holds to ~10⁹ stub-ends at the measured degree scale;
+        // past that, the q_spearman remedy applies verbatim (DECIMAL(38)
+        // moments in Spark, native HUGEINT in the oracle).
         Rounding.r(
           (col("m2") * col("sxy") - col("sx") * col("sx")).cast("double") /
             (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"),
@@ -3565,14 +3577,20 @@ object ScaleQueries {
   // a (lang, sid) grain agg + a per-lang top-P window (bounded by the
   // language count, never the corpus); scoring joins each test doc's
   // own top-P profile (per-doc window, bounded) against the broadcast
-  // |langs|·P profile table. Everything integer.
+  // |langs|·P profile table. Everything integer. Trains and evaluates on
+  // the ENRICHED corpus twin (`TrainingDataQueries.enrichedDocs`): on the
+  // raw synthetic corpus every language is built from English tokens and
+  // the confusion matrix was near-random (round-2 finding); the injected
+  // per-language marker phrases give each lang a separable trigram
+  // profile, with the deterministic 20%/10% pad noise keeping the
+  // held-out confusion honestly off-perfect.
 
   private val CtP = 40
 
   private def qCtLangId(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("tl"))
+    val docs = TrainingDataQueries.enrichedDocs(s, dir)
+      .select(col("doc_id"), col("lang"), lower(col("text2")).as("tl"))
       .withColumn("is_train",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100 < 80)
@@ -3615,11 +3633,12 @@ object ScaleQueries {
   }
 
   private val qCtLangIdSql =
-    s"""WITH dd AS (
-       |  SELECT doc_id, lang, lower(text) AS tl,
+    s"""WITH ${TrainingDataQueries.EnrichedCte},
+       |dd AS (
+       |  SELECT doc_id, lang, lower(text2) AS tl,
        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        |      % 100 < 80) AS is_train
-       |  FROM documents WHERE length(lower(text)) >= 3),
+       |  FROM enr WHERE length(lower(text2)) >= 3),
        |tri AS (
        |  SELECT doc_id, lang, is_train,
        |    ('0x' || substr(md5(s), 1, 12))::BIGINT AS sid FROM (
@@ -3872,11 +3891,26 @@ object ScaleQueries {
   // over ≤|types| rows, so its output is bounded by N·|types|² — the
   // item dimension, not the corpus, pays the quadratic term (the
   // q_source_overlap bound). Lift fix-points to ppm through one exact
-  // integer expression: floor(n_ab·N·10⁶ / (n_a·n_b)).
+  // integer expression: floor(n_ab·N·10⁶ / (n_a·n_b)); n_ab·N ≤ N²
+  // overflows BIGINT past N ≈ 3·10⁹ users — beyond that the ppm literal
+  // drops to ppt or the numerator moves to DECIMAL(38) (the
+  // q_gini_stump convention; documented, not silent).
+  //
+  // Baskets are deterministically THINNED before pair counting: the raw
+  // synthetic events table is degenerate here (every user performs every
+  // type — round-2 measured ALL lifts exactly 1.0, the statistic's
+  // trivial fixed point). Keeping (user, type) by per-type residue rules
+  // (click always; error on even users; purchase on user%4=0 — NESTED in
+  // error; signup on user%3=0 — independent of error; view on odd users —
+  // DISJOINT from error) injects the popularity spread plus genuinely
+  // associated, independent, and mutually exclusive pairs: lifts land at
+  // 0 (absent row), ~10⁶, and ~2·10⁶ ppm by construction.
 
   private def qCooccurLift(s: SparkSession, dir: String): DataFrame = {
     val basket = t(s, dir, "events")
-      .select(col("user_id"), col("event_type")).distinct().persist()
+      .select(col("user_id"), col("event_type")).distinct()
+      .filter(expr(CooccurKeepSql))
+      .persist()
     val nUsers = basket.select("user_id").distinct()
       .agg(count(lit(1)).as("n_users"))
     val item = basket.groupBy("event_type").agg(count(lit(1)).as("n_item"))
@@ -3894,8 +3928,19 @@ object ScaleQueries {
       .orderBy("ta", "tb")
   }
 
+  /** Basket-thinning predicate, valid in both Spark SQL and DuckDB. */
+  private val CooccurKeepSql =
+    """CASE event_type
+      |  WHEN 'error' THEN user_id % 2 = 0
+      |  WHEN 'purchase' THEN user_id % 4 = 0
+      |  WHEN 'signup' THEN user_id % 3 = 0
+      |  WHEN 'view' THEN user_id % 2 = 1
+      |  ELSE TRUE END""".stripMargin
+
   private val qCooccurLiftSql =
-    """WITH basket AS (SELECT DISTINCT user_id, event_type FROM events),
+    s"""WITH basket AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE $CooccurKeepSql),
       |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM basket),
       |item AS (SELECT event_type, count(*) AS n_item FROM basket GROUP BY 1),
       |pr AS (

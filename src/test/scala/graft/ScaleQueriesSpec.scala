@@ -1393,9 +1393,11 @@ class ScaleQueriesSpec extends AnyFunSuite {
       MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     def sid12(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(12), 16)
+    // over the ENRICHED corpus twin, replayed byte-identically
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "lang", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2).toLowerCase))
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), EnrichReplay.text2(
+        r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)).toLowerCase))
       .filter(_._3.length >= 3)
     val (train, test) = docs.partition { case (id, _, _) =>
       java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100 < 80 }
@@ -1535,9 +1537,11 @@ class ScaleQueriesSpec extends AnyFunSuite {
   // --- co-occurrence lift --------------------------------------------------------------
 
   test("cooccur lift matches an exact basket recount; bounds hold") {
+    // baskets replayed WITH the deterministic zipfian thinning
     val basket = spark.read.parquet(s"$dir/events.parquet")
       .select("user_id", "event_type").distinct().collect()
       .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (u, t) => EnrichReplay.keepBasket(u, t) }
     val byUser = basket.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
     val nUsers = byUser.size.toLong
     val item = basket.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.TableIO
+import graft.pipeline.{SchemaEvolution, TableIO}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -12,9 +12,12 @@ import java.nio.file.Files
   * widened schema, old rows surfacing NULL for the new column — and
   * time travel to the old snapshot still reads the old schema. This is
   * the add-column half of Iceberg's schema evolution contract, which a
-  * 10^12-turn table accumulates over months of pipeline versions;
-  * column renames/drops map to Iceberg field-id tracking and are out of
-  * scope for the parquet-name-based emulation (documented in TableIO).
+  * 10^12-turn table accumulates over months of pipeline versions.
+  * Column renames/drops need Iceberg's field-id indirection — provided
+  * by [[graft.pipeline.SchemaEvolution]]'s schema sidecar (round-3
+  * closure of the round-2 gap); the rename/drop round-trips below pin
+  * its contract: reads remap by id, drops prune without rewriting data,
+  * re-added names take fresh ids, and time travel keeps old names.
   */
 class SchemaEvolutionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -54,5 +57,101 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .parquet(bucketPaths(TableIO.readAt(dir, 1)): _*)
     assert(old.columns.sorted.toSeq == Seq("conv_id", "text"))
     assert(old.count() == 2)
+  }
+
+  // --- field-id evolution (rename / drop) via SchemaEvolution ---------------
+
+  test("rename round-trip: reads remap old files to the new name by field id") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_schema_rename").toString
+
+    // snapshot 1: (conv_id, text) under ids 1, 2
+    Seq(("c0", "t0"), ("c1", "t1")).toDF("conv_id", "text")
+      .write.parquet(s"$dir/bucket=0")
+    val s1 = SchemaEvolution.initial(Seq("conv_id", "text"))
+    val m1 = TableIO.commit(dir, TableIO.Empty, Seq(TableIO.BucketEntry(0, 2, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m1.snapshotId, s1)
+
+    // snapshot 2: rename text -> body; the new bucket writes `body`
+    val s2 = s1.rename("text", "body")
+    Seq(("c2", "t2"), ("c3", "t3")).toDF("conv_id", "body")
+      .write.parquet(s"$dir/bucket=1")
+    val m2 = TableIO.commit(dir, m1, Seq(TableIO.BucketEntry(1, 2, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m2.snapshotId, s2)
+
+    val cur = SchemaEvolution.readMerged(spark, dir)
+    assert(cur.columns.toSeq == Seq("conv_id", "body"))
+    val byConv = cur.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byConv == Map("c0" -> "t0", "c1" -> "t1", "c2" -> "t2", "c3" -> "t3"),
+      "old files' `text` must surface under the new name `body`")
+
+    // time travel: snapshot 1 still reads the OLD name over the old bucket
+    val old = SchemaEvolution.readMerged(spark, dir, asOf = Some(1L))
+    assert(old.columns.toSeq == Seq("conv_id", "text"))
+    assert(old.count() == 2)
+  }
+
+  test("drop round-trip: dropped column pruned, re-added name is a fresh id") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_schema_drop").toString
+
+    Seq(("c0", "t0", 0.9), ("c1", "t1", 0.4)).toDF("conv_id", "text", "quality")
+      .write.parquet(s"$dir/bucket=0")
+    val s1 = SchemaEvolution.initial(Seq("conv_id", "text", "quality"))
+    val m1 = TableIO.commit(dir, TableIO.Empty, Seq(TableIO.BucketEntry(0, 2, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m1.snapshotId, s1)
+
+    // snapshot 2: drop quality — data files keep the column, reads prune it
+    val s2 = s1.drop("quality")
+    Seq(("c2", "t2"), ("c3", "t3")).toDF("conv_id", "text")
+      .write.parquet(s"$dir/bucket=1")
+    val m2 = TableIO.commit(dir, m1, Seq(TableIO.BucketEntry(1, 2, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m2.snapshotId, s2)
+
+    val cur = SchemaEvolution.readMerged(spark, dir)
+    assert(cur.columns.toSeq == Seq("conv_id", "text"))
+    assert(cur.count() == 4)
+
+    // time travel to snapshot 1 resurrects the column for OLD data
+    val old = SchemaEvolution.readMerged(spark, dir, asOf = Some(1L))
+    assert(old.columns.toSeq == Seq("conv_id", "text", "quality"))
+
+    // snapshot 3: re-ADD a column named quality — fresh field id, so the
+    // dropped data never resurrects (Iceberg id-reuse rule)
+    val s3 = s2.add("quality")
+    assert(s3.idOf("quality") != s1.idOf("quality"))
+    Seq(("c4", "t4", 1.0)).toDF("conv_id", "text", "quality")
+      .write.parquet(s"$dir/bucket=2")
+    val m3 = TableIO.commit(dir, m2, Seq(TableIO.BucketEntry(2, 1, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m3.snapshotId, s3)
+
+    val cur3 = SchemaEvolution.readMerged(spark, dir)
+    val quals = cur3.collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(quals("c0").isEmpty && quals("c1").isEmpty,
+      "snapshot-1 quality values must NOT leak into the re-added column")
+    assert(quals("c4").contains(1.0))
+  }
+
+  test("add-column behavior unchanged under the field-id reader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_schema_add2").toString
+    Seq(("c0", "t0")).toDF("conv_id", "text").write.parquet(s"$dir/bucket=0")
+    val s1 = SchemaEvolution.initial(Seq("conv_id", "text"))
+    val m1 = TableIO.commit(dir, TableIO.Empty, Seq(TableIO.BucketEntry(0, 1, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m1.snapshotId, s1)
+
+    val s2 = s1.add("quality")
+    Seq(("c1", "t1", 0.7)).toDF("conv_id", "text", "quality")
+      .write.parquet(s"$dir/bucket=1")
+    val m2 = TableIO.commit(dir, m1, Seq(TableIO.BucketEntry(1, 1, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m2.snapshotId, s2)
+
+    val cur = SchemaEvolution.readMerged(spark, dir)
+    assert(cur.columns.toSeq == Seq("conv_id", "text", "quality"))
+    val rows = cur.collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(rows("c0") && !rows("c1"))
   }
 }
