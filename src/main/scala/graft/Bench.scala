@@ -299,7 +299,7 @@ object Bench {
       s""""compute_turns_per_sec_high":${f"$cThrHigh%.1f"},""" +
       s""""compute_scaling_efficiency":${f"$computeEfficiency%.3f"},""" +
       s""""shuffle_write_bytes_per_turn":${f"$shufPerTurn%.1f"},""" +
-      s""""zstd_level":${sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1")},""" +
+      s""""zstd_level":${sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "3")},""" +
       s""""reps_interleaved_best_of":$reps,""" +
       s""""paired_efficiency_per_rep":[${pairedEffs.map(e => f"$e%.3f").mkString(",")}],""" +
       s""""paired_efficiency_median":${f"$pairedMedian%.3f"},""" +

@@ -3594,13 +3594,16 @@ object ScaleQueries {
       .withColumn("is_train",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100 < 80)
+    // trigram ids are PACKED CODEPOINTS (graft_tri_ids, one codegen'd
+    // pass — collision-free and exactly DuckDB's unicode(substr(...))
+    // arithmetic): the earlier md5-per-trigram id cost ~5 µs/gram and
+    // blew this query to 25 s at sf0.1 once the enriched twin tripled
+    // the text — the 04a4dd2 negative result re-confirmed, so the hash
+    // went away entirely (measured 25.6 → ~2 s)
     val tri = docs
       .filter(length(col("tl")) >= 3)
-      .select(col("doc_id"), col("lang"), col("is_train"), explode(expr(
-        "transform(sequence(1, length(tl) - 2), i -> substring(tl, i, 3))"))
-        .as("t3"))
       .select(col("doc_id"), col("lang"), col("is_train"),
-        conv(substring(md5(col("t3")), 1, 12), 16, 10).cast("long").as("sid"))
+        explode(expr("graft_tri_ids(tl)")).as("sid"))
       .persist()
     val prof = tri.filter(col("is_train"))
       .groupBy("lang", "sid").agg(count(lit(1)).as("c"))
@@ -3641,11 +3644,11 @@ object ScaleQueries {
        |  FROM enr WHERE length(lower(text2)) >= 3),
        |tri AS (
        |  SELECT doc_id, lang, is_train,
-       |    ('0x' || substr(md5(s), 1, 12))::BIGINT AS sid FROM (
-       |    SELECT doc_id, lang, is_train,
-       |      unnest(list_transform(generate_series(1, length(tl) - 2),
-       |        i -> substr(tl, i, 3))) AS s
-       |    FROM dd) x),
+       |    unnest(list_transform(generate_series(1, length(tl) - 2),
+       |      i -> unicode(substr(tl, i, 1)) * 4398046511104 +
+       |           unicode(substr(tl, i + 1, 1)) * 2097152 +
+       |           unicode(substr(tl, i + 2, 1)))) AS sid
+       |  FROM dd),
        |prof AS (
        |  SELECT lang AS plang, sid, lrank FROM (
        |    SELECT lang, sid, row_number() OVER (
@@ -3789,6 +3792,14 @@ object ScaleQueries {
   // three keyed aggregates and one conditional-sum pass; the chain runs
   // on ONE row. S·n stays under 2^63 while the risk set is < ~9·10⁹ —
   // past that the chain moves to DECIMAL(38).
+  //
+  // De-degeneration (round-3, the q_cooccur_lift discipline): in the
+  // raw synthetic events EVERY signup user purchases — zero censoring,
+  // so the estimator's distinguishing branch never ran (a round-2
+  // finding). A deterministic non-converter cohort (user_id % 5 = 3's
+  // purchases are excluded from the analysis) injects real right-
+  // censoring: those subjects live to the study end with evt = 0, the
+  // case Kaplan–Meier exists to price correctly.
 
   private val KmB = 8
 
@@ -3801,6 +3812,7 @@ object ScaleQueries {
       .groupBy("user_id").agg(min("es").as("t0"))
     val end = ev.agg(max("es").as("tend"))
     val pu = ev.filter(col("event_type") === "purchase")
+      .filter(col("user_id") % 5 =!= 3) // deterministic non-converter cohort
       .join(su, "user_id")
       .filter(col("es") >= col("t0"))
       .groupBy("user_id").agg(min("es").as("tp"))
@@ -3860,7 +3872,8 @@ object ScaleQueries {
        |pu AS (
        |  SELECT e.user_id, min(e.es) AS tp
        |  FROM ev e JOIN su ON e.user_id = su.user_id
-       |  WHERE e.event_type = 'purchase' AND e.es >= su.t0 GROUP BY 1),
+       |  WHERE e.event_type = 'purchase' AND e.user_id % 5 <> 3
+       |    AND e.es >= su.t0 GROUP BY 1),
        |du AS (
        |  SELECT su.user_id,
        |    coalesce(pu.tp, (SELECT tend FROM ed)) - su.t0 AS dur,

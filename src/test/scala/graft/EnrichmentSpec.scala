@@ -45,6 +45,19 @@ class EnrichmentSpec extends AnyFunSuite {
     assert(diag < total, "perfect confusion matrix — label noise missing")
   }
 
+  test("q_kaplan_meier: real right-censoring present, survival strictly drops") {
+    val rows = run("q_kaplan_meier").collect()
+    val censored = rows.map(_.getLong(rows.head.fieldIndex("c"))).sum
+    val events = rows.map(_.getLong(rows.head.fieldIndex("d"))).sum
+    assert(censored > 0,
+      "zero censored subjects — the estimator's distinguishing branch is dead " +
+        "(the round-2 degeneracy: every signup user purchased)")
+    assert(events > 0, "no conversion events at all")
+    val lastSurv = rows.maxBy(_.getInt(0)).getLong(rows.head.fieldIndex("surv_fp"))
+    assert(lastSurv > 0L && lastSurv < 1000000000L,
+      s"survival $lastSurv degenerate (never dropped, or hit zero)")
+  }
+
   test("q_cooccur_lift: lift spectrum spreads (dependence, independence, exclusion)") {
     val rows = run("q_cooccur_lift").collect()
     val lifts = rows.map(_.getLong(rows.head.fieldIndex("lift_ppm"))).toSeq

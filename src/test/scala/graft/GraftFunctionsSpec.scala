@@ -80,6 +80,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_tri_ids packs codepoint trigrams like the transform/substring chain") {
+    import spark.implicits._
+    // the interpreted composition it replaces: per-position 3-char slice,
+    // packed by codepoint arithmetic (ascii() = first codepoint in Spark)
+    val chain =
+      """transform(sequence(1, greatest(length(text) - 2, 0)),
+        |  i -> ascii(substring(text, i, 1)) * 4398046511104L +
+        |       ascii(substring(text, i + 1, 1)) * 2097152L +
+        |       ascii(substring(text, i + 2, 1)))""".stripMargin
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("length(text) >= 3")
+      .selectExpr(s"$chain AS slow", "graft_tri_ids(text) AS fast")
+    assert(docs.count() > 0)
+    assert(docs.filter("slow != fast").count() == 0)
+    val edges = Seq("ab", "", "abc", "żółw ćma", null).toDF("text")
+      .selectExpr("graft_tri_ids(text) AS fast").collect()
+    assert(edges(0).getSeq[Long](0).isEmpty && edges(1).getSeq[Long](0).isEmpty)
+    assert(edges(2).getSeq[Long](0) ===
+      Seq('a'.toLong * 4398046511104L + 'b'.toLong * 2097152L + 'c'.toLong))
+    // non-ASCII codepoints pack exactly (ż = U+017C)
+    val z = edges(3).getSeq[Long](0)
+    assert(z.head === 0x017CL * 4398046511104L + 'ó'.toLong * 2097152L + 'ł'.toLong)
+    assert(edges(4).isNullAt(0))
+  }
+
   test("graft_shingles is bit-identical to the tokenize/transform/distinct chain") {
     import spark.implicits._
     // the interpreted composition graft_shingles replaces, verbatim from

@@ -1392,17 +1392,20 @@ class ScaleQueriesSpec extends AnyFunSuite {
     def md5hex(s: String): String =
       MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    def sid12(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(12), 16)
     // over the ENRICHED corpus twin, replayed byte-identically
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "lang", "n_chars", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), EnrichReplay.text2(
         r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)).toLowerCase))
-      .filter(_._3.length >= 3)
+      .filter(d => d._3.codePointCount(0, d._3.length) >= 3)
     val (train, test) = docs.partition { case (id, _, _) =>
       java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100 < 80 }
-    def tris(t: String): Seq[Long] =
-      (0 to t.length - 3).map(i => sid12(t.substring(i, i + 3)))
+    // packed-codepoint trigram ids, mirroring graft_tri_ids exactly
+    def tris(t: String): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - 3).map(i =>
+        cps(i).toLong * 4398046511104L + cps(i + 1).toLong * 2097152L + cps(i + 2).toLong)
+    }
     val P = 40
     val prof: Map[String, Map[Long, Int]] = train.groupBy(_._2).map {
       case (lang, ds) =>
@@ -1505,6 +1508,7 @@ class ScaleQueriesSpec extends AnyFunSuite {
       .map { case (u, xs) => u -> xs.map(_._3).min }
     val tend = ev.map(_._3).max
     val tp = ev.filter(_._2 == "purchase")
+      .filter(_._1 % 5 != 3) // the deterministic non-converter cohort
       .filter { case (u, _, es) => t0.contains(u) && es >= t0(u) }
       .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
     val durs = t0.toSeq.map { case (u, t) =>
