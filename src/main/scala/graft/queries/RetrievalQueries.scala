@@ -39,12 +39,29 @@ object RetrievalQueries {
        |    END AS tokens
        |  FROM toks)""".stripMargin
 
+  /** ONE postings/stats materialization for the whole retrieval family
+    * (q_token_tf, q_bm25_docs, q_rm3_feedback, q_hybrid_funnel) — under
+    * [[Shared]] the corpus tokenize+shuffle runs once per battery, not
+    * once per query. Note the asymmetry with the round-2 negative
+    * result (persisting postings through Spark's COLUMNAR cache cost
+    * ~10× — the in-memory columnar codec is membw-bound on wide
+    * tables): `Shared` materializes row blocks via localCheckpoint,
+    * and the battery postings are ~250k rows at sf0.1 — MBs, not GBs.
+    * Standalone (Shared off) every query keeps its self-contained plan.
+    */
+  private def docPostings(s: SparkSession, dir: String): DataFrame =
+    Shared("docPostings", s, dir)(
+      Retrieval.postings(t(s, dir, "documents"), "doc_id", "text"))
+
+  private def docStats(s: SparkSession, dir: String): DataFrame =
+    Shared("docStats", s, dir)(
+      Retrieval.corpusStats(t(s, dir, "documents"), "doc_id", "text"))
+
   // --- term frequencies across the corpus (P1 + A3 groundwork)
   private def qTokenTf(s: SparkSession, dir: String): DataFrame =
-    Retrieval.tokenized(t(s, dir, "documents"), "doc_id", "text")
-      .select(explode(col("tokens")).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("tf"))
+    docPostings(s, dir)
+      .groupBy(col("term").as("token"))
+      .agg(sum("tf").as("tf"))
       .orderBy(col("tf").desc, col("token").asc)
       .limit(100)
 
@@ -59,7 +76,8 @@ object RetrievalQueries {
   // every idf negative, so the reference's `score > 0` filter — which
   // hybridSearch keeps — would blank the comparison).
   private def qBm25Docs(s: SparkSession, dir: String): DataFrame =
-    Retrieval.bm25Scores(t(s, dir, "documents"), "doc_id", "text", KeywordQuery)
+    Retrieval.bm25ScoresFromIndex(docPostings(s, dir), docStats(s, dir),
+        "doc_id", Seq((0, KeywordQuery)))
       .select(col("doc_id"), Rounding.r(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(100)
@@ -155,9 +173,8 @@ object RetrievalQueries {
           lit(Retrieval.DefaultB) * col("dl") / col("avgdl")))
 
   private def qRm3Feedback(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val post = Retrieval.postings(docs, "doc_id", "text").persist()
-    val stats = Retrieval.corpusStats(docs, "doc_id", "text")
+    val post = docPostings(s, dir).persist()
+    val stats = docStats(s, dir)
     val idf = Retrieval.idfTable(post, stats)
 
     val qTerms = Tokenizer.tokenize(KeywordQuery)
@@ -259,15 +276,17 @@ object RetrievalQueries {
 
     // ALL variations' BM25 scores from ONE corpus pass (postings/idf built
     // once — one wide shuffle, not one per variation), cached for the
-    // three per-variation funnels below. Deliberately NOT persisting the
-    // postings themselves to share with the rerank stage: measured here,
-    // caching the ~20M-row postings table and re-reading it per consumer
-    // costs ~10× the task time of letting exchange reuse share the
-    // compressed postings shuffle (the in-memory columnar cache is
-    // memory-bandwidth-bound on wide tables; persist pays off only for
-    // SMALL hot frames like the per-variation score lists below).
-    val kwAll = Retrieval.bm25ScoresMulti(docs, "doc_id", "text",
-      Variations.zipWithIndex.map(_.swap)).persist()
+    // three per-variation funnels below. The postings feed the battery's
+    // shared materialization (docPostings) but are deliberately NOT
+    // persist()ed through the COLUMNAR cache within this query: measured
+    // in round 2, caching a ~20M-row postings table that way and
+    // re-reading it per consumer costs ~10× the task time of letting
+    // exchange reuse share the compressed postings shuffle (the
+    // in-memory columnar codec is memory-bandwidth-bound on wide
+    // tables; persist pays off only for SMALL hot frames like the
+    // per-variation score lists below).
+    val kwAll = Retrieval.bm25ScoresFromIndex(docPostings(s, dir),
+      docStats(s, dir), "doc_id", Variations.zipWithIndex.map(_.swap)).persist()
 
     // per-variation hybrid ranking (rank within variation by rrf)
     val hybrids = Variations.indices.map { v =>

@@ -99,7 +99,8 @@ class SharedIntermediatesSpec extends AnyFunSuite {
   test("shared materialization is value-invisible") {
     assert(!Shared.enabled, "specs run with sharing disabled by default")
     val names = Seq("q_embed_neardup", "q_boruvka_mst", "q_probe_calibration",
-      "q_linear_probe")
+      "q_linear_probe", "q_token_tf", "q_bm25_docs", "q_rm3_feedback",
+      "q_hybrid_funnel")
     val plain = names.map(n => n -> rows(n)).toMap
     Shared.enable()
     try {
