@@ -1,27 +1,30 @@
 #!/usr/bin/env bash
-# Launch the benchmark via spark-submit — the north rule's launch mode.
+# North-rule launcher: the extraction job submitted via spark-submit to
+# separate executor JVMs at N and 4N executors (local-cluster — the
+# sandbox stand-in for a standalone/YARN cluster; on a real cluster only
+# --master changes). Prints per-leg turns/sec; BASELINE.md carries the
+# interpretation (per-socket membw ceiling, executor JIT warmup).
 #
-# graft.Bench manages its own two cluster sizes internally (it builds one
-# SparkSession per leg: local[N/4] then local[N] over identical input,
-# interleaved best-of reps), so ONE submit covers both legs; the
-# builder's .master(...) per leg intentionally overrides the submit-time
-# master. On a real cluster the same jar is submitted twice instead
-# (--num-executors N / 4N) with SPARK_GRAFT_CORES pinning the leg.
-#
-# Usage: scripts/spark_submit_bench.sh [sf_dir]   (default sf0.1)
+# Usage: scripts/spark_submit_bench.sh [nConvs] [runsPerLeg]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SF_DIR="${1:-/root/testdata/sf0.1}"
+CONVS="${1:-240000}"
+RUNS="${2:-2}"
+SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+# the launcher cannot infer the Scala version from a binary distribution
+export SPARK_SCALA_VERSION=2.13
 
 sbt -batch package >/dev/null
-JAR=$(ls target/scala-2.13/*.jar | grep -v tests | head -1)
+JAR=$(ls target/scala-2.13/*.jar | head -1)
 
-SPARK_GRAFT_SF_DIR="$SF_DIR" /opt/spark/bin/spark-submit \
-  --class graft.Bench \
-  --master 'local[32]' \
-  --driver-memory 96g \
-  "$JAR"
-
-echo "bench JSON:"
-cat target/bench.json
+for W in 2 8; do
+  "$SPARK_HOME/bin/spark-submit" \
+    --master "local-cluster[$W,4,4096]" \
+    --conf spark.executor.memory=4096m \
+    --conf spark.executor.extraJavaOptions="-XX:ActiveProcessorCount=4 -XX:+UseParallelGC" \
+    --conf spark.driver.host=localhost \
+    --class graft.ClusterProbe \
+    "$JAR" "$W" 4 "$CONVS" 4096 "$RUNS" full 2>&1 |
+    grep "cluster-probe\]"
+done

@@ -16,21 +16,30 @@ object ClusterProbe {
     val memMb = args.lift(3).map(_.toInt).getOrElse(4096)
     val nRuns = args.lift(4).map(_.toInt).getOrElse(2)
     val fullJob = args.lift(5).contains("full")
-    val spark = SparkSession.builder()
-      .master(s"local-cluster[$nWorkers,$cores,$memMb]")
+    // spark-submit compatible: when a master is already configured
+    // (scripts/spark_submit_bench.sh — the north rule's literal
+    // launcher), respect it and let spark-submit ship the app jar;
+    // standalone `runMain` self-configures local-cluster and serves the
+    // compiled classes via extraClassPath. local-cluster against the
+    // binary Spark distribution needs SPARK_SCALA_VERSION=2.13 in the
+    // environment (the launcher cannot infer it without a build tree).
+    val b0 = SparkSession.builder()
       .appName("cluster-probe")
-      .config("spark.executor.memory", s"${memMb}m")
-      .config("spark.executor.extraClassPath",
-        "/root/repo/target/scala-2.13/classes")
-      // each executor JVM must size JIT/GC pools for ITS cores, not the
-      // host's 32 — real-cluster semantics, and without it co-located
-      // JVMs oversubscribe the box with 32 GC threads apiece
-      .config("spark.executor.extraJavaOptions",
-        s"-XX:ActiveProcessorCount=$cores -XX:+UseParallelGC")
       .config("spark.sql.shuffle.partitions", (nWorkers * cores).toString)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost")
-      .getOrCreate()
+    val b1 =
+      if (sys.props.contains("spark.master")) b0
+      else b0.master(s"local-cluster[$nWorkers,$cores,$memMb]")
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes")
+        // each executor JVM must size JIT/GC pools for ITS cores, not the
+        // host's 32 — real-cluster semantics, and without it co-located
+        // JVMs oversubscribe the box with 32 GC threads apiece
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:ActiveProcessorCount=$cores -XX:+UseParallelGC")
+        .config("spark.driver.host", "localhost")
+    val spark = b1.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -40,7 +49,11 @@ object ClusterProbe {
       .write.mode("overwrite").parquet(dir)
 
     val turns = spark.read.parquet(dir).as[graft.model.Turn]
-    turns.limit(2000).mapPartitions(_.map(t =>
+    // warm EVERY executor JVM's JIT with a full compute pass — a
+    // limit(2000) warm only reaches 1-2 executors, and the measured
+    // penalty on the first full-job run of a cold 8-executor session
+    // was 3x (35k vs 105k turns/s; BASELINE.md round 3)
+    turns.mapPartitions(_.map(t =>
       graft.extract.Extractor.extract(t.text).text.length.toLong)).reduce(_ + _)
 
     (1 to nRuns).foreach { i =>
