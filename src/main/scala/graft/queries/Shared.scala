@@ -39,12 +39,15 @@ object Shared {
   // while building the result, e.g. `qBoruvkaMst`) unpersist before
   // returning.
   @volatile private var on = false
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // weakly keyed by the SESSION OBJECT itself: no identity-hash reuse
+  // can alias a stale checkpoint into a new session, and a collected
+  // session's entries vanish with it
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def enable(): Unit = on = true
 
-  def disable(): Unit = { on = false; cache.clear() }
+  def disable(): Unit = { on = false; cache.synchronized(cache.clear()) }
 
   def enabled: Boolean = on
 
@@ -53,6 +56,15 @@ object Shared {
     */
   def apply(name: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     if (!on) build
-    else cache.getOrElseUpdate((System.identityHashCode(s), dir, name),
-      build.localCheckpoint(true))
+    else {
+      val per = cache.synchronized {
+        var m = cache.get(s)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+          cache.put(s, m)
+        }
+        m
+      }
+      per.getOrElseUpdate((dir, name), build.localCheckpoint(true))
+    }
 }

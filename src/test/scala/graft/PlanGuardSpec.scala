@@ -44,33 +44,17 @@ class PlanGuardSpec extends AnyFunSuite {
 
     // Grain-bounded unpartitioned windows: cardinality fixed by a
     // documented contract, not by row count. Key → bounding contract.
+    // EXACT list — the test below also fails on STALE entries, so every
+    // name here provably plans a grain-bounded unpartitioned window today
     val grainBounded: Map[String, String] = Map(
       "q_quota_alloc" -> "window over the (lang, source) strata grain",
-      "q_corpus_mix" -> "window over the (lang, source) strata grain",
-      "q_alpha_mix" -> "window over the source grain",
-      "q_cluster_mix" -> "window over the K-cluster x source grain",
-      "q_shard_plan" -> "window over the (lang, source) strata grain",
-      "q_scd2" -> "version window: per-user run count grain",
-      "q_epoch_shuffle" -> "window over the 32-shard report grain",
-      "q_zorder_layout" -> "window over the 32-file layout grain",
       "q_hist_quantiles" -> "window over the fixed histogram-bin grid",
-      "q_ks_test" -> "window over the merged distinct-value grain of two samples",
       "q_mann_whitney" -> "window over the distinct-value grain",
       "q_spearman" -> "windows over the two distinct-value grains",
       "q_gini" -> "window over the distinct-value grain",
-      "q_benford" -> "window over the 9-digit grid",
-      "q_bpe_merges" -> "per-round argmax over the pair-count grain",
-      "q_bpe_encode" -> "per-round argmax over the pair-count grain",
-      "q_zipf_fit" -> "window over the top-K frequency head",
-      "q_heaps_fit" -> "window over the 10-point prefix grid",
       "q_gini_stump" -> "window over the candidate-threshold grain",
-      "q_kaplan_meier" -> "window over the fixed duration grid",
-      "q_hill_tail" -> "window over the top-(k+1) order statistics",
       "q_theil_sen" -> "window over the sampled pair-slope grain",
       "q_cusum" -> "window over the bounded day grid",
-      "q_markov_stationary" -> "window over the |event types| state grain",
-      "q_incr_stats" -> "window over the snapshot-version grain",
-      "q_kcenter" -> "argmax over the K broadcast rounds' candidates",
       "q_conformal" -> "threshold pick over the distinct-score value grain",
       "q_max_cover" -> "cumulative sum over the K checkpointed limit-1 rounds")
 
@@ -81,19 +65,26 @@ class PlanGuardSpec extends AnyFunSuite {
       case _: CollectLimitExec => ()
     }.isDefined
 
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val sp = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
-      val unbounded = sp.collect {
+      sp.collect {
         case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
         case w: WindowGroupLimitExec
           if w.partitionSpec.isEmpty && !bounded(w.child) => w
-      }
-      if (unbounded.nonEmpty && !grainBounded.contains(name)) Some(name) else None
-    }
+      }.nonEmpty
+    }.toSet
+    val offenders = flagged -- grainBounded.keySet
     assert(offenders.isEmpty,
       s"unpartitioned windows over unbounded input (add a limit below the " +
         s"window, partition it, or document the bounding grain in the " +
-        s"allow-list): ${offenders.mkString(", ")}")
+        s"allow-list): ${offenders.toSeq.sorted.mkString(", ")}")
+    // the allow-list must stay EXACT: an entry whose query no longer
+    // plans a grain-bounded unpartitioned window is stale — and a stale
+    // entry would silently excuse a FUTURE corpus-sized window there
+    val stale = grainBounded.keySet -- flagged
+    assert(stale.isEmpty,
+      s"stale allow-list entries (queries no longer plan an unpartitioned " +
+        s"window — remove them): ${stale.toSeq.sorted.mkString(", ")}")
   }
 
   test("q_broadcast_join broadcasts the dimension side and pushes the join filter") {
