@@ -182,6 +182,73 @@ object TrainingDataQueries {
       |    generate_series(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1]))) AS tok
       |  FROM toks WHERE len(ts) >= 2)""".stripMargin
 
+  // --- train→holdout n-gram novelty (memorization / split-leakage audit) -----
+  //
+  // The eval-integrity twin of q_decontaminate: instead of scrubbing a
+  // BENCHMARK's n-grams out of training data, measure how much of the
+  // HOLDOUT split's n-gram mass the train split has already seen — the
+  // number that says whether a perplexity win on the holdout is
+  // generalization or memorization (and how much signal a dedup pass
+  // left on the table). Split = the probe family's md5-decile hash
+  // (80/20); grams = per-doc distinct word bigrams over the ENRICHED
+  // corpus twin (the raw 31-type vocabulary saturates the bigram space —
+  // novelty would measure 0 by construction); novelty_ppm per source =
+  // ⌊10⁶ · unseen / total⌋, all exact integers. Scale shape: the train
+  // vocabulary is a distinct hash-agg, the membership test a LEFT SEMI
+  // equi-join on the gram key (inverted-index join, Σdf linear), one
+  // source-grain agg — no window, no pair space, broadcast-eligible
+  // whenever the train vocabulary fits (AQE decides).
+
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = enrichedDocs(s, dir)
+      .select(col("doc_id"), explode(expr("graft_shingles(text2)")).as("tok"))
+    val grams = sh.withColumn("is_train", expr(
+      "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100 < 80"))
+    val trainG = grams.filter(col("is_train")).select("tok").distinct()
+    val hold = grams.filter(!col("is_train"))
+    val seen = hold.join(trainG, Seq("tok"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    val tot = hold.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    tot.join(seen, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_seen"))
+      .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_grams").as("grams"),
+        sum(col("n_grams") - col("n_seen")).as("novel"))
+      .select(col("source"), col("n_docs"), col("grams").as("n_grams"),
+        col("novel").as("n_novel"),
+        expr("(1000000 * novel) div grams").as("novelty_ppm"))
+      .orderBy("source")
+  }
+
+  private val qNgramNoveltySql =
+    s"""WITH $EnrichedCte,
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text2), '\\s+'), x -> x <> '') AS ts
+       |  FROM enr),
+       |$ShinglesCte,
+       |sp AS (
+       |  SELECT doc_id, tok,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 100 < 80 AS is_train
+       |  FROM sh),
+       |tg AS (SELECT DISTINCT tok FROM sp WHERE is_train),
+       |per AS (
+       |  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN tg.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_seen
+       |  FROM (SELECT doc_id, tok FROM sp WHERE NOT is_train) h
+       |  LEFT JOIN tg ON h.tok = tg.tok GROUP BY 1)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(per.n_grams) AS BIGINT) AS n_grams,
+       |  CAST(sum(per.n_grams - per.n_seen) AS BIGINT) AS n_novel,
+       |  (1000000 * CAST(sum(per.n_grams - per.n_seen) AS BIGINT))
+       |    // CAST(sum(per.n_grams) AS BIGINT) AS novelty_ppm
+       |FROM per JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Near-dup blocking: only docs in the same (lang, length-decile) block
     * are compared — the standard trick that keeps the inverted-index
     * self-join sub-quadratic (near-dups rarely cross language or differ
@@ -5376,6 +5443,7 @@ object TrainingDataQueries {
     "q_burstiness" -> (qBurstiness _),
     "q_hill_tail" -> (qHillTail _),
     "q_heaps_fit" -> (qHeapsFit _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_cluster_mix" -> (qClusterMix _),
@@ -5451,6 +5519,7 @@ object TrainingDataQueries {
     "q_burstiness" -> qBurstinessSql,
     "q_hill_tail" -> qHillTailSql,
     "q_heaps_fit" -> qHeapsFitSql,
+    "q_ngram_novelty" -> qNgramNoveltySql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_cluster_mix" -> qClusterMixSql,

@@ -45,6 +45,16 @@ class EnrichmentSpec extends AnyFunSuite {
     assert(diag < total, "perfect confusion matrix — label noise missing")
   }
 
+  test("q_ngram_novelty: holdout novelty is nonzero and not total") {
+    val rows = run("q_ngram_novelty").collect()
+    val novel = rows.map(_.getLong(rows.head.fieldIndex("n_novel"))).sum
+    val grams = rows.map(_.getLong(rows.head.fieldIndex("n_grams"))).sum
+    assert(novel > 0,
+      "zero novel holdout grams — the closed raw vocabulary leaked back in " +
+        "(the enrichment tail is what gives the split unseen bigrams)")
+    assert(novel < grams, "every holdout gram novel — the split saw no shared mass")
+  }
+
   test("q_kaplan_meier: real right-censoring present, survival strictly drops") {
     val rows = run("q_kaplan_meier").collect()
     val censored = rows.map(_.getLong(rows.head.fieldIndex("c"))).sum
