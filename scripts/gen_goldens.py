@@ -141,6 +141,66 @@ for i in range(12):
 cases["boundary_512"] = ("A" + "b" * 250 + ". ") * 6
 cases["newline_sep"] = "One sentence here.\nAnother One Follows.\nAnd a third."
 
+# ---- astral-plane cases (round 4): Python len() counts code points, the
+# JVM counts UTF-16 units — these cases pin the chunker's code-point
+# arithmetic (surrogate pairs in length tests, overlap-tail slicing,
+# word-split, char-slice windows). Separate RNG: the main stream above
+# stays undisturbed so pre-existing golden entries regenerate identically.
+rng2 = random.Random(77)
+EMOJI = list("🚀🌍🔥🎉🧠💡🐍📦🎯🌊🦀🪐")  # all U+1F3xx–U+1FAxx (astral)
+MATH = list("𝕊𝕡𝕒𝕣𝕜𝔾𝕣𝕒𝕗𝕥")  # U+1D53x mathematical letters (astral)
+
+
+def astral_sentence(n, punct="."):
+    ws = []
+    for _ in range(n):
+        r = rng2.random()
+        if r < 0.3:
+            ws.append("".join(rng2.choice(EMOJI) for _ in range(rng2.randint(1, 4))))
+        elif r < 0.45:
+            ws.append(rng2.choice(WORDS) + rng2.choice(EMOJI))
+        elif r < 0.55:
+            ws.append("".join(rng2.choice(MATH) for _ in range(rng2.randint(2, 5))))
+        else:
+            ws.append(rng2.choice(WORDS))
+    s = " ".join(ws)
+    return "A" + s + punct  # leading cap so the sentence split fires
+
+
+cases["astral_simple"] = "Emoji 🚀 test. Another 🌍 sentence! Plain end."
+cases["astral_para"] = " ".join(
+    astral_sentence(rng2.randint(4, 18)) for _ in range(24)
+)
+# sentences whose UTF-16 length (~2x) crosses chunk_size while the
+# code-point length does not: the length-test divergence trigger
+cases["astral_boundary"] = ("B" + "🚀" * 250 + ". ") * 6
+cases["astral_boundary_mixed"] = ("C" + "x🔥" * 167 + ". ") * 6
+# one giant sentence of astral words: the 2x-size word-split safety path
+cases["astral_long_sentence"] = (
+    "Beginning " + " ".join(
+        "".join(rng2.choice(EMOJI + MATH) for _ in range(rng2.randint(1, 6)))
+        for _ in range(400)
+    ) + "."
+)
+# astral chars adjacent to the sentence separators the overlap tail and
+# char-slice back-off probe for (". ", "! ", "? ")
+cases["astral_sep_adjacent"] = " ".join(
+    astral_sentence(rng2.randint(3, 9), punct=rng2.choice(".!?")) for _ in range(30)
+)
+cases["astral_polish_mix"] = (
+    "Zażółć 🦀 gęślą jaźń. " + " ".join(
+        rng2.choice(POLISH + EMOJI) for _ in range(80)
+    ) + ". Łódź 🪐 płynie!"
+)
+cases["astral_only"] = "".join(rng2.choice(EMOJI) for _ in range(700))
+# (a lone-surrogate case cannot ride JSON goldens — UTF-8 encoding
+# rejects it; the Scala side counts a lone surrogate as one code point,
+# matching CPython, asserted directly in ChunkerParitySpec)
+cases["astral_heading_doc"] = (
+    "🚀 MISSION OVERVIEW\n" + astral_sentence(40) + " " + astral_sentence(35)
+    + "\n2. Flight 🌍 Data\n" + astral_sentence(50)
+)
+
 PARAMS = [(512, 50), (100, 10), (64, 0), (50, 25)]
 
 chunker_golden = []
@@ -196,6 +256,18 @@ struct_cases = {
     "heading_only": [("ABSTRACT", 0)],
     "long_section": [("1. Data", 0), (para(40), 0)],
     "heading_first_empty": [("METHODS", 0), (para(3), 0), ("RESULTS", 1), (para(3), 1)],
+    # astral blocks: section fits-whole test + chunk_length metadata in
+    # code points, heading detection over astral text
+    "astral_sections": [
+        ("LAUNCH 🚀 REPORT", 0),
+        (" ".join(astral_sentence(rng2.randint(4, 12)) for _ in range(6)), 0),
+        ("2. Orbital 🌍 Mechanics", 1),
+        (" ".join(astral_sentence(rng2.randint(4, 12)) for _ in range(12)), 1),
+    ],
+    "astral_flat": [
+        (" ".join(astral_sentence(rng2.randint(3, 10)) for _ in range(5)), 0),
+        (" ".join(astral_sentence(rng2.randint(3, 10)) for _ in range(7)), 1),
+    ],
 }
 struct_golden = []
 for cid, blocks in struct_cases.items():
@@ -257,6 +329,11 @@ heading_texts = [
     "lower case words only here", "Title With one lower word",
     "ZAŻÓŁĆ GĘŚLĄ", "1. introduction", "", " ", "A B C D E",
     para(1), para(8),
+    # astral: len() in code points (the >100 cut), isupper over
+    # uncased astral chars, title-case ratio with astral-led words
+    "🚀 MISSION", "ROCKET 🚀🌍🔥 LAUNCH", "🎯" * 60, "🎯" * 120,
+    "🚀 " * 40 + "END", "1. 𝕊park Overview", "Astral 🧠 Title Words Here",
+    "𝕊𝕡𝕒𝕣𝕜 𝔾𝕣𝕒𝕗𝕥", "A" * 80 + "🚀" * 15, "A" * 99 + "🚀🚀",
 ]
 c = SemanticChunker(512, 50)
 (OUT / "heading_cases.json").write_text(

@@ -16,7 +16,9 @@ SPARK_HOME="${SPARK_HOME:-/opt/spark}"
 export SPARK_SCALA_VERSION=2.13
 
 sbt -batch package >/dev/null
-JAR=$(ls target/scala-2.13/*.jar | head -1)
+# exclude stale *-tests.jar / *-sources.jar artifacts from earlier
+# test:package runs — only the app jar is submittable
+JAR=$(ls target/scala-2.13/*.jar | grep -v -e '-tests\.jar$' -e '-sources\.jar$' | head -1)
 
 for W in 2 8; do
   "$SPARK_HOME/bin/spark-submit" \

@@ -756,9 +756,11 @@ object TrainingDataQueries {
 
   /** Driver-side min-label connected components: path-compressing
     * union-find over a collected edge list — O(E α(E)), zero Spark jobs.
-    * Node ids may be integral (compared numerically) or ASCII strings
-    * (compared via `String.compareTo`, identical to Spark's binary
-    * UTF8String `min` ordering for the ASCII ids the battery produces).
+    * Node ids may be integral (compared numerically) or strings (compared
+    * as unsigned UTF-8 bytes, the exact ordering of Spark's binary
+    * UTF8String `min` — `String.compareTo` would diverge on
+    * supplementary-plane ids, whose UTF-16 surrogates sort between
+    * U+D7FF and U+E000 instead of above all BMP code points).
     * Returns a local (node, label) relation preserving the input id type,
     * value-identical to the distributed loop
     * (`ConnectedComponentsParitySpec`).
@@ -772,7 +774,11 @@ object TrainingDataQueries {
       case LongType | IntegerType | ShortType =>
         (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
       case StringType =>
-        (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+        (a, b) => {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          java.util.Arrays.compareUnsigned(x, y) < 0
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported CC node id type: $other")
     }

@@ -26,9 +26,13 @@ import graft.text.PyText._
   *    stay whole; large ones split with `"[Context: {heading}]\n\n"`
   *    prefixed when absent (`chunker.py:106-221`)
   *
-  * Exact for all BMP text (Python `len` counts code points; JVM strings
-  * count UTF-16 units — fixtures avoid astral-plane chars, documented
-  * limitation).
+  * Length arithmetic counts CODE POINTS, as Python `len` does: BMP-only
+  * text (no surrogates) takes the O(1) `.length` fast path, and text
+  * containing astral-plane chars (emoji, CJK extensions) switches to
+  * code-point counting — parity with the reference is exact for both
+  * (astral golden cases in `chunker_cases.json`). Span offsets remain
+  * JVM `String` (UTF-16) indices: they address the source string for
+  * `substring` extraction downstream, which is their contract.
   *
   * Pure functions: usable in `flatMap`/`mapPartitions` and Catalyst
   * expressions; no Spark imports here.
@@ -108,22 +112,26 @@ object Chunker {
 
   /** `_split_long_text_by_words` (`chunker.py:305-334`). Accumulates in a
     * StringBuilder — `cur + " " + word` per word copied the whole chunk
-    * per appended word on this per-turn hot path.
+    * per appended word on this per-turn hot path. Word lengths are code
+    * points when the text is astral (Python `len` parity).
     */
   def splitLongTextByWords(text: String, chunkSize: Int): Vector[String] = {
+    val astral = hasSurrogate(text)
+    @inline def len(s: String): Int = if (astral) cpLen(s) else s.length
     val words = pySplit(text)
     val chunks = Vector.newBuilder[String]
     val sb = new java.lang.StringBuilder
+    var sbCp = 0 // Python len of sb content
     var emitted = false
     words.foreach { word =>
-      val testLen =
-        if (sb.length == 0) word.length else sb.length + 1 + word.length
+      val wl = len(word)
+      val testLen = if (sb.length == 0) wl else sbCp + 1 + wl
       if (testLen > chunkSize && sb.length > 0) {
         chunks += sb.toString; emitted = true
-        sb.setLength(0); sb.append(word)
+        sb.setLength(0); sb.append(word); sbCp = wl
       } else {
-        if (sb.length > 0) sb.append(' ')
-        sb.append(word)
+        if (sb.length > 0) { sb.append(' '); sbCp += 1 }
+        sb.append(word); sbCp += wl
       }
     }
     if (sb.length > 0) { chunks += sb.toString; emitted = true }
@@ -134,9 +142,21 @@ object Chunker {
     * quirk: `text[-0:]` is the whole string, so `overlap == 0` keeps the
     * full text as the candidate tail (observed reference behavior).
     */
-  def overlapText(text: String, overlap: Int): String = {
-    if (text.length <= overlap) return text
-    val tail = if (overlap == 0) text else text.substring(text.length - overlap)
+  def overlapText(text: String, overlap: Int): String =
+    overlapText(text, overlap, hasSurrogate(text))
+
+  /** Astral-aware body: `text[-overlap:]` slices CODE POINTS in Python,
+    * so the tail start backs off `overlap` code points (not UTF-16
+    * units) when surrogates are present. The separator probes below are
+    * BMP chars — their char positions are always code-point boundaries.
+    */
+  private[text] def overlapText(text: String, overlap: Int, astral: Boolean): String = {
+    val n = if (astral) cpLen(text) else text.length
+    if (n <= overlap) return text
+    val tail =
+      if (overlap == 0) text
+      else if (!astral) text.substring(text.length - overlap)
+      else text.substring(text.offsetByCodePoints(text.length, -overlap))
     val sentenceStart =
       math.max(tail.indexOf(". "), math.max(tail.indexOf("! "), tail.indexOf("? ")))
     if (sentenceStart > 0) tail.substring(sentenceStart + 2)
@@ -162,12 +182,17 @@ object Chunker {
     if (text.isEmpty || pyStrip(text).isEmpty) return Vector.empty
     val sentences = splitIntoSentences(text)
     if (sentences.isEmpty) return Vector.empty
+    // Python len counts code points; `.length` equals it iff no surrogate
+    // is present. One scan here keeps the BMP hot path at zero overhead.
+    val astral = hasSurrogate(text)
+    @inline def len(s: String): Int = if (astral) cpLen(s) else s.length
 
     val chunks = Vector.newBuilder[ChunkSpan]
     // accumulate in a StringBuilder: the earlier `cur += s.text` string
     // concat re-copied the whole buffer per sentence — with ~½chunkSize
     // average fill that was O(chunkSize·sentences) churn per turn
     val sb = new java.lang.StringBuilder
+    var sbCp = 0 // Python len of sb content (== sb.length when !astral)
     var curStart = -1
     var curEnd = -1
 
@@ -176,23 +201,28 @@ object Chunker {
     // "buffer == overlap_text(cur)" holds at every flush, so computing it
     // there is observationally identical and drops a per-sentence scan
     sentences.foreach { s =>
-      if (sb.length + s.text.length > chunkSize && sb.length > 0) {
+      val sLen = len(s.text)
+      if (sbCp + sLen > chunkSize && sb.length > 0) {
         val content = sb.toString
         chunks += ChunkSpan(content, curStart, curEnd)
         sb.setLength(0)
-        sb.append(overlapText(content, overlap)).append(s.text)
+        val ot = overlapText(content, overlap, astral)
+        sb.append(ot).append(s.text)
+        sbCp = len(ot) + sLen
         curStart = s.start
         curEnd = s.end
       } else {
         sb.append(s.text)
+        sbCp += sLen
         if (curStart < 0) curStart = s.start
         curEnd = s.end
       }
-      if (sb.length > chunkSize * 2) {
+      if (sbCp > chunkSize * 2) {
         val wordChunks = splitLongTextByWords(sb.toString, chunkSize)
         wordChunks.dropRight(1).foreach(w => chunks += ChunkSpan(w, curStart, curEnd))
         sb.setLength(0)
-        if (wordChunks.nonEmpty) sb.append(wordChunks.last)
+        sbCp = 0
+        if (wordChunks.nonEmpty) { sb.append(wordChunks.last); sbCp = len(wordChunks.last) }
       }
     }
     val tail = sb.toString
@@ -224,28 +254,38 @@ object Chunker {
       overlap: Int = DefaultOverlap): Vector[String] = {
     require(chunkSize > 0, "chunk_size must be positive")
     require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunk_size")
-    if (text.length <= chunkSize) return Vector(text)
+    // Python slices code points: positions below are cp indices when the
+    // text is astral (`off` maps them to UTF-16 substring bounds; the
+    // identity when BMP-only). Separators are BMP, so their char
+    // positions are always code-point boundaries.
+    val astral = hasSurrogate(text)
+    val off: Int => Int = if (astral) { val o = cpOffsets(text); o(_) } else identity
+    val cpN = if (astral) cpLen(text) else text.length
+    // char position -> cp index, only called at separator boundaries
+    def cpOf(charIdx: Int): Int =
+      if (astral) text.codePointCount(0, charIdx) else charIdx
+    if (cpN <= chunkSize) return Vector(text)
     val out = Vector.newBuilder[String]
-    var start = 0
+    var start = 0 // cp index
     var done = false
-    while (!done && start < text.length) {
-      var end = start + chunkSize // may exceed length (slice clamps below)
-      if (end < text.length) {
+    while (!done && start < cpN) {
+      var end = start + chunkSize // cp index; may exceed cpN (slice clamps below)
+      if (end < cpN) {
         var si = 0
         var found = false
         while (!found && si < CharSliceSeps.length) {
           val sep = CharSliceSeps(si)
           // rfind(sep) within [start, end): rightmost i with i+len <= end
-          val i = text.lastIndexOf(sep, end - sep.length)
-          if (i >= start) { end = i + sep.length; found = true }
+          val i = text.lastIndexOf(sep, off(end) - sep.length)
+          if (i >= off(start)) { end = cpOf(i) + sep.length; found = true }
           si += 1
         }
       }
-      val clamped = math.min(end, text.length)
-      val piece = pyStrip(text.substring(start, clamped))
+      val clamped = math.min(end, cpN)
+      val piece = pyStrip(text.substring(off(start), off(clamped)))
       if (piece.nonEmpty) out += piece
       val next = end - overlap
-      if (next >= text.length) done = true
+      if (next >= cpN) done = true
       else start = if (next <= start) clamped else next
     }
     out.result()
@@ -264,13 +304,14 @@ object Chunker {
     val out = Vector.newBuilder[StructChunk]
     var idx = 0
     blocks.foreach { b =>
-      if (b.text.length <= chunkSize) {
+      @inline def len(s: String): Int = if (hasSurrogate(s)) cpLen(s) else s.length
+      if (len(b.text) <= chunkSize) {
         out += StructChunk(b.text, b.page, idx,
-          sectionBoundary = false, sectionHeading = None, rawLength = b.text.length)
+          sectionBoundary = false, sectionHeading = None, rawLength = len(b.text))
         idx += 1
       } else splitCharSlices(b.text, chunkSize, overlap).foreach { piece =>
         out += StructChunk(piece, b.page, idx,
-          sectionBoundary = false, sectionHeading = None, rawLength = piece.length)
+          sectionBoundary = false, sectionHeading = None, rawLength = len(piece))
         idx += 1
       }
     }
@@ -281,7 +322,9 @@ object Chunker {
     * reference implementation despite its signature.
     */
   def isLikelyHeading(text: String): Boolean = {
-    if (text.length > 100) return false
+    // Python len(text) > 100 counts code points; cpLen <= length, so the
+    // cp scan only runs for texts already over 100 UTF-16 units
+    if (text.length > 100 && cpLen(text) > 100) return false
     if (pyIsUpper(text) && text.length > 3) return true
     if (NumberedHeading.matcher(text).lookingAt()) return true
     val words = pySplit(text)
@@ -338,11 +381,15 @@ object Chunker {
     val out = Vector.newBuilder[StructChunk]
     var idx = 0
     sections.result().foreach { case (sectionText, page, heading) =>
-      if (sectionText.length <= chunkSize) {
+      // Python len = code points (chunk_length metadata + the fits-whole
+      // test); zero-cost when the section has no surrogates
+      val astral = hasSurrogate(sectionText)
+      @inline def len(s: String): Int = if (astral) cpLen(s) else s.length
+      if (len(sectionText) <= chunkSize) {
         out += StructChunk(pyStrip(sectionText), page, idx,
           sectionBoundary = true,
           sectionHeading = if (heading.nonEmpty) Some(heading) else None,
-          rawLength = sectionText.length)
+          rawLength = len(sectionText))
         idx += 1
       } else {
         splitTextWithOverlap(sectionText, chunkSize, overlap).zipWithIndex.foreach {
@@ -355,7 +402,7 @@ object Chunker {
             out += StructChunk(content, page, idx,
               sectionBoundary = subIdx == 0,
               sectionHeading = if (heading.nonEmpty) Some(heading) else None,
-              rawLength = sub.content.length)
+              rawLength = len(sub.content))
             idx += 1
         }
       }
@@ -384,11 +431,13 @@ object Chunker {
     def pageFor(pos: Int): Int =
       bounds.find(b => b._2 <= pos && pos < b._3).map(_._1)
         .getOrElse(if (bounds.nonEmpty) bounds.head._1 else 0)
-    splitTextWithOverlap(full.toString, chunkSize, overlap).zipWithIndex.map {
+    val fullText = full.toString
+    val astral = hasSurrogate(fullText)
+    splitTextWithOverlap(fullText, chunkSize, overlap).zipWithIndex.map {
       case (c, i) =>
         StructChunk(pyStrip(c.content), pageFor(c.start), i,
           sectionBoundary = false, sectionHeading = None,
-          rawLength = c.content.length)
+          rawLength = if (astral) cpLen(c.content) else c.content.length)
     }
   }
 }

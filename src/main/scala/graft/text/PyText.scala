@@ -117,4 +117,45 @@ object PyText {
     */
   def pyPattern(regex: String): Pattern =
     Pattern.compile(regex, Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNIX_LINES)
+
+  /** True when `s` contains a UTF-16 surrogate — i.e. Python `len(s)`
+    * (code points) and JVM `s.length` (UTF-16 units) disagree. The
+    * chunker's length arithmetic takes the zero-overhead `.length` path
+    * when this is false (the overwhelmingly common case) and switches to
+    * code-point counting when true, keeping parity with CPython on
+    * astral-plane text (emoji, CJK extensions, musical symbols).
+    */
+  @inline def hasSurrogate(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (Character.isSurrogate(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Python `len(s)`: code points. A surrogate pair counts once; a lone
+    * surrogate (invalid scalar, but representable on both sides) also
+    * counts once, matching CPython's round-trip behavior.
+    */
+  @inline def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Char offset of each code-point index: `off(k)` is the UTF-16 index
+    * where code point `k` starts; `off(cpLen)` = `s.length`. Lets the
+    * astral-aware chunker translate Python slice positions to JVM
+    * substring bounds in O(1) after one O(n) build.
+    */
+  def cpOffsets(s: String): Array[Int] = {
+    val out = new Array[Int](cpLen(s) + 1)
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      out(k) = ci
+      ci = s.offsetByCodePoints(ci, 1)
+      k += 1
+    }
+    out(k) = s.length
+    out
+  }
 }

@@ -81,6 +81,31 @@ class ChunkerParitySpec extends AnyFunSuite {
     }
   }
 
+  test("astral arithmetic counts code points (incl. lone surrogates)") {
+    // two sentences of 26 astral pairs each: 27 code points / 53 UTF-16
+    // units per sentence (incl. cap + punct + synthetic space). Python
+    // packs both into one 60-cp chunk; UTF-16 arithmetic (106 > 60)
+    // would wrongly flush between them.
+    val s1 = "A" + "🚀" * 26 + "."
+    val s2 = "B" + "🌍" * 26 + "."
+    val both = s1 + " " + s2
+    val packed = Chunker.splitTextWithOverlap(both, 60, 10)
+    assert(packed.size == 1, "code-point packing should keep both sentences")
+    assert(packed.head.content == s1 + " " + s2 + " ")
+
+    // a lone surrogate counts as ONE code point (CPython round-trip
+    // behavior) — it cannot ride the JSON goldens, so pinned here
+    assert(graft.text.PyText.cpLen("a\ud800b") == 3)
+    assert(graft.text.PyText.hasSurrogate("a\ud800b"))
+
+    // overlap tail slices the last `overlap` CODE POINTS, never
+    // splitting a surrogate pair
+    val tail = Chunker.overlapText("word 🚀🌍🔥🎉🧠", 4)
+    assert(tail == "🚀🌍🔥🎉🧠".substring("🚀🌍🔥🎉🧠".offsetByCodePoints(0, 1)))
+    assert(!tail.exists(c => Character.isHighSurrogate(c) &&
+      tail.indexOf(c) == tail.length - 1))
+  }
+
   test("spans index real source content") {
     val text = "First sentence here. Second one follows! Third sentence now? " * 20
     val chunks = Chunker.splitTextWithOverlap(text, 100, 20)
