@@ -3209,10 +3209,14 @@ object ScaleQueries {
   // Overflow bound (the q_gini_stump convention): the final products
   // n·sab / n·saa / n·sbb are Θ(n⁴) on 2×-scaled ranks — BIGINT holds to
   // n ≈ 5·10⁴ documents, where DuckDB's HUGEINT promotion would raise
-  // Out of Range while Spark silently wraps. Past that bound, compute
-  // the moment aggregates and the two products as DECIMAL(38,0) in Spark
-  // and keep DuckDB's native HUGEINT (drop the BIGINT casts in the
-  // oracle's `m` CTE) — same plan shape, exactness preserved to 10³⁸.
+  // Out of Range while Spark raises ARITHMETIC_OVERFLOW (ANSI, the 4.x
+  // default; with ANSI off it would wrap silently). Past that bound, the
+  // `WideStats` knob (`SPARK_GRAFT_DECIMAL38=1`) computes the moment
+  // aggregates and the final products as DECIMAL(38,0) while the oracle
+  // keeps DuckDB's native HUGEINT (drop the BIGINT casts in the
+  // oracle's `m` CTE) — same plan shape, exactness preserved to 10³⁸;
+  // `WideStatsSpec` pins value-parity below the bound and exactness
+  // above it (where the default path provably wraps).
 
   private def qSpearman(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -3221,6 +3225,14 @@ object ScaleQueries {
         size(array_distinct(call_function("graft_ws_tokens", col("text"))))
           .cast("long").as("xb"))
       .persist()
+    spearmanFromPairs(d)
+  }
+
+  /** Tie-averaged Spearman ρ over `(doc_id, xa, xb)` rows — the body of
+    * `q_spearman`, factored so `WideStatsSpec` can drive it past the
+    * BIGINT bound on synthetic pairs.
+    */
+  private[graft] def spearmanFromPairs(d: DataFrame): DataFrame = {
     // 2×-scaled tie-averaged rank per distinct value: 2·cb + ties + 1
     def ranks2(v: String): DataFrame = {
       val grain = d.groupBy(col(v).as("value")).agg(count(lit(1)).as("c"))
@@ -3235,15 +3247,18 @@ object ScaleQueries {
       .withColumnRenamed("r2", "rb2")
     d.join(ra, "xa").join(rb, "xb")
       .agg(count(lit(1)).as("n"),
-        sum("ra2").as("sa"), sum("rb2").as("sb"),
-        sum(col("ra2") * col("rb2")).as("sab"),
-        sum(col("ra2") * col("ra2")).as("saa"),
-        sum(col("rb2") * col("rb2")).as("sbb"))
+        WideStats.wsum(col("ra2")).as("sa"), WideStats.wsum(col("rb2")).as("sb"),
+        WideStats.wsumProd(col("ra2"), col("rb2")).as("sab"),
+        WideStats.wsumProd(col("ra2"), col("ra2")).as("saa"),
+        WideStats.wsumProd(col("rb2"), col("rb2")).as("sbb"))
       .select(col("n"),
         Rounding.r(
-          (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
-            sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
-              (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")),
+          (WideStats.prod(col("n"), col("sab")) -
+            WideStats.prod(col("sa"), col("sb"))).cast("double") /
+            sqrt((WideStats.prod(col("n"), col("saa")) -
+              WideStats.prod(col("sa"), col("sa"))).cast("double") *
+              (WideStats.prod(col("n"), col("sbb")) -
+                WideStats.prod(col("sb"), col("sb"))).cast("double")),
           6).as("rho"))
   }
 
@@ -3523,16 +3538,20 @@ object ScaleQueries {
         .join(deg.select(col("node").as("id_b"), col("deg").as("db")), "id_b")
         .select(col("db").as("x"), col("da").as("y")))
     stubs.agg(count(lit(1)).as("m2"),
-        sum("x").as("sx"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        WideStats.wsum(col("x")).as("sx"),
+        WideStats.wsumProd(col("x"), col("y")).as("sxy"),
+        WideStats.wsumProd(col("x"), col("x")).as("sxx"))
       .select(col("m2"),
         // overflow bound: m2·sxy and m2·sxx are Θ(m·Σd²) ≈ Θ(m²·d̄²) —
         // BIGINT holds to ~10⁹ stub-ends at the measured degree scale;
-        // past that, the q_spearman remedy applies verbatim (DECIMAL(38)
-        // moments in Spark, native HUGEINT in the oracle).
+        // past that, the `WideStats` knob (SPARK_GRAFT_DECIMAL38=1)
+        // runs these moments and products at DECIMAL(38,0), the oracle
+        // at native HUGEINT (`WideStatsSpec`).
         Rounding.r(
-          (col("m2") * col("sxy") - col("sx") * col("sx")).cast("double") /
-            (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          (WideStats.prod(col("m2"), col("sxy")) -
+            WideStats.prod(col("sx"), col("sx"))).cast("double") /
+            (WideStats.prod(col("m2"), col("sxx")) -
+              WideStats.prod(col("sx"), col("sx"))).cast("double"),
           6).as("r"))
   }
 
@@ -3905,9 +3924,10 @@ object ScaleQueries {
   // item dimension, not the corpus, pays the quadratic term (the
   // q_source_overlap bound). Lift fix-points to ppm through one exact
   // integer expression: floor(n_ab·N·10⁶ / (n_a·n_b)); n_ab·N ≤ N²
-  // overflows BIGINT past N ≈ 3·10⁹ users — beyond that the ppm literal
-  // drops to ppt or the numerator moves to DECIMAL(38) (the
-  // q_gini_stump convention; documented, not silent).
+  // overflows BIGINT past N ≈ 3·10⁹ users — beyond that the `WideStats`
+  // knob (SPARK_GRAFT_DECIMAL38=1) moves the numerator to DECIMAL(38,0)
+  // (`liftPpmCol`; exact to N ≈ 10¹⁶, result still BIGINT ppm —
+  // `WideStatsSpec` pins both paths).
   //
   // Baskets are deterministically THINNED before pair counting: the raw
   // synthetic events table is degenerate here (every user performs every
@@ -3918,6 +3938,18 @@ object ScaleQueries {
   // DISJOINT from error) injects the popularity spread plus genuinely
   // associated, independent, and mutually exclusive pairs: lifts land at
   // 0 (absent row), ~10⁶, and ~2·10⁶ ppm by construction.
+
+  /** floor(n_ab·n_users·10⁶ / (n_a·n_b)) as BIGINT ppm over columns
+    * `n_ab, n_users, n_a, n_b` — BIGINT numerator by default,
+    * DECIMAL(38,0) under the `WideStats` knob (`div` on decimals is
+    * still Spark's IntegralDivide, returning BIGINT either way).
+    * Factored so `WideStatsSpec` can drive it past the BIGINT bound.
+    */
+  private[graft] def liftPpmCol: Column =
+    if (WideStats.wide)
+      expr("(CAST(n_ab AS DECIMAL(38,0)) * CAST(n_users AS DECIMAL(38,0)) " +
+        "* 1000000) div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))")
+    else expr("(n_ab * n_users * 1000000L) div (n_a * n_b)")
 
   private def qCooccurLift(s: SparkSession, dir: String): DataFrame = {
     val basket = t(s, dir, "events")
@@ -3937,7 +3969,7 @@ object ScaleQueries {
       .join(item.select(col("event_type").as("tb"), col("n_item").as("n_b")), "tb")
       .crossJoin(broadcast(nUsers))
       .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("(n_ab * n_users * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+        liftPpmCol.as("lift_ppm"))
       .orderBy("ta", "tb")
   }
 
