@@ -168,6 +168,9 @@ object Bench {
         // cached intermediates (hybrid funnel, minhash, jaccard) are scoped
         // to their query — drop them so the battery's footprint is flat
         spark.catalog.clearCache()
+        // sweep query-scoped checkpoints + fail on genuine leaks — the
+        // same contract the Verify gate enforces
+        graft.queries.PersistGuard.assertClean(spark, s"bench query $name")
         name -> (System.nanoTime() - t0) / 1e9
       }
     // SPARK_GRAFT_SKIP_QUERIES: iterate on the scaling phase alone.

@@ -37,6 +37,7 @@ object QueryProfile {
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         spark.catalog.clearCache()
+        graft.queries.PersistGuard.assertClean(spark, s"query $name")
         (System.nanoTime() - t0) / 1e9
       }.sorted
       (name, times.head, times(times.size / 2))

@@ -39,6 +39,10 @@ object Verify {
       // queries persist() intermediates scoped to their own plan; drop
       // them once materialized so a long battery doesn't accumulate blocks
       spark.catalog.clearCache()
+      // machine-check the persist-hygiene contract (Shared's scaladoc):
+      // sweep query-scoped checkpoint blocks, fail the gate on any block
+      // that would leak for a non-harness caller
+      graft.queries.PersistGuard.assertClean(spark, s"query $name")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

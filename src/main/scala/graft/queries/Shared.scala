@@ -44,12 +44,28 @@ object Shared {
   // session's entries vanish with it
   private val cache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  // persistent-RDD ids created by this object's localCheckpoints (plus
+  // any plan-scoped persists made while building them): the allow-list
+  // `PersistGuard.sweep` exempts from per-query cleanup. Ids are never
+  // reused by Spark, so a stale entry can't mask a later leak.
+  private val allowed = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Set[Int]]()
 
   def enable(): Unit = on = true
 
-  def disable(): Unit = { on = false; cache.synchronized(cache.clear()) }
+  def disable(): Unit = {
+    on = false
+    // dropping the id allow-list too: any still-persisted checkpoint
+    // block is then swept (unpersisted) by the next PersistGuard pass
+    cache.synchronized { cache.clear(); allowed.clear() }
+  }
 
   def enabled: Boolean = on
+
+  /** Persistent-RDD ids registered for `s` by this cache. */
+  def allowedRddIds(s: SparkSession): Set[Int] = cache.synchronized {
+    Option(allowed.get(s)).map(_.toSet).getOrElse(Set.empty)
+  }
 
   /** Return `build`, or (when enabled) a per-(session, dir) eagerly
     * checkpointed materialization of it, computed at most once.
@@ -65,6 +81,17 @@ object Shared {
         }
         m
       }
-      per.getOrElseUpdate((dir, name), build.localCheckpoint(true))
+      per.getOrElseUpdate((dir, name), {
+        val sc = s.sparkContext
+        val pre = sc.getPersistentRDDs.keySet
+        val df = build.localCheckpoint(true)
+        val post = sc.getPersistentRDDs.keySet
+        cache.synchronized {
+          var ids = allowed.get(s)
+          if (ids == null) { ids = scala.collection.mutable.Set.empty[Int]; allowed.put(s, ids) }
+          (post -- pre).foreach(ids += _)
+        }
+        df
+      })
     }
 }
