@@ -32,17 +32,26 @@ import org.apache.spark.sql.functions.{col, lit}
   *
   * Scale shape: all of this is METADATA-ONLY — per-group column
   * projections on the scan (no shuffle, no data rewrite); a 10^12-turn
-  * table renames a column by writing one JSON file. Caveat vs real
-  * Iceberg, documented: the writer derivation needs the writing snapshot
-  * retained, so `TableIO.expireSnapshots` must keep every snapshot that
-  * last-wrote a live bucket (or the caller compacts first) — checked by
-  * `writerSnapshots`.
+  * table renames a column (or widens int→bigint / float→double) by
+  * writing one JSON file. Writer attribution is durable: each bucket's
+  * writer snapshot id is stamped into every manifest by
+  * `TableIO.commit`, so `expireSnapshots` can delete the writer's own
+  * manifest file without re-attributing its buckets (schema sidecars
+  * are never expired, so `schemaAt(writerId)` keeps resolving).
   */
 object SchemaEvolution {
 
-  final case class Field(id: Int, name: String) {
+  /** `widened` is the field's DECLARED read type after a type-widening
+    * evolution (`None` = as written). Only safe up-casts are allowed
+    * (int→long, float→double — Iceberg's widening rules): merged reads
+    * cast every bucket's as-written column up to it, so files written
+    * before the widening surface the wide type with exact values.
+    */
+  final case class Field(id: Int, name: String, widened: Option[String] = None) {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column name must be a simple identifier, got '$name'")
+    require(widened.forall(Seq("bigint", "double").contains),
+      s"widening target must be bigint or double, got $widened")
   }
 
   /** `lastAssignedId` is the Iceberg high-water mark: it only ever grows,
@@ -78,6 +87,29 @@ object SchemaEvolution {
       */
     def add(name: String): TableSchema =
       TableSchema(fields :+ Field(lastAssignedId + 1, name), lastAssignedId + 1)
+
+    /** Widen a column's declared type (int→bigint, float→double — the
+      * Iceberg-safe promotions). Metadata-only like rename: old buckets
+      * keep their narrow written type and merged reads up-cast them.
+      * Widening is monotone — a second widen must not narrow (bigint
+      * cannot become double or vice versa once declared).
+      */
+    def widen(name: String, to: String): TableSchema = {
+      val target = to.toLowerCase match {
+        case "long" | "bigint" => "bigint"
+        case "double" => "double"
+        case other => throw new IllegalArgumentException(
+          s"unsupported widening target '$other' (bigint or double)")
+      }
+      val id = idOf(name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name'"))
+      fields.find(_.id == id).get.widened.foreach { prev =>
+        require(prev == target,
+          s"column '$name' already widened to $prev; cannot change to $target")
+      }
+      copy(fields = fields.map(f =>
+        if (f.id == id) f.copy(widened = Some(target)) else f))
+    }
   }
 
   /** Initial schema: ids 1..n in column order. */
@@ -116,12 +148,31 @@ object SchemaEvolution {
     }
   }
 
-  /** bucket → snapshot id that first committed it (its writer). */
+  /** bucket → snapshot id that committed it (its writer). The primary
+    * source is the DURABLE per-bucket `writer` stamp `TableIO.commit`
+    * records in every manifest — attribution that survives
+    * `expireSnapshots` deleting the writer's own manifest file (the
+    * round-3 ADVICE defect: first-RETAINED-snapshot derivation silently
+    * re-attributed a bucket to the oldest survivor, projecting old
+    * parquet under the wrong written schema after a rename). Legacy
+    * entries without a stamp (-1) fall back to that derivation, which is
+    * only correct while their writer snapshots remain retained.
+    */
   def writerSnapshots(tableDir: String): Map[Int, Long] = {
-    val ids = TableIO.snapshots(tableDir)
-    ids.foldLeft(Map.empty[Int, Long]) { (acc, id) =>
-      val m = TableIO.readAt(tableDir, id)
-      acc ++ m.completed.keys.filterNot(acc.contains).map(_ -> id)
+    val live = TableIO.read(tableDir)
+    val stamped = live.completed.collect {
+      case (b, e) if e.writer > 0 => b -> e.writer
+    }
+    val unstamped = live.completed.keySet -- stamped.keySet
+    if (unstamped.isEmpty) stamped.toMap
+    else {
+      val ids = TableIO.snapshots(tableDir)
+      val legacy = ids.foldLeft(Map.empty[Int, Long]) { (acc, id) =>
+        val m = TableIO.readAt(tableDir, id)
+        acc ++ m.completed.keys
+          .filter(b => unstamped(b) && !acc.contains(b)).map(_ -> id)
+      }
+      stamped.toMap ++ legacy
     }
   }
 
@@ -148,30 +199,42 @@ object SchemaEvolution {
       val df = spark.read.parquet(buckets.map(b => s"$tableDir/bucket=$b"): _*)
       // project to the target schema BY FIELD ID: same id under a new
       // name → rename remap; id absent from the file's schema → NULL
-      // backfill; file columns whose id left the schema → pruned
+      // backfill; file columns whose id left the schema → pruned; a
+      // widened id → up-cast from the bucket's narrower written type
       val cols = target.fields.map { f =>
-        written.nameOf(f.id) match {
-          case Some(writtenName) => col(writtenName).as(f.name)
-          case None => lit(null).as(f.name)
+        val base = written.nameOf(f.id) match {
+          case Some(writtenName) => col(writtenName)
+          case None => lit(null)
         }
+        f.widened.fold(base)(t => base.cast(t)).as(f.name)
       }
       df.select(cols: _*)
     }
-    parts.reduceLeft(_ unionByName _)
+    if (parts.isEmpty) {
+      // committed schema, zero committed buckets: an empty frame under
+      // the target column names (types unknowable without data files
+      // beyond the widened declarations)
+      val cols = target.fields.map(f =>
+        f.widened.fold(lit(null))(t => lit(null).cast(t)).as(f.name))
+      spark.range(0).select(cols: _*)
+    } else parts.reduceLeft(_ unionByName _)
   }
 
   // -- sidecar JSON (same hand-rolled flat style as TableIO) -----------------
 
   private def render(s: TableSchema): String =
-    s.fields.map(f => s"""{"id":${f.id},"name":"${f.name}"}""")
-      .mkString(s"""{"last_assigned_id":${s.lastAssignedId},"fields":[""", ",", "]}")
+    s.fields.map { f =>
+      val w = f.widened.fold("")(t => s""","widened":"$t"""")
+      s"""{"id":${f.id},"name":"${f.name}"$w}"""
+    }.mkString(s"""{"last_assigned_id":${s.lastAssignedId},"fields":[""", ",", "]}")
 
-  private val FieldRe = """\{"id":(\d+),"name":"([A-Za-z_][A-Za-z0-9_]*)"\}""".r
+  private val FieldRe =
+    """\{"id":(\d+),"name":"([A-Za-z_][A-Za-z0-9_]*)"(?:,"widened":"(bigint|double)")?\}""".r
   private val LastIdRe = """"last_assigned_id":(\d+)""".r
 
   private def parse(s: String): TableSchema = {
     val fields = FieldRe.findAllMatchIn(s)
-      .map(m => Field(m.group(1).toInt, m.group(2))).toVector
+      .map(m => Field(m.group(1).toInt, m.group(2), Option(m.group(3)))).toVector
     val last = LastIdRe.findFirstMatchIn(s).map(_.group(1).toInt)
       .getOrElse((fields.map(_.id) :+ 0).max)
     TableSchema(fields, last)

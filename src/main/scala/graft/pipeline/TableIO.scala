@@ -29,7 +29,15 @@ import scala.jdk.CollectionConverters._
   */
 object TableIO {
 
-  final case class BucketEntry(bucket: Int, rows: Long, bytes: Long, wallMs: Long)
+  /** `writer` is the snapshot id that committed this bucket — stamped by
+    * [[commit]] (callers pass -1), carried durably in every manifest so
+    * schema attribution ([[SchemaEvolution.writerSnapshots]]) survives
+    * [[expireSnapshots]] deleting the writer's own manifest file. -1 =
+    * legacy entry predating the stamp (attribution falls back to
+    * first-retained-snapshot derivation).
+    */
+  final case class BucketEntry(bucket: Int, rows: Long, bytes: Long, wallMs: Long,
+      writer: Long = -1L)
 
   final case class Manifest(
       snapshotId: Long,
@@ -65,8 +73,11 @@ object TableIO {
     * time travel (the Iceberg metadata-file lineage, emulated).
     */
   def commit(tableDir: String, prev: Manifest, done: Seq[BucketEntry]): Manifest = {
-    val next = Manifest(prev.snapshotId + 1,
-      prev.completed ++ done.map(e => e.bucket -> e))
+    val id = prev.snapshotId + 1
+    // stamp each newly committed bucket with ITS writer snapshot —
+    // buckets re-listed from prev keep their original stamp
+    val next = Manifest(id,
+      prev.completed ++ done.map(e => e.bucket -> e.copy(writer = id)))
     Files.createDirectories(Paths.get(tableDir))
     val tmp = Paths.get(tableDir, "manifest.json.tmp")
     Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
@@ -168,20 +179,22 @@ object TableIO {
 
   private def render(m: Manifest): String = {
     val entries = m.completed.values.toSeq.sortBy(_.bucket).map { e =>
-      s"""{"bucket":${e.bucket},"rows":${e.rows},"bytes":${e.bytes},"wall_ms":${e.wallMs}}"""
+      s"""{"bucket":${e.bucket},"rows":${e.rows},"bytes":${e.bytes},""" +
+        s""""wall_ms":${e.wallMs},"writer":${e.writer}}"""
     }.mkString("[", ",", "]")
     s"""{"snapshot_id":${m.snapshotId},"completed":$entries}"""
   }
 
   private val EntryRe =
-    """\{"bucket":(\d+),"rows":(\d+),"bytes":(\d+),"wall_ms":(\d+)\}""".r
+    """\{"bucket":(\d+),"rows":(\d+),"bytes":(\d+),"wall_ms":(\d+)(?:,"writer":(-?\d+))?\}""".r
   private val SnapRe = """"snapshot_id":(\d+)""".r
 
   private def parse(s: String): Manifest = {
     val snap = SnapRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
     val entries = EntryRe.findAllMatchIn(s).map { m =>
       val e = BucketEntry(m.group(1).toInt, m.group(2).toLong,
-        m.group(3).toLong, m.group(4).toLong)
+        m.group(3).toLong, m.group(4).toLong,
+        Option(m.group(5)).map(_.toLong).getOrElse(-1L))
       e.bucket -> e
     }.toMap
     Manifest(snap, entries)

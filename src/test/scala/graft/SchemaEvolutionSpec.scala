@@ -135,6 +135,97 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(quals("c4").contains(1.0))
   }
 
+  test("type widening: merged reads up-cast old buckets; time travel keeps narrow") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_schema_widen").toString
+
+    // snapshot 1: score written as INT, weight as FLOAT
+    Seq(("c0", 1, 0.5f), ("c1", 2, 1.5f)).toDF("conv_id", "score", "weight")
+      .write.parquet(s"$dir/bucket=0")
+    val s1 = SchemaEvolution.initial(Seq("conv_id", "score", "weight"))
+    val m1 = TableIO.commit(dir, TableIO.Empty, Seq(TableIO.BucketEntry(0, 2, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m1.snapshotId, s1)
+
+    // snapshot 2: widen score int→bigint, weight float→double; the new
+    // bucket writes wide types natively
+    val s2 = s1.widen("score", "long").widen("weight", "double")
+    Seq(("c2", 3000000000L, 2.5d)).toDF("conv_id", "score", "weight")
+      .write.parquet(s"$dir/bucket=1")
+    val m2 = TableIO.commit(dir, m1, Seq(TableIO.BucketEntry(1, 1, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m2.snapshotId, s2)
+
+    val cur = SchemaEvolution.readMerged(spark, dir)
+    assert(cur.schema("score").dataType.typeName == "long")
+    assert(cur.schema("weight").dataType.typeName == "double")
+    val byConv = cur.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byConv == Map("c0" -> ((1L, 0.5)), "c1" -> ((2L, 1.5)),
+      "c2" -> ((3000000000L, 2.5))),
+      "old narrow buckets must up-cast exactly; new wide rows read as-is")
+
+    // time travel to snapshot 1: the narrow written types, old rows only
+    val old = SchemaEvolution.readMerged(spark, dir, asOf = Some(1L))
+    assert(old.schema("score").dataType.typeName == "integer")
+    assert(old.schema("weight").dataType.typeName == "float")
+    assert(old.count() == 2)
+
+    // widening composes with rename: same id, new name, still wide
+    val s3 = s2.rename("score", "points")
+    val m3 = TableIO.commit(dir, m2, Nil)
+    SchemaEvolution.commitSchema(dir, m3.snapshotId, s3)
+    val renamed = SchemaEvolution.readMerged(spark, dir)
+    assert(renamed.schema("points").dataType.typeName == "long")
+    assert(renamed.select(sum("points")).collect().head.getLong(0) == 3000000003L)
+
+    // monotone: a declared widening cannot change direction
+    intercept[IllegalArgumentException](s2.widen("score", "double"))
+    // and only safe up-cast targets exist
+    intercept[IllegalArgumentException](s1.widen("conv_id", "int"))
+  }
+
+  test("writer stamps survive snapshot expiry: expire + rename + readMerged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_schema_expire").toString
+
+    // snapshot 1 writes bucket 0 under (conv_id, text)
+    Seq(("c0", "t0")).toDF("conv_id", "text").write.parquet(s"$dir/bucket=0")
+    val s1 = SchemaEvolution.initial(Seq("conv_id", "text"))
+    val m1 = TableIO.commit(dir, TableIO.Empty, Seq(TableIO.BucketEntry(0, 1, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m1.snapshotId, s1)
+
+    // snapshot 2 renames text→body; bucket 1 writes the NEW name
+    val s2 = s1.rename("text", "body")
+    Seq(("c1", "b1")).toDF("conv_id", "body").write.parquet(s"$dir/bucket=1")
+    val m2 = TableIO.commit(dir, m1, Seq(TableIO.BucketEntry(1, 1, 0, 0)))
+    SchemaEvolution.commitSchema(dir, m2.snapshotId, s2)
+    // snapshot 3: a no-new-bucket commit so snapshot 1 AND 2 can expire
+    TableIO.commit(dir, m2, Nil)
+
+    // expire down to the newest snapshot — this deletes BOTH writers'
+    // manifest files; the round-3 ADVICE defect re-attributed bucket 0
+    // to the oldest SURVIVOR (snapshot 3, schema s2) and projected its
+    // parquet as if it had written `body` (silent NULLs)
+    TableIO.expireSnapshots(dir, keepLast = 1)
+    assert(SchemaEvolution.writerSnapshots(dir) == Map(0 -> 1L, 1 -> 2L),
+      "durable writer stamps must survive manifest expiry")
+
+    val cur = SchemaEvolution.readMerged(spark, dir)
+    val byConv = cur.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byConv == Map("c0" -> "t0", "c1" -> "b1"),
+      "bucket 0's `text` must remap to `body` via its TRUE writer schema")
+  }
+
+  test("readMerged with a committed schema but zero committed buckets") {
+    val dir = Files.createTempDirectory("graft_schema_empty").toString
+    val s1 = SchemaEvolution.initial(Seq("conv_id", "text")).widen("conv_id", "long")
+    val m1 = TableIO.commit(dir, TableIO.Empty, Nil)
+    SchemaEvolution.commitSchema(dir, m1.snapshotId, s1)
+    val empty = SchemaEvolution.readMerged(spark, dir)
+    assert(empty.columns.toSeq == Seq("conv_id", "text"))
+    assert(empty.schema("conv_id").dataType.typeName == "long")
+    assert(empty.count() == 0)
+  }
+
   test("add-column behavior unchanged under the field-id reader") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_schema_add2").toString
