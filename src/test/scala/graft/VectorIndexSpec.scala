@@ -44,6 +44,29 @@ class VectorIndexSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
   }
 
+  test("aggregate Lloyd round matches the relational reference bit-for-bit") {
+    import spark.implicits._
+    val out = store(0 until 6)
+    val e = spark.read.parquet(Ingestion.embeddingsDir(out))
+      .select(concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+        .as("chunk_id"), col("embedding"))
+    val k = 8
+    // iters = 0 returns the deterministic seeds — the shared round input
+    val seeds = VectorIndex.trainCentroids(e, k, iters = 0)
+    // the round-4 aggregate path (graft_vec_sum: O(cells·partitions)
+    // shuffle) must reproduce the relational posexplode → avg form
+    // (O(N·d) shuffle) exactly: same adds in the same within-partition
+    // order, same sum/count division
+    val rel = VectorIndex.lloydRoundRelational(e, seeds)
+    def norm(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val expected = seeds.indices.map(c => norm(rel.getOrElse(c, seeds(c))))
+    val got = VectorIndex.trainCentroids(e, k, iters = 1)
+    assert(got == expected, "aggregate-path centroids must equal the relational form")
+  }
+
   test("probing every cell reproduces the brute-force scan exactly") {
     val out = store(0 until 6)
     val nlist = Ingestion.buildVectorIndex(spark, out)
