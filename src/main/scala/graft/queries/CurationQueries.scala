@@ -221,18 +221,20 @@ object CurationQueries {
           expr(s"substring(text2, length(text2) - ${CsWin - 1}, $CsWin)"))
           .otherwise(col("text2")))
       .filter(length(col("w")) >= CsK)
-    // grams key the joins as their raw 20-char strings: an md5-id variant
-    // (8 B/row through the shuffles) was A/B-profiled 6.5 s vs 4.0 s —
-    // 1.1M per-gram md5 calls cost more than the string bytes save at
-    // this gram width; revisit only if the gram key widens
+    // grams key the shuffle as their raw 20-char strings: an md5-id
+    // variant (8 B/row) was A/B-profiled 6.5 s vs 4.0 s — 1.1M per-gram
+    // md5 calls cost more than the string bytes save at this gram width;
+    // revisit only if the gram key widens
     val grams = docs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, length(w) - ${CsK - 1}), i -> substring(w, i, $CsK))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("g"))
-    val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val keep = grams.join(
+    val gramsP = grams.persist()
+    val dfc = gramsP.groupBy("g").agg(count(lit(1)).as("df"))
+    val keep = gramsP.join(
       dfc.filter(col("df").between(2, CsDfCap)).select("g"), "g")
+      .persist()
     val pairs = keep.as("a")
       .join(keep.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
