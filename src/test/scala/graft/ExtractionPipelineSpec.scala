@@ -150,6 +150,55 @@ class ExtractionPipelineSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("astral-plane turns ride the full pipeline with exact chunk parity") {
+    import spark.implicits._
+    import graft.extract.Extractor
+    import graft.text.Chunker
+    // emoji-dense and math-alphanumeric text (every char a surrogate
+    // pair): the chunker's code-point arithmetic (round 4) end-to-end —
+    // through extraction, the salted exchange, and the chunk explode —
+    // not just the unit-level goldens. Sentences sized so UTF-16 length
+    // crosses chunk_size while code-point length does not.
+    val emoji = (1 to 40).map(i => "A🚀🌍🔥🎉🧠💡🐍📦🎯🌊 sentence " + i + ".")
+      .mkString(" ")
+    val math = "B" + "𝕊𝕡𝕒𝕣𝕜𝔾𝕣𝕒𝕗𝕥 " * 120 + "end."
+    val crafted = Seq(
+      graft.model.Turn("conv-astral", 0, "user", emoji, "",
+        new java.sql.Timestamp(0L)),
+      graft.model.Turn("conv-astral", 1, "assistant",
+        s"<html><body><h2>🚀 MISSION LOG</h2><p>$emoji</p></body></html>", "",
+        new java.sql.Timestamp(1L)),
+      graft.model.Turn("conv-astral", 2, "user", math, "",
+        new java.sql.Timestamp(2L)))
+    val turns = TranscriptGen.transcripts(spark, nConvs = 10, numPartitions = 3)
+      .union(spark.createDataset(crafted))
+    val out = tmp()
+    ExtractionPipeline.run(spark, turns,
+      ExtractionPipeline.Config(out, nBuckets = 8, waves = 1, resume = false))
+
+    val got = spark.read.parquet(ExtractionPipeline.chunksDir(out))
+      .select("conv_id", "turn_idx", "chunk_index", "content", "start", "end")
+    val want = turns.collect().toSeq.flatMap { t =>
+      val ex = Extractor.extract(t.text)
+      Chunker.splitTextWithOverlap(ex.text).zipWithIndex.map { case (c, i) =>
+        (t.conv_id, t.turn_idx, i, c.content, c.start, c.end)
+      }
+    }.toDF("conv_id", "turn_idx", "chunk_index", "content", "start", "end")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the astral turns actually produced multi-chunk output (i.e. the
+    // length arithmetic ran, not a fits-in-one-chunk bypass)
+    assert(got.filter(col("conv_id") === "conv-astral").count() > 3)
+    // and no chunk boundary ever split a surrogate pair
+    got.filter(col("conv_id") === "conv-astral").collect().foreach { r =>
+      val content = r.getString(3)
+      assert(!Character.isHighSurrogate(content.last),
+        s"chunk ends on a lone high surrogate: ...${content.takeRight(8)}")
+      assert(!Character.isLowSurrogate(content.head),
+        s"chunk starts on a lone low surrogate")
+    }
+  }
+
   test("charslice mode: pipeline chunks equal direct chunkCharSlices") {
     import spark.implicits._
     import graft.extract.Extractor
