@@ -171,10 +171,25 @@ object Bench {
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.redirectErrorStream(true)
     val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
-    p.waitFor()
+    // drain on a daemon thread + HARD deadline: a hung leg (contended
+    // host, wedged executor) must degrade to a recorded error, never
+    // stall the whole bench — the artifact's existence outranks any one
+    // phase (the r3 lesson about unusable artifacts, applied forward)
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val drain = new Thread(() =>
+      try scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().foreach(lines.add)
+      catch { case _: Throwable => () })
+    drain.setDaemon(true)
+    drain.start()
+    val finished = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) {
+      p.destroyForcibly()
+      p.waitFor()
+    }
+    import scala.jdk.CollectionConverters._
     val Tps = """.*\[cluster-probe\] FULL run\d+ workers=\d+ cores=\d+ turns=\d+ sec=[\d.]+ tps=(\d+).*""".r
-    out.collect { case Tps(t) => t.toDouble }
+    lines.iterator().asScala.toVector.collect { case Tps(t) => t.toDouble }
   }
 
   private def jsonStr(s: String): String =
