@@ -415,9 +415,11 @@ object Bench {
         // the one socket and measures the BOX (the same-run STREAM
         // ceiling alongside shows exactly how much), which a real
         // multi-node 4N cluster does not replicate.
+        // full-size input for BOTH pairs: an A/B at clusterConvs/2
+        // measured the 4×2 leg at 45.9k vs 79.3k at full size — short
+        // runs never reach steady state, and the ratio under-reads
         pair("cluster", 2, 8, 4, 4096, clusterConvs) + "," +
-          pair("cluster_linear", 1, 4, 2, 3072,
-            math.max(clusterConvs / 2, 2000L))
+          pair("cluster_linear", 1, 4, 2, 3072, clusterConvs)
       } catch {
         case e: Throwable =>
           s""""cluster":{"error":${jsonStr(e.toString.take(200))}}"""

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.DataTypes
   * Those queries assemble exact statistics from BIGINT moment sums and
   * products; the products are Θ(n⁴) (Spearman, on 2×-scaled ranks),
   * Θ(m²·d̄²) (assortativity) and Θ(N²·10⁶) (co-occurrence lift), so
-  * BIGINT silently wraps past a documented corpus bound (≈5·10⁴ docs /
-  * ≈10⁹ stub-ends / ≈3·10⁹ users respectively) while DuckDB's native
-  * HUGEINT promotion raises. With the knob ON, every moment sum and
+  * BIGINT overflows past a documented corpus bound (≈5·10⁴ docs /
+  * ≈10⁹ stub-ends / ≈3·10⁹ users respectively) — a hard
+  * ARITHMETIC_OVERFLOW under ANSI (the Spark 4 default), a silent wrap
+  * with ANSI off — while DuckDB's native HUGEINT promotion just keeps
+  * going. With the knob ON, every moment sum and
   * final product computes as DECIMAL(38,0) in Spark — exactness to
   * 10³⁸, same plan shape (one extra cast inside the hash aggregate) —
   * and the paired oracle simply drops its `CAST(... AS BIGINT)`
