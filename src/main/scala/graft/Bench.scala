@@ -277,6 +277,29 @@ object Bench {
     val calAfter = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) 0.0 else calStamp()
     graft.queries.Shared.disable() // battery-scoped; the scaling legs don't use it
 
+    // Crash insurance: persist a PARTIAL artifact as soon as the battery
+    // is done (and again after the scaling phase, below). A 30-minute
+    // bench killed by an external timeout then still leaves the battery
+    // numbers + calibration stamps on disk as valid JSON (marked
+    // "partial") instead of nothing — the r3 lesson that the artifact's
+    // existence outranks its completeness.
+    def writePartial(fields: String, value: Double = 0.0): Unit = {
+      val f = java.nio.file.Paths.get("target", "bench.json")
+      Files.createDirectories(f.getParent)
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      Files.write(f,
+        (s"""{"metric":"turns_per_sec_extraction","value":${f"$value%.1f"},""" +
+          s""""unit":"turns/sec","partial":true,"queries":$qs0,""" +
+          s""""sf":"$sfDir","battery_cal_before_gops":${f"$calBefore%.2f"},""" +
+          s""""battery_cal_after_gops":${f"$calAfter%.2f"},""" +
+          s""""query_warm_reps":$warmReps,""" +
+          s""""queries_total_sec":${f"${results.values.sum}%.2f"},""" +
+          s""""queries_cold_total_sec":${f"$coldTotal%.2f"}$fields}""" + "\n")
+          .getBytes("UTF-8"))
+    }
+    writePartial("")
+
     // ---- phase 2: extraction scaling (identical input, two sizes) ----
     val base = shm match {
       case Some(d) =>
@@ -380,6 +403,17 @@ object Bench {
       Seq(lowCpus -> calibrateStream(lowCpus, 3), cpus -> calibrateStream(cpus, 3)))
     def memBest(c: Int) = memRuns.collect { case (`c`, v) => v }.max
     val memEfficiency = (memBest(cpus) / memBest(lowCpus)) / factor
+
+    // second insurance checkpoint: battery + scaling + calibration are
+    // on disk before the (longest) cluster phase begins
+    writePartial(
+      s""","extraction_partial":{"turns_per_sec_low":${f"$thrLow%.1f"},""" +
+        s""""turns_per_sec_high":${f"$thrHigh%.1f"},""" +
+        s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
+        s""""paired_efficiency_per_rep":[${pairedEffs.map(e => f"$e%.3f").mkString(",")}],""" +
+        s""""machine_calibration_efficiency":${f"$calEfficiency%.3f"},""" +
+        s""""machine_membw_efficiency":${f"$memEfficiency%.3f"}}""",
+      value = thrHigh)
 
     // ---- phase 4: separate-executor-JVM legs via the LITERAL
     // spark-submit path, folded into THIS artifact (VERDICT r3 #2: the
