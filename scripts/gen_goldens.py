@@ -334,6 +334,12 @@ heading_texts = [
     "🚀 MISSION", "ROCKET 🚀🌍🔥 LAUNCH", "🎯" * 60, "🎯" * 120,
     "🚀 " * 40 + "END", "1. 𝕊park Overview", "Astral 🧠 Title Words Here",
     "𝕊𝕡𝕒𝕣𝕜 𝔾𝕣𝕒𝕗𝕥", "A" * 80 + "🚀" * 15, "A" * 99 + "🚀🚀",
+    # all-caps astral strings at/below the len(text) > 3 cut: len() counts
+    # CODE POINTS, so 2-3 astral caps (4-6 UTF-16 units) are NOT headings
+    "𝔸𝔹", "𝔸𝔹𝔻", "𝔸𝔹𝔻𝔼", "AB🚀", "A🚀B", "AB🚀C", "ABC🚀D",
+    # uncased FIRST char defeats the title-ratio rescue: these hinge
+    # entirely on the isupper branch's code-point len(text) > 3 gate
+    "🚀AB", "🚀🚀AB", "🚀A", "🚀ABC",
 ]
 c = SemanticChunker(512, 50)
 (OUT / "heading_cases.json").write_text(

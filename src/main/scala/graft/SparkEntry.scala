@@ -31,6 +31,16 @@ object SparkEntry {
       RetrievalQueries.KeywordQuery, topK = 10)
   }
 
+  /** The driver-facing battery. Several queries persist plan-scoped
+    * intermediates (or `localCheckpoint` per iteration); the harness
+    * sweeps them after each query (`clearCache` +
+    * [[graft.queries.PersistGuard.assertClean]]). A NON-harness caller
+    * should consume each query inside
+    * [[graft.queries.PersistGuard.scoped]], which releases exactly the
+    * blocks that query created — the caller's own caches and
+    * [[graft.queries.Shared]] checkpoints survive
+    * (`PersistLeakGuardSpec` pins both properties).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RetrievalQueries.queries ++
       TrainingDataQueries.queries ++ CurationQueries.queries ++

@@ -50,14 +50,22 @@ final case class VecSumAgg(
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val x = v.asInstanceOf[ArrayData].toDoubleArray()
-    val d = x.length
+    val x = v.asInstanceOf[ArrayData]
+    val d = x.numElements()
     val b = if (buf.isEmpty) new Array[Double](d + 1) else buf
     require(b.length == d + 1,
       s"$prettyName: vector length $d does not match buffer d=${b.length - 1}")
     var i = 0
     while (i < d) {
-      b(i) += x(i)
+      // toDoubleArray would read a null slot as 0.0 — silently diverging
+      // from the relational posexplode+avg reference, whose avg skips null
+      // elements with PER-DIMENSION denominators this d+1 buffer cannot
+      // carry. Refuse loudly instead; callers pre-clean (VectorIndex
+      // filters null/empty embeddings before the aggregate).
+      require(!x.isNullAt(i),
+        s"$prettyName: null element at index $i; null array elements are " +
+          "not supported — filter or coalesce them before aggregating")
+      b(i) += x.getDouble(i)
       i += 1
     }
     b(d) += 1.0

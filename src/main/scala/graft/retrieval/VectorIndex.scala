@@ -103,7 +103,10 @@ object VectorIndex {
       // within-partition row order, same final sum/count division
       // (avg's own arithmetic), so centroids are unchanged
       // (VectorIndexSpec pins equality vs the relational form).
+      // null/empty embeddings contribute nothing, exactly as the old
+      // posexplode path dropped them (posexplode of null/[] → no rows)
       val sums = e
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .withColumn("cell", cellCol(cents))
         .groupBy("cell")
         .agg(call_function("graft_vec_sum",
@@ -112,7 +115,8 @@ object VectorIndex {
       // empty cells keep their previous centroid
       cents = cents.indices.map { c =>
         normalize(sums.get(c) match {
-          case Some(sc) if sc.last > 0 => sc.dropRight(1).map(_ / sc.last)
+          case Some(sc) if sc.length > 1 && sc.last > 0 =>
+            sc.dropRight(1).map(_ / sc.last)
           case _ => cents(c)
         })
       }

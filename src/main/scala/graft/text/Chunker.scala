@@ -325,7 +325,10 @@ object Chunker {
     // Python len(text) > 100 counts code points; cpLen <= length, so the
     // cp scan only runs for texts already over 100 UTF-16 units
     if (text.length > 100 && cpLen(text) > 100) return false
-    if (pyIsUpper(text) && text.length > 3) return true
+    // len(text) > 3 also counts code points in CPython; an all-caps astral
+    // heading of ≤3 code points (4-6 UTF-16 units) must NOT match here
+    if (pyIsUpper(text) &&
+        (if (hasSurrogate(text)) cpLen(text) else text.length) > 3) return true
     if (NumberedHeading.matcher(text).lookingAt()) return true
     val words = pySplit(text)
     if (words.nonEmpty) {

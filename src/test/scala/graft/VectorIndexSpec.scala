@@ -67,6 +67,41 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got == expected, "aggregate-path centroids must equal the relational form")
   }
 
+  test("null/empty embeddings are dropped from training as posexplode did") {
+    import spark.implicits._
+    val out = store(0 until 6)
+    val clean = spark.read.parquet(Ingestion.embeddingsDir(out))
+      .select(concat_ws(":", col("conv_id"), col("turn_idx"), col("chunk_index"))
+        .as("chunk_id"), col("embedding"))
+    val dim = clean.select(size(col("embedding"))).as[Int].head()
+    // rows a posexplode-based Lloyd mean contributed NOTHING for: the
+    // aggregate path must reproduce that drop (ADVICE r4), not NPE or
+    // throw on an empty per-cell sum
+    val dirty = clean.unionByName(
+      Seq(("null:0:0", null: Seq[Double]), ("empty:0:0", Seq.empty[Double]))
+        .toDF("chunk_id", "embedding")
+        .select(col("chunk_id"), col("embedding").cast(s"array<double>")))
+    val k = 8
+    val got = VectorIndex.trainCentroids(dirty, k, iters = 1)
+    val expected = VectorIndex.trainCentroids(clean, k, iters = 1)
+    assert(got == expected,
+      "null/empty embedding rows must not perturb the trained centroids")
+    assert(got.forall(_.length == dim))
+  }
+
+  test("graft_vec_sum refuses null ARRAY ELEMENTS loudly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("v")
+    val e = intercept[Exception](
+      df.agg(call_function("graft_vec_sum", col("v"))).collect())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("null element")),
+      s"expected the loud null-element refusal, got: $e")
+  }
+
   test("probing every cell reproduces the brute-force scan exactly") {
     val out = store(0 until 6)
     val nlist = Ingestion.buildVectorIndex(spark, out)
