@@ -3613,38 +3613,49 @@ object ScaleQueries {
       .withColumn("is_train",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100 < 80)
-    // trigram ids are PACKED CODEPOINTS (graft_tri_ids, one codegen'd
-    // pass — collision-free and exactly DuckDB's unicode(substr(...))
+    // trigram ids are PACKED CODEPOINTS (graft_tri_ids packing —
+    // collision-free and exactly DuckDB's unicode(substr(...))
     // arithmetic): the earlier md5-per-trigram id cost ~5 µs/gram and
     // blew this query to 25 s at sf0.1 once the enriched twin tripled
     // the text — the 04a4dd2 negative result re-confirmed, so the hash
-    // went away entirely (measured 25.6 → ~2 s)
-    val tri = docs
+    // went away entirely (measured 25.6 → ~2 s). Round 5 folds the
+    // per-doc COUNTING AND RANKING into the same doc-grain pass
+    // (graft_tri_counts emits distinct (sid, c) pre-sorted by
+    // (c desc, sid asc), so array position IS the Cavnar–Trenkle rank):
+    // the (doc, sid)-grain hash-agg over every occurrence, the per-doc
+    // rank window over the test split, and the per-doc total self-join
+    // all disappear — the only remaining shuffles are the |langs|·|sid|
+    // profile agg and the bounded (≤ P rows/doc) scoring agg
+    // (measured 3.81 → 1.60 s min-over-3 at sf0.1).
+    val counts = docs
       .filter(length(col("tl")) >= 3)
       .select(col("doc_id"), col("lang"), col("is_train"),
-        explode(expr("graft_tri_ids(tl)")).as("sid"))
+        expr("graft_tri_counts(tl)").as("tc"))
       .persist()
-    val prof = tri.filter(col("is_train"))
-      .groupBy("lang", "sid").agg(count(lit(1)).as("c"))
+    val prof = counts.filter(col("is_train"))
+      .select(col("lang"), explode(col("tc")).as("e"))
+      .groupBy(col("lang"), col("e.sid").as("sid")).agg(sum("e.c").as("c"))
       .withColumn("lrank", row_number().over(
         Window.partitionBy("lang").orderBy(desc("c"), col("sid"))))
       .filter(col("lrank") <= CtP)
       .select(col("lang").as("plang"), col("sid"), col("lrank"))
-    val dprof = tri.filter(!col("is_train"))
-      .groupBy("doc_id", "lang", "sid").agg(count(lit(1)).as("c"))
-      .withColumn("drank", row_number().over(
-        Window.partitionBy("doc_id").orderBy(desc("c"), col("sid"))))
-      .filter(col("drank") <= CtP)
+    // per-doc top-P profile = the array's first P entries, rank =
+    // position; t (the doc's profile size) rides the row, so no
+    // per-doc total aggregate is needed
+    val dprof = counts.filter(!col("is_train"))
+      .withColumn("t", least(size(col("tc")), lit(CtP)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("t"),
+        posexplode(slice(col("tc"), 1, CtP)))
+      .select(col("doc_id"), col("lang"), col("t"),
+        col("col.sid").as("sid"), (col("pos") + 1).cast("long").as("drank"))
     // candidate distance = Σ_matched |doc rank − profile rank| plus the
     // max penalty P for every doc-profile trigram ABSENT from that
     // language's profile (t − m of them); languages matching nothing
     // never appear and could never win
-    val tTot = dprof.groupBy("doc_id").agg(count(lit(1)).as("t"))
-    val dist = dprof.join(broadcast(prof), Seq("sid"))
-      .groupBy(col("doc_id"), col("lang"), col("plang"))
+    val scored = dprof.join(broadcast(prof), Seq("sid"))
+      .groupBy(col("doc_id"), col("lang"), col("t"), col("plang"))
       .agg(sum(abs(col("drank") - col("lrank"))).as("d"),
         count(lit(1)).as("m"))
-    val scored = dist.join(tTot, "doc_id")
       .withColumn("dist", col("d") + (col("t") - col("m")) * lit(CtP.toLong))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("dist"), col("plang"))))

@@ -105,6 +105,37 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(edges(4).isNullAt(0))
   }
 
+  test("graft_tri_counts equals the explode/groupBy/rank relational form") {
+    import spark.implicits._
+    // the doc-grain pass must reproduce EXACTLY what the r4 q_ct_lang_id
+    // plan computed with a (doc, sid) hash-agg + per-doc rank window:
+    // distinct trigram ids with counts, ordered by (c desc, sid asc),
+    // position = rank
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("length(text) >= 3").select("doc_id", "text")
+      .createOrReplaceTempView("tri_counts_docs")
+    val slow = spark.sql(
+      """SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sid) AS rk,
+        |  sid, c
+        |FROM (
+        |  SELECT doc_id, sid, count(1) AS c
+        |  FROM (SELECT doc_id, explode(graft_tri_ids(text)) AS sid
+        |        FROM tri_counts_docs)
+        |  GROUP BY doc_id, sid)""".stripMargin)
+    val fast = spark.sql(
+      """SELECT doc_id, pos + 1 AS rk, e.sid AS sid, e.c AS c
+        |FROM tri_counts_docs
+        |LATERAL VIEW posexplode(graft_tri_counts(text)) t AS pos, e""".stripMargin)
+    assert(slow.count() > 0)
+    assert(slow.exceptAll(fast).count() == 0 && fast.exceptAll(slow).count() == 0)
+    // edges: too-short / empty / null inputs
+    val edges = Seq("ab", "", null).toDF("text")
+      .selectExpr("graft_tri_counts(text) AS tc").collect()
+    assert(edges(0).getSeq[Any](0).isEmpty && edges(1).getSeq[Any](0).isEmpty)
+    assert(edges(2).isNullAt(0))
+  }
+
   test("graft_shingles is bit-identical to the tokenize/transform/distinct chain") {
     import spark.implicits._
     // the interpreted composition graft_shingles replaces, verbatim from
