@@ -11,6 +11,9 @@ object CsProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    // third arg: audit-window chars (0 = FULL TEXT — the production
+    // claim's linearity-in-characters measurement, VERDICT r4 #3)
+    val winArg = args.lift(2).map(_.toInt).getOrElse(240)
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("cs-probe")
@@ -20,7 +23,8 @@ object CsProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val CsK = 20; val CsWin = 240; val CsDfCap = 64; val CsMin = 40
+    val CsK = 20; val CsWin = if (winArg <= 0) Int.MaxValue / 4 else winArg
+    val CsDfCap = 64; val CsMin = 40
     val gid = expr("CAST(doc_id div 16 AS STRING)")
     def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("text2",
@@ -38,9 +42,11 @@ object CsProbe {
         s"transform(sequence(1, length(w) - ${CsK - 1}), i -> substring(w, i, $CsK))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
       .persist()
-    lazy val dfc: DataFrame = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    lazy val keep: DataFrame = grams.join(
-      dfc.filter(col("df").between(2, CsDfCap)).select("g"), "g").persist()
+    // round-5 plan: df via one count-only window partitioned by g
+    lazy val keep: DataFrame = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df").between(2, CsDfCap))
+      .select("doc_id", "pos", "g").persist()
     lazy val pairs: DataFrame = keep.as("a")
       .join(keep.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -64,7 +70,6 @@ object CsProbe {
       println(f"$label%-12s min=${ts.map(_._1).min}%.2fs rows=${ts.head._2}")
     }
     time("grams")(grams.count())
-    time("dfc")(dfc.count())
     time("keep")(keep.count())
     time("pairs")(pairs.count())
     time("full")(full.count())
