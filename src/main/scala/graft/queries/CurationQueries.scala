@@ -924,25 +924,45 @@ object CurationQueries {
   // and r is ONE final double expression over them (casts exact, mul/div/
   // sqrt correctly rounded). Plan: a single narrow scan into a partial+
   // final hash agg keyed on source; |sources| output rows at any corpus
-  // size. int64 bound: Σx² ≤ N·x_max² — safe to N ≈ 10¹⁰ docs at x_max
-  // 10³ chars; beyond that, shard the moment sums (q_linear_probe remedy).
+  // size.
+  //
+  // int64 bound (round-5 audit — the r4 comment bounded only the SUMS):
+  // the binding term is the FINAL cross-product n·sxx ≤ n²·x_max², not
+  // Σx² ≤ n·x_max² — BIGINT holds to n ≈ 3·10⁶ docs per source at
+  // x_max 10³ chars (the r4-stated 10¹⁰ was the sum bound alone; the
+  // product wraps four orders earlier). Past that the `WideStats` knob
+  // (SPARK_GRAFT_DECIMAL38=1) computes the moments and final products
+  // at DECIMAL(38,0) — exact to n ≈ 3·10¹⁶ — with the same plan shape
+  // (`WideStatsSpec` pins parity below the bound and BigInt-exactness
+  // above it, where the default path throws under ANSI).
   private def qCorrelation(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("source"),
       col("n_chars").as("x"),
       size(simpleTokens(col("text"))).cast("long").as("y"))
+    pearsonBySource(d)
+  }
+
+  /** Per-source Pearson r over `(source, x, y)` rows — the body of
+    * `q_correlation`, factored so `WideStatsSpec` can drive it past the
+    * BIGINT bound on synthetic pairs.
+    */
+  private[graft] def pearsonBySource(d: DataFrame): DataFrame =
     d.groupBy("source").agg(
-      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
+      count(lit(1)).as("n"),
+      WideStats.wsum(col("x")).as("sx"), WideStats.wsum(col("y")).as("sy"),
+      WideStats.wsumProd(col("x"), col("x")).as("sxx"),
+      WideStats.wsumProd(col("y"), col("y")).as("syy"),
+      WideStats.wsumProd(col("x"), col("y")).as("sxy"))
       .select(col("source"), col("n"),
         Rounding.r(
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          (WideStats.prod(col("n"), col("sxy")) -
+            WideStats.prod(col("sx"), col("sy"))).cast("double") /
+            (sqrt((WideStats.prod(col("n"), col("sxx")) -
+              WideStats.prod(col("sx"), col("sx"))).cast("double")) *
+              sqrt((WideStats.prod(col("n"), col("syy")) -
+                WideStats.prod(col("sy"), col("sy"))).cast("double"))),
           6).as("pearson_r"))
       .orderBy("source")
-  }
 
   private val qCorrelationSql =
     s"""WITH d AS (

@@ -502,9 +502,12 @@ object RelationalQueries {
   // correctly rounded). Plan: a tiny partial+final hash agg (|event
   // types| rows) BROADCAST back onto a narrow pruned scan — the fact
   // side never shuffles, so the job is one linear pass at any scale.
-  // int64 bound: Σv² ≤ N·(10³·v_max)²; at v_max ≈ 10³ that is safe to
-  // ~9M rows per type — larger corpora quantize coarser or pre-shard
-  // the moment sums (same remedy as q_linear_probe).
+  // int64 bound (round-5 audit): Σv² ≤ N·(10³·v_max)²; at v_max ≈ 10³
+  // that is safe to ~9·10⁶ rows per type — larger corpora quantize
+  // coarser, pre-shard the moment sums (the q_linear_probe remedy), or
+  // widen the two moment aggregates to DECIMAL(38) the `WideStats` way
+  // (not knob-wired here: the z-score itself is a double, so the wide
+  // moments would be a 3-line change with no plan-shape impact).
   private def qAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),

@@ -1588,6 +1588,11 @@ object ScaleQueries {
   // collapses in one partial agg first, so this is a report over a tiny
   // table at any scale. The curation signal: a Gini near 1 means a
   // handful of domains dominate the training mix.
+  // int64 bound (round-5 audit): Σ i·xᵢ ≤ n_sources·total_chars and the
+  // final n·total product — at 10¹² docs (total ≈ 10¹⁵ chars) and 10⁴
+  // sources both reach ≈ 10¹⁹, AT the int64 edge: beyond ~10³ sources
+  // × 10¹⁵ chars the rank moment and the n·total denominator take the
+  // `WideStats` widening (source grain stays tiny; value width only).
 
   private def qGini(s: SparkSession, dir: String): DataFrame = {
     val g = t(s, dir, "documents").groupBy("source")
@@ -1653,6 +1658,11 @@ object ScaleQueries {
   // corpus collapses to the day grain first; the scan is one window
   // over the tiny day table. This is the monitoring op behind
   // ingest-volume regression alarms.
+  // int64 bound (round-5 audit): |CUSUM| ≤ days·c_max·days ≈ T·days and
+  // the shift_score denominator n·T ≤ days·T — at 10¹² events over 10³
+  // days both sit near 10¹⁵, a 10³ headroom; safe to T ≈ 3·10¹⁵ events,
+  // past which the day-grain cross-products take the `WideStats`
+  // widening (day tables stay tiny; only the value width changes).
 
   private def qCusum(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
@@ -2271,7 +2281,8 @@ object ScaleQueries {
   // no tf materialization at all at 100 TB (fold sgn·1 per occurrence);
   // here the term table is reused for the exact twin. Counter squares
   // stay far below 2^63 while |counter| ≲ √F2 ≪ 3·10⁹ — beyond that the
-  // counters (not the corpus) move to 128-bit, still S values.
+  // counters (not the corpus) move to 128-bit, still S values: that is
+  // the `WideStats` knob, wired in `amsFromTf` (r5).
 
   private val AmsS = 16
 
@@ -2290,20 +2301,33 @@ object ScaleQueries {
       .select(explode(call_function("graft_ws_tokens", col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
       .persist()
+    amsFromTf(tf)
+  }
+
+  /** F2 exact + AMS estimate over `(tok, tf)` rows — the body of
+    * `q_ams_sketch`, factored so `WideStatsSpec` can drive it past the
+    * BIGINT bound. Round-5 audit: the r4 comment bounded the COUNTERS
+    * (|c| ≲ √F2 ≪ 3·10⁹); the same bound binds `f2_exact = Σtf²`
+    * per-row (tf ≤ 3·10⁹) and the squares c² / F2 itself — all widened
+    * together by the `WideStats` knob (DECIMAL(38,0), exact to
+    * F2 ≈ 10³⁸) while the plan shape is unchanged.
+    */
+  private[graft] def amsFromTf(tf: DataFrame): DataFrame = {
     val exact = tf.agg(count(lit(1)).as("n_terms"),
-      sum("tf").as("f1"), sum(col("tf") * col("tf")).as("f2_exact"))
+      WideStats.wsum(col("tf")).as("f1"),
+      WideStats.wsumProd(col("tf"), col("tf")).as("f2_exact"))
     val ctr = tf
       .select(col("tok"), col("tf"),
         explode(expr(s"sequence(0, ${AmsS - 1})")).as("sk"))
       .withColumn("sgn",
         pmod(sid7(concat(col("tok"), lit(":"), col("sk").cast("string"))),
           lit(2L)) * 2L - 1L)
-      .groupBy("sk").agg(sum(col("sgn") * col("tf")).as("c"))
+      .groupBy("sk").agg(WideStats.wsumProd(col("sgn"), col("tf")).as("c"))
     val med = ctr
       .withColumn("rk", row_number().over(
-        Window.orderBy((col("c") * col("c")).asc, col("sk"))))
+        Window.orderBy(WideStats.prod(col("c"), col("c")).asc, col("sk"))))
       .filter(col("rk") === AmsS / 2)
-      .select((col("c") * col("c")).as("f2_est"))
+      .select(WideStats.prod(col("c"), col("c")).as("f2_est"))
     exact.crossJoin(broadcast(med))
       .select(col("n_terms"), col("f1"), col("f2_exact"), col("f2_est"),
         floor(abs(col("f2_est") - col("f2_exact")) * lit(1e6) / col("f2_exact"))
@@ -2684,6 +2708,10 @@ object ScaleQueries {
   // convention), the median is an exact lower-median rank pick, and the
   // intercept is the median residual at that slope — every reported
   // number an integer.
+  // int64 bound (round-5 audit): corpus-size-INDEPENDENT — every
+  // arithmetic term lives on the 64-row sample; the largest magnitude
+  // is the residual y·10⁶ − slope_ppm·x ≲ 10¹⁵ at y ≤ 10⁶, x ≤ 10³.
+  // No widening needed at any corpus scale.
 
   private val TsN = 64
 
@@ -2944,8 +2972,15 @@ object ScaleQueries {
   // discipline): one bucket-grain aggregate over the corpus, one
   // cumulative window over ≤32 rows, argmin by (score, threshold) —
   // the corpus is scanned once, the search runs on the bin table.
-  // Count squares need pos² ≪ 2^63/1e9: beyond ~3·10⁹ rows per side
-  // the score moves to DECIMAL(38) — the knob, not the plan, changes.
+  // int64 bound (round-5 audit — the r4 comment mis-stated ~3·10⁹ by
+  // dropping the 1e9 fixed-point factor): the purity numerator is
+  // ≤ nl²·10⁹, so BIGINT holds only to N ≈ 9.6·10⁴ documents — the
+  // sf0.1 battery (60k docs, numerator ≤ 3.6·10¹⁸) passes with just
+  // 2.5× headroom. Past the bound the `WideStats` knob computes the
+  // count squares and fixed-point divisions at DECIMAL(38,0)
+  // (exact to N ≈ 10¹⁴; purity_fp itself outgrows int64 at
+  // N ≈ 4.6·10⁹, so the wide path also WIDENS the output column) —
+  // `WideStatsSpec` pins both sides of the bound.
 
   private val GsB = 32L
 
@@ -2953,6 +2988,23 @@ object ScaleQueries {
     val d = t(s, dir, "documents")
       .select(col("n_chars").as("x"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    giniStumpFrom(d)
+  }
+
+  /** Best Gini stump over `(x, y ∈ {0,1})` rows — the body of
+    * `q_gini_stump`, factored so `WideStatsSpec` can drive it past the
+    * BIGINT bound (N ≈ 9.6·10⁴ rows — see the audit note above).
+    */
+  private[graft] def giniStumpFrom(d: DataFrame): DataFrame = {
+    // Gini purity of one child at fixed point 1e9 — exact integral
+    // division on both paths (`idivWide` keeps the decimal quotient an
+    // exact integer; see WideStats)
+    def purity(p: String, t: String): Column =
+      if (WideStats.wide)
+        WideStats.idivWide((WideStats.prod(col(p), col(p)) +
+          WideStats.prod(col(t) - col(p), col(t) - col(p))) *
+          lit(1000000000L), col(t))
+      else expr(s"($p * $p + ($t - $p) * ($t - $p)) * 1000000000L div $t")
     val mm = d.agg(min("x").as("mn"), max("x").as("mx"),
       count(lit(1)).as("n"), sum("y").as("pos"))
     val bins = d.crossJoin(broadcast(mm))
@@ -2969,21 +3021,24 @@ object ScaleQueries {
       .withColumn("thr", expr(s"mn + ((b + 1) * (mx - mn + 1)) div $GsB - 1"))
       .withColumn("nr", col("n") - col("nl"))
       .withColumn("pr", col("pos") - col("pl"))
-      .withColumn("purity_fp", expr(
-        """(pl * pl + (nl - pl) * (nl - pl)) * 1000000000L div nl +
-          |(pr * pr + (nr - pr) * (nr - pr)) * 1000000000L div nr""".stripMargin))
+      .withColumn("purity_fp", purity("pl", "nl") + purity("pr", "nr"))
+    val accPpm =
+      if (WideStats.wide)
+        WideStats.idivWide((greatest(col("pl"), col("nl") - col("pl")) +
+          greatest(col("pr"), col("nr") - col("pr"))) * lit(1000000L), col("n"))
+      else
+        expr("""((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000L)
+          |div n""".stripMargin)
     cum
       .withColumn("rk", row_number().over(
         Window.orderBy(desc("purity_fp"), col("thr"))))
       .filter(col("rk") === 1)
-      .withColumn("parent_fp", expr(
-        "(pos * pos + (n - pos) * (n - pos)) * 1000000000L div n"))
+      .withColumn("parent_fp", purity("pos", "n"))
       .select(col("thr"), col("nl"), col("pl"), col("nr"), col("pr"),
         col("purity_fp"), col("parent_fp"),
         // majority-vote stump accuracy in ppm: each child predicts its
         // majority class
-        expr("""((greatest(pl, nl - pl) + greatest(pr, nr - pr)) * 1000000L)
-          |div n""".stripMargin).as("acc_ppm"))
+        accPpm.as("acc_ppm"))
   }
 
   private val qGiniStumpSql =

@@ -958,6 +958,10 @@ object TrainingDataQueries {
   // Plan: degree agg + two vocabulary-sized equi-joins + the oriented
   // wedge join + a semi-join closure against the canonical edge list —
   // every shuffle keyed and linear in wedges.
+  // int64 bound (round-5 audit): pure COUNT arithmetic — per-vertex
+  // triangles ≤ C(deg, 2) ≤ m and every aggregate is a row count ≤ the
+  // wedge count Σd_out² ≤ m^1.5; int64-safe to m ≈ 10¹² edges (wedges
+  // 10¹⁸) with no products of counts anywhere. No widening needed.
   /** Per-vertex triangle counts over a canonical edge list
     * (`doc_a < doc_b`, no duplicates). Degree-ordered orientation, so the
     * wedge join is Σd_out² with d_out = O(√m) at any vertex skew; each
@@ -3339,21 +3343,36 @@ object TrainingDataQueries {
   // hapax noise. Plan: the q_token_tf shuffle shape, a term-grain agg,
   // TakeOrdered top-20.
 
+  // int64 bound (round-5 audit): the numerator N·Σtf² is the binding
+  // term — for a function word with df ≈ N and tf ≈ 10 it is ≈ 100·N²,
+  // so BIGINT holds to N ≈ 3·10⁸ documents; at 10¹² docs it wraps by
+  // ~10⁷. Past the bound the `WideStats` knob computes the tf moments
+  // and final cross-products at DECIMAL(38,0) — exact to N ≈ 10¹⁸ —
+  // same plan shape (`WideStatsSpec`).
   private def qBurstiness(s: SparkSession, dir: String): DataFrame = {
     val tf = sparkToks(s, dir)
       .select(col("doc_id"), explode(col("ts")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val nd = t(s, dir, "documents").agg(count(lit(1)).as("nn"))
+    vmrTop(tf, nd)
+  }
+
+  /** Top-20 VMR over `(doc_id, tok, tf)` rows and a 1-row doc count —
+    * the body of `q_burstiness`, factored so `WideStatsSpec` can drive
+    * it past the BIGINT bound.
+    */
+  private[graft] def vmrTop(tf: DataFrame, nd: DataFrame): DataFrame =
     tf.groupBy("tok").agg(count(lit(1)).as("df"),
-        sum("tf").as("sx"), sum(col("tf") * col("tf")).as("sx2"))
+        WideStats.wsum(col("tf")).as("sx"),
+        WideStats.wsumProd(col("tf"), col("tf")).as("sx2"))
       .filter(col("df") >= 5)
       .crossJoin(broadcast(nd))
       .select(col("tok"), col("df"), col("sx").as("total_tf"),
         Rounding.r(
-          (col("nn") * col("sx2") - col("sx") * col("sx")).cast("double") /
-            (col("nn") * col("sx")).cast("double"), 6).as("vmr"))
+          (WideStats.prod(col("nn"), col("sx2")) -
+            WideStats.prod(col("sx"), col("sx"))).cast("double") /
+            WideStats.prod(col("nn"), col("sx")).cast("double"), 6).as("vmr"))
       .orderBy(col("vmr").desc, col("tok")).limit(20)
-  }
 
   private val qBurstinessSql =
     s"""WITH $TokensCte,

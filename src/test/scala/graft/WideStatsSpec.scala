@@ -16,10 +16,11 @@ class WideStatsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("below the bound, the knob does not change any of the three queries") {
-    for (q <- Seq("q_spearman", "q_assortativity", "q_cooccur_lift")) {
+  test("below the bound, the knob does not change any of the seven queries") {
+    for (q <- Seq("q_spearman", "q_assortativity", "q_cooccur_lift",
+        "q_correlation", "q_burstiness", "q_ams_sketch", "q_gini_stump")) {
       def run(on: Boolean): Seq[String] = WideStats.withWide(on) {
-        val rows = ScaleQueries.queries(q)(spark, sfDir)
+        val rows = SparkEntry.queries(q)(spark, sfDir)
           .collect().toSeq.map(_.toString)
         spark.catalog.clearCache()
         rows.sorted
@@ -92,6 +93,138 @@ class WideStatsSpec extends AnyFunSuite {
     }
     assert(lift(true) == expected)
     val e = intercept[Exception](lift(false))
+    assert(e.toString.toLowerCase.contains("overflow"),
+      s"default path should overflow above the bound, got: $e")
+  }
+
+  test("pearson above the bound: default overflows loudly, wide is BigInt-exact") {
+    import spark.implicits._
+    // per-row x² = 1.6e19 > 2^63: wsumProd must widen BEFORE multiplying
+    val rows = Seq(
+      ("s", 4_000_000_000L, 7L), ("s", 4_000_000_100L, 9L),
+      ("s", 4_000_000_050L, 8L), ("s", 4_000_000_200L, 13L))
+    val d = rows.toDF("source", "x", "y")
+    def r(on: Boolean): Double = WideStats.withWide(on) {
+      graft.queries.CurationQueries.pearsonBySource(d)
+        .collect().head.getDouble(2)
+    }
+    val n = BigInt(rows.size)
+    val sx = rows.map(r => BigInt(r._2)).sum
+    val sy = rows.map(r => BigInt(r._3)).sum
+    val sxx = rows.map(r => BigInt(r._2) * r._2).sum
+    val syy = rows.map(r => BigInt(r._3) * r._3).sum
+    val sxy = rows.map(r => BigInt(r._2) * r._3).sum
+    val expected = math.floor(
+      (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)) * 1e6 + 0.5) / 1e6
+    assert(r(true) == expected, "wide pearson must match BigInt-exact r")
+    val e = intercept[Exception](r(false))
+    assert(e.toString.toLowerCase.contains("overflow"),
+      s"default path should overflow above the bound, got: $e")
+  }
+
+  test("burstiness above the bound: default overflows loudly, wide is BigInt-exact") {
+    import spark.implicits._
+    // one bursty term, df = 5, tf = 3e9: Σtf² = 4.5e19 > 2^63; plus a
+    // quiet term so the top-20 sort is non-trivial
+    val tfRows = (0 until 5).map(i => (i.toLong, "burst", 3_000_000_000L)) ++
+      (0 until 6).map(i => (i.toLong, "calm", 1L))
+    val tf = tfRows.toDF("doc_id", "tok", "tf")
+    val nd = Seq(Tuple1(8L)).toDF("nn")
+    def vmr(on: Boolean): Map[String, Double] = WideStats.withWide(on) {
+      graft.queries.TrainingDataQueries.vmrTop(tf, nd)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    }
+    def exp(vals: Seq[Long]): Double = {
+      val nn = BigInt(8)
+      val sx = vals.map(BigInt(_)).sum
+      val sx2 = vals.map(v => BigInt(v) * v).sum
+      math.floor((nn * sx2 - sx * sx).toDouble / (nn * sx).toDouble * 1e6 + 0.5) / 1e6
+    }
+    val wide = vmr(true)
+    assert(wide("burst") == exp(Seq.fill(5)(3_000_000_000L)))
+    assert(wide("calm") == exp(Seq.fill(6)(1L)))
+    val e = intercept[Exception](vmr(false))
+    assert(e.toString.toLowerCase.contains("overflow"),
+      s"default path should overflow above the bound, got: $e")
+  }
+
+  test("AMS F2 above the bound: default overflows loudly, wide is BigInt-exact") {
+    import spark.implicits._
+    val tfRows = (0 until 6).map(i => (s"t$i", 4_000_000_000L + i))
+    val tf = tfRows.toDF("tok", "tf")
+    def f2(on: Boolean): (BigInt, BigInt) = WideStats.withWide(on) {
+      val r = ScaleQueries.amsFromTf(tf).collect().head
+      (BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger))
+    }
+    val expected = tfRows.map(r => BigInt(r._2) * r._2).sum
+    val (exact, est) = f2(true)
+    assert(exact == expected, "wide f2_exact must be BigInt-exact")
+    assert(est >= 0)
+    val e = intercept[Exception](WideStats.withWide(false) {
+      ScaleQueries.amsFromTf(tf).collect()
+    })
+    assert(e.toString.toLowerCase.contains("overflow"),
+      s"default path should overflow above the bound, got: $e")
+  }
+
+  test("gini stump above the bound: default overflows loudly, wide is BigInt-exact") {
+    import spark.implicits._
+    // N = 150k > the 9.6e4 bound: nl²·1e9 ≈ 2.25e19 > 2^63 at the top
+    // cumulative bins. y correlates with x so the stump is non-trivial.
+    val n = 150000
+    val rows = (0 until n).map { i =>
+      val x = (i % 1000).toLong
+      val y = if (x >= 600 && i % 5 != 0) 1L else if (i % 11 == 0) 1L else 0L
+      (x, y)
+    }
+    val d = rows.toDF("x", "y")
+    def stump(on: Boolean): (Long, BigInt, BigInt) = WideStats.withWide(on) {
+      val r = ScaleQueries.giniStumpFrom(d).collect().head
+      def big(i: Int): BigInt = r.get(i) match {
+        case l: java.lang.Long => BigInt(l)
+        case dec: java.math.BigDecimal => BigInt(dec.toBigInteger)
+      }
+      (r.getLong(0), big(5), big(7))
+    }
+    // driver-side BigInt replica of the 32-bin stump search
+    val mn = rows.map(_._1).min
+    val mx = rows.map(_._1).max
+    val total = rows.size.toLong
+    val pos = rows.map(_._2).sum
+    val bins = rows.groupBy(r => (r._1 - mn) * 32 / (mx - mn + 1))
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
+    val ordered = bins.keys.toSeq.sorted
+    var nl = 0L
+    var pl = 0L
+    var best: Option[(BigInt, Long, Long, Long)] = None // (purity, thr) picks
+    for (b <- ordered) {
+      val (nb, pb) = bins(b)
+      nl += nb; pl += pb
+      if (nl > 0 && nl < total) {
+        val thr = mn + (b + 1) * (mx - mn + 1) / 32 - 1
+        val nr = total - nl
+        val pr = pos - pl
+        def purity(p: BigInt, t: BigInt): BigInt =
+          (p * p + (t - p) * (t - p)) * BigInt(1000000000L) / t
+        val pf = purity(pl, nl) + purity(pr, nr)
+        val better = best.forall { case (bp, bthr, _, _) =>
+          pf > bp || (pf == bp && thr < bthr)
+        }
+        if (better) {
+          val acc = (BigInt(math.max(pl, nl - pl)) +
+            BigInt(math.max(pr, nr - pr))) * 1000000L / total
+          best = Some((pf, thr, acc.toLong, nl))
+        }
+      }
+    }
+    val (expPurity, expThr, expAcc, _) = best.get
+    val (thr, purityFp, accPpm) = stump(true)
+    assert(thr == expThr, "wide stump must pick the BigInt-exact threshold")
+    assert(purityFp == expPurity, "wide purity must be BigInt-exact")
+    assert(accPpm == BigInt(expAcc))
+    val e = intercept[Exception](stump(false))
     assert(e.toString.toLowerCase.contains("overflow"),
       s"default path should overflow above the bound, got: $e")
   }
