@@ -4548,65 +4548,93 @@ object TrainingDataQueries {
   //   w ← G·w, rescaled to |w|∞ ≤ 2²⁰ by a truncating division each step
   // λ is the Rayleigh-free |G·w|∞/|w|∞ ratio and top_share = λ/tr(G) —
   // each ONE double division at the very end (IEEE-exact both engines).
-  // Scale shape: one narrow N×D pass, Gram state O(D²) at any corpus
-  // size, iterations on D-row frames. Int64 holds while N·(2·10³·maxq)²
-  // ·2²⁰·D < 2⁶³ (N ≈ 10⁵ at D = 64) — past that, train the Gram on a
-  // deterministic hash-sample (the q_linear_probe remedy).
+  //
+  // Scale shape (r5): ONE narrow N×D corpus pass. The centered Gram is
+  // integer-EXACTLY derivable from the raw-moment pass —
+  //   G = QᵀQ − μ·sᵀ − s·μᵀ + n·μ·μᵀ,  s_j = Σ q_ij,  μ_j = s_j div n
+  // (exact because the truncated means are integers) — so the r4 plan's
+  // separate means pass + broadcast-recenter scan collapses into a
+  // single agg producing QᵀQ (graft_gram) and s (graft_vec_sum: |Σq| ≤
+  // N·10³ is double-exact to N ≈ 9·10¹²) together. The D² = 4096-long
+  // Gram is then a DRIVER value (bounded by construction — the
+  // centroid-collect class, constant at any corpus size), and the
+  // three power-iteration rounds run as driver integer loops with
+  // Math.*Exact arithmetic — the same truncating `div`s, the same loud
+  // overflow contract as the ANSI in-engine form they replace, and the
+  // ~15 sub-second 64-row shuffle stages deleted (A/B: 2.72 → 0.49 s
+  // min-over-3 at sf0.1; hashes unchanged vs the unchanged relational
+  // DuckDB oracle). Int64 bound unchanged (g·w sums; N ≈ 10⁵ at
+  // D = 64) — past that, train the Gram on a deterministic hash-sample
+  // (the q_linear_probe remedy).
 
   private val SpecWScale = 1048576L // 2^20
 
   private def qEmbedSpectrum(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    import s.implicits._
     // fixed-point the vectors ROW-WISE (no explode): q_j = ⌊1000·e_j + ½⌋
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
         .as("qv"))
-    val mu = emb.select(posexplode(col("qv")).as(Seq("j", "q")))
-      .select(col("j").cast("long").as("j"), col("q"))
-      .groupBy("j").agg(expr("sum(q) div count(1)").as("mu"))
-    // the d truncated means as ONE broadcast array row
-    val muArr = mu.agg(expr(
-      "transform(array_sort(collect_list(struct(j, mu))), s -> s.mu)")
-      .as("mu_arr"))
-    // Gram = Σ c·cᵀ via the graft_gram TypedImperativeAggregate: each
-    // vector's outer product folds into a d²-long buffer in a tight JVM
-    // loop — no N·d² explode-join expansion (the relational CᵀC shape
-    // this replaces cost ~20M joined rows at sf0.1), shuffle state d²
-    // longs per map partition at ANY corpus size. Long sums of the same
-    // integers are order-immune, so g is bit-identical to the join form
-    // and the DuckDB oracle is unchanged.
-    val garr = emb.crossJoin(broadcast(muArr))
-      .select(expr("zip_with(qv, mu_arr, (q, m) -> q - m)").as("cv"))
-      .agg(call_function("graft_gram", col("cv")).as("garr"))
-      .select(col("garr"),
-        floor(sqrt(size(col("garr")).cast("double"))).cast("long").as("d"))
-    val g = garr
-      .select(col("d"), posexplode(col("garr")).as(Seq("idx", "g")))
-      .select(expr("CAST(idx AS BIGINT) div d").as("j"),
-        pmod(col("idx").cast("long"), col("d")).as("k"), col("g"))
-      .persist() // read by every iteration + the diagonal/trace
-    val trace = g.filter(col("j") === col("k")).agg(sum("g").as("t"))
-    var w = mu.select(col("j"), lit(SpecWScale).as("w"))
-    for (_ <- 1 to 3) {
-      val u = g.join(w.select(col("j").as("k"), col("w")), "k")
-        .groupBy("j").agg(sum(col("g") * col("w")).as("u"))
-      val m = u.agg(max(abs(col("u"))).as("m"))
-      w = u.crossJoin(broadcast(m))
-        .select(col("j"), expr(s"u div (m div ${SpecWScale}L + 1L)").as("w"))
+    // the one corpus pass: raw Gram QᵀQ + column sums + count, two
+    // TypedImperativeAggregate buffers in the same partial agg
+    val (qtq, sc) = emb.agg(
+      call_function("graft_gram", col("qv")).as("qtq"),
+      call_function("graft_vec_sum", col("qv").cast("array<double>")).as("sc"))
+      .as[(Seq[Long], Seq[Double])].head()
+    val n = if (sc.nonEmpty) sc.last.toLong else 0L
+    require(n > 0, "q_embed_spectrum: empty embeddings table")
+    val d = sc.length - 1
+    val sums = Array.tabulate(d)(j => sc(j).toLong) // exact: |Σq| ≪ 2⁵³
+    val mu = sums.map(_ / n) // Long / truncates toward zero, = Spark div
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
+    // centered Gram by the exact raw-moment identity
+    val g = Array.ofDim[Long](d * d)
+    var j = 0
+    while (j < d) {
+      var k = 0
+      while (k < d) {
+        g(j * d + k) = addExact(
+          subtractExact(
+            subtractExact(qtq(j * d + k), multiplyExact(mu(j), sums(k))),
+            multiplyExact(mu(k), sums(j))),
+          multiplyExact(n, multiplyExact(mu(j), mu(k))))
+        k += 1
+      }
+      j += 1
     }
-    val u4 = g.join(w.select(col("j").as("k"), col("w")), "k")
-      .groupBy("j").agg(sum(col("g") * col("w")).as("u"))
-    val fin = u4.agg(max(abs(col("u"))).as("muv"))
-      .crossJoin(w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mw")))
-      .crossJoin(trace)
-    g.filter(col("j") === col("k")).select(col("j"), col("g").as("var_dim"))
-      .join(w, "j").crossJoin(broadcast(fin))
+    var trace = 0L
+    j = 0
+    while (j < d) { trace = addExact(trace, g(j * d + j)); j += 1 }
+    // three power-iteration rounds + the final multiply, driver integers
+    def mul(w: Array[Long]): Array[Long] = Array.tabulate(d) { jj =>
+      var acc = 0L
+      var k = 0
+      while (k < d) {
+        acc = addExact(acc, multiplyExact(g(jj * d + k), w(k)))
+        k += 1
+      }
+      acc
+    }
+    var w = Array.fill(d)(SpecWScale)
+    for (_ <- 1 to 3) {
+      val u = mul(w)
+      val m = u.map(math.abs).max
+      w = u.map(_ / (m / SpecWScale + 1L)) // same truncating div chain
+    }
+    val u4 = mul(w)
+    val muv = u4.map(math.abs).max
+    val mw = math.max(w.map(math.abs).max, 1L)
+    // final λ / top_share as the SAME Spark double expressions as before
+    // (IEEE-exact, oracle-paired); one 64-row local frame
+    (0 until d).map(jj => (jj.toLong, g(jj * d + jj), w(jj)))
+      .toDF("j", "var_dim", "w")
       .select(col("j"), col("var_dim"), col("w"),
-        Rounding.r(col("muv").cast("double") / col("mw").cast("double"), 4)
+        Rounding.r(lit(muv).cast("double") / lit(mw).cast("double"), 4)
           .as("lam"),
-        Rounding.r((col("muv").cast("double") / col("mw").cast("double")) /
-          col("t").cast("double"), 6).as("top_share"))
+        Rounding.r((lit(muv).cast("double") / lit(mw).cast("double")) /
+          lit(trace).cast("double"), 6).as("top_share"))
       .orderBy("j")
   }
 
